@@ -1,0 +1,264 @@
+"""Temporal-snapshot queries (SURVEY §2 #1-#7, #13, #17, #18).
+
+The ``events`` table plays the role of Bugzilla's ``bugs_activity``
+change log: entity=user_id, modified_ts=ts, field/value payloads.
+Every query here compiles to: scan -> ONE hash exchange on user_id ->
+stacked window/agg operators, all whole-stage-codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.operators import snapshot as S
+from bugzilla_etl_spark.plans.catalog import register
+from bugzilla_etl_spark.sources import load_table
+
+# Data-derived watermark: midpoint of the event time range, in whole
+# epoch seconds with pure integer arithmetic so Spark and the DuckDB
+# oracle agree bit-for-bit regardless of scale factor.
+DUCK_MID_CUT = """(SELECT (min(floor(epoch(ts))::BIGINT)
+                         + max(floor(epoch(ts))::BIGINT)) // 2 AS c FROM events)"""
+
+
+def _with_mid_cut(ev: DataFrame) -> DataFrame:
+    """Attach the midpoint watermark as column ``_cut`` (broadcast 1-row agg)."""
+    cut = ev.agg(
+        F.expr("(min(cast(ts as long)) + max(cast(ts as long))) div 2").alias("_cut")
+    )
+    return ev.crossJoin(F.broadcast(cut))
+
+
+@register(
+    "snapshot_versions",
+    oracle="""
+    SELECT user_id, event_id, event_type, value,
+           ts AS valid_from,
+           lead(ts) OVER w AS expires_on,
+           row_number() OVER w AS version
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 intervals from the change log (flagship).
+    reference: parse_bug_history.py:457 populateIntermediateVersionObjects."""
+    ev = load_table(spark, sf_dir, "events")
+    out = S.snapshot_versions(ev, entity="user_id", ts="ts", tiebreak=("event_id",))
+    return out.select(
+        "user_id", "event_id", "event_type", "value",
+        "valid_from", "expires_on", "version",
+    )
+
+
+@register(
+    "snapshot_asof",
+    oracle=f"""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events, {DUCK_MID_CUT} cut
+        WHERE floor(epoch(ts))::BIGINT <= cut.c
+    ) WHERE rn = 1
+    """,
+)
+def snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity state at a point in time. reference: bz_etl.py:172."""
+    ev = load_table(spark, sf_dir, "events")
+    filtered = (
+        _with_mid_cut(ev)
+        .where(F.col("ts").cast("long") <= F.col("_cut"))
+        .drop("_cut")
+    )
+    out = S.dedup_latest(filtered)
+    return out.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+@register(
+    "state_rollforward",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           last(purchase_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_purchase_value
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+        FROM events
+    )
+    """,
+)
+def state_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill the running current-state object.
+    reference: parse_bug_history.py:111 processRow."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_value"
+        ),
+    )
+    out = S.state_rollforward(ev, fields=["purchase_value"])
+    return out.select("user_id", "event_id", "ts", "last_purchase_value")
+
+
+@register(
+    "set_accumulate",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           list_sort(list(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )) AS acc_set
+    FROM events
+    """,
+)
+def set_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running multi-value set (cc/keywords reconstruction).
+    reference: parse_bug_history.py:816 addValues / :848 removeValues."""
+    ev = load_table(spark, sf_dir, "events")
+    out = S.set_accumulate(ev, value_col="event_type")
+    return out.select("user_id", "event_id", "ts", "acc_set")
+
+
+@register(
+    "set_final",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS final_set,
+           count(DISTINCT event_type) AS n_distinct
+    FROM events GROUP BY user_id
+    """,
+)
+def set_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final sorted multi-value per entity.
+    reference: transform_bugzilla.py:99 MULTI_FIELDS sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return S.set_final(ev, value_col="event_type")
+
+
+@register(
+    "dedup_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current version per entity (ES overwrite-by-id semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    return S.dedup_latest(ev).select("user_id", "event_id", "ts", "event_type", "value")
+
+
+@register(
+    "merge_order_union",
+    oracle="""
+    WITH current AS (
+        SELECT user_id, NULL::BIGINT AS event_id, max(ts) AS ts,
+               1 AS _merge_order
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT user_id, event_id, ts, 2 AS _merge_order FROM events
+    ), merged AS (
+        SELECT * FROM current UNION ALL BY NAME SELECT * FROM activity
+    )
+    SELECT user_id, event_id, ts, _merge_order,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY _merge_order ASC, ts DESC,
+                                       event_id DESC NULLS LAST) AS replay_seq
+    FROM merged
+    """,
+)
+def merge_order_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state + activity merge in replay order.
+    reference: bz_etl.py:105-111 (sorted by bug_id, _merge_order, ts desc)."""
+    ev = load_table(spark, sf_dir, "events")
+    current = ev.groupBy("user_id").agg(
+        F.lit(None).cast("long").alias("event_id"), F.max("ts").alias("ts")
+    )
+    activity = ev.select("user_id", "event_id", "ts")
+    out = S.merge_order_union(
+        current, activity, entity="user_id", ts="ts", tiebreak=("event_id",)
+    )
+    return out.select("user_id", "event_id", "ts", "_merge_order", "replay_seq")
+
+
+@register(
+    "activity_invert",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           lag(value)  OVER w AS removed,
+           lead(value) OVER w AS superseded_by
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def activity_invert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prior/next value chain per change.
+    reference: parse_bug_history.py:307 processBugsActivitiesTableItem."""
+    ev = load_table(spark, sf_dir, "events")
+    out = S.activity_invert(ev, value_col="value")
+    return out.select("user_id", "event_id", "ts", "value", "removed", "superseded_by")
+
+
+@register(
+    "incremental_touched",
+    oracle=f"""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM events
+    WHERE user_id IN (
+        SELECT DISTINCT user_id FROM events, {DUCK_MID_CUT} cut
+        WHERE floor(epoch(ts))::BIGINT >= cut.c + 86400 * 13
+    )
+    """,
+)
+def incremental_touched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full history of every entity touched since the watermark.
+    reference: bz_etl.py:172 incremental_etl re-ETLs whole bugs.
+
+    Watermark = midpoint + 13 days: late enough that only SOME
+    entities are touched, so the semi-join actually filters."""
+    ev = load_table(spark, sf_dir, "events")
+    touched = (
+        _with_mid_cut(ev)
+        .where(F.col("ts").cast("long") >= F.col("_cut") + 86400 * 13)
+        .select("user_id")
+        .distinct()
+    )
+    out = ev.join(F.broadcast(touched), on="user_id", how="left_semi")
+    return out.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+@register(
+    "replicate_pending",
+    oracle=f"""
+    SELECT event_id, user_id, ts
+    FROM events
+    WHERE floor(epoch(ts))::BIGINT > (
+        SELECT max(floor(epoch(ts))::BIGINT)
+        FROM events, {DUCK_MID_CUT} cut
+        WHERE floor(epoch(ts))::BIGINT <= cut.c
+    )
+    """,
+)
+def replicate_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows newer than the destination's high-water mark.
+    reference: replicate.py:68 get_last_updated / :97 get_pending.
+    (dest stand-in: the first-half-of-time slice of events, so the
+    pending set is the entire second half — a real workload shape)"""
+    ev = load_table(spark, sf_dir, "events")
+    dest = (
+        _with_mid_cut(ev)
+        .where(F.col("ts").cast("long") <= F.col("_cut"))
+        .drop("_cut")
+    )
+    out = S.replicate_pending(ev, dest)
+    return out.select("event_id", "user_id", "ts")
