@@ -1,0 +1,86 @@
+"""Alias analysis & resolution.
+
+The reference maintains a canonical-email mapping: analysis derives
+alias candidates from mismatched cc-list changes (an email removed
+that was never present ⇒ it is an alias of something added), then
+every actor field is resolved through the mapping at parse time.
+
+reference: bugzilla_etl/alias_analysis.py:114 analysis,
+           :172 get_canonical, :184 add_alias, :340 mapper
+           parse_bug_history.py:1048 email_alias
+
+Scale: the mapping is a small dimension (≤ millions of rows) against
+a huge fact table — ALWAYS broadcast; a shuffle join on the fact side
+would move the whole 100 TB.  Resolution is a left join + coalesce,
+identity for unmapped values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resolve_aliases(
+    df: DataFrame,
+    mapping: DataFrame,
+    cols: Sequence[str],
+    alias_col: str = "alias",
+    canonical_col: str = "canonical",
+) -> DataFrame:
+    """Rewrite each column through the canonical mapping
+    (get_canonical: mapped value if present, else itself)."""
+    out = df
+    for c in cols:
+        m = mapping.select(
+            F.col(alias_col).alias(f"__a_{c}"),
+            F.col(canonical_col).alias(f"__c_{c}"),
+        )
+        out = (
+            out.join(F.broadcast(m), on=out[c] == m[f"__a_{c}"], how="left")
+            .withColumn(c, F.coalesce(F.col(f"__c_{c}"), F.col(c)))
+            .drop(f"__a_{c}", f"__c_{c}")
+        )
+    return out
+
+
+def transition_pairs(
+    log: DataFrame,
+    value_col: str,
+    entity: str = "user_id",
+    ts: str = "ts",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Alias-candidate analysis: count (prev -> curr) value transitions
+    per entity timeline.  In the reference, a 'removed' email that was
+    not in the current cc set pairs with a simultaneous 'added' email;
+    with a full ordered log the candidate pairs are lag->curr
+    adjacencies, aggregated by pair.  One shuffle for the window (on
+    entity) + one partial-agg shuffle for the pair counts."""
+    w = Window.partitionBy(entity).orderBy(ts, *tiebreak)
+    pairs = log.select(
+        F.lag(value_col).over(w).alias("lost"),
+        F.col(value_col).alias("found"),
+    ).where(F.col("lost").isNotNull() & (F.col("lost") != F.col("found")))
+    return pairs.groupBy("lost", "found").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def best_canonical(pair_counts: DataFrame) -> DataFrame:
+    """Collapse pair counts into a mapping: for each 'lost' value, the
+    most frequent 'found' partner wins (deterministic tiebreak on the
+    value itself).  Mirrors AliasAnalyzer keeping the best-scoring
+    match (alias_analysis.py:184 add_alias 'better match')."""
+    w = Window.partitionBy("lost").orderBy(
+        F.col("n_matches").desc(), F.col("found").asc()
+    )
+    return (
+        pair_counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("lost").alias("alias"),
+            F.col("found").alias("canonical"),
+            "n_matches",
+        )
+    )

@@ -1,0 +1,88 @@
+"""Normalization operators — the reference's ``normalize()`` +
+field parsers, re-expressed as pure column expressions (zero shuffle,
+whole-stage codegen).
+
+reference: bugzilla_etl/transform_bugzilla.py:53 normalize()
+           bugzilla_etl/parse_bug_history.py:70 FLAG_PATTERN,
+           :1052 parse_flag, :1069 parseMultiField
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# transform_bugzilla.py:42 NULL_VALUES = ['--', '---', '']
+NULL_VALUES = ("--", "---", "")
+# transform_bugzilla.py:41 ZERO_IS_NULL = ["votes", "remaining_time"]
+
+# parse_bug_history.py:70 — "review?(mreid@mozilla.com)" -> (review, ?, mreid…)
+FLAG_REGEX = r"^(.*)([?+-])(\([^)]*\))?$"
+
+
+def scrub_nulls(col: Column | str, null_values: Sequence[str] = NULL_VALUES) -> Column:
+    """Map the reference's null-token strings to real NULLs."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for nv in null_values:
+        out = F.nullif(out, F.lit(nv))
+    return out
+
+
+def zero_to_null(col: Column | str) -> Column:
+    """ZERO_IS_NULL fields: a 0 means 'absent' (votes, remaining_time)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.nullif(c, F.lit(0))
+
+
+def numeric_coerce(col: Column | str) -> Column:
+    """Best-effort numeric coercion (NUMERIC_FIELDS): non-numeric -> NULL
+    (try_cast, so bad rows degrade instead of failing the job)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.try_cast("double")
+
+
+def parse_flag(col: Column | str) -> Column:
+    """``"review?(requestee@x)"`` -> struct(name, status, requestee).
+
+    Status is one of ?/+/-; requestee only present for requests.
+    Empty-match convention: regexp_extract returns '' on no match —
+    normalized to NULL so downstream set logic treats it as absent.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    name = F.nullif(F.regexp_extract(c, FLAG_REGEX, 1), F.lit(""))
+    status = F.nullif(F.regexp_extract(c, FLAG_REGEX, 2), F.lit(""))
+    requestee = F.nullif(
+        F.regexp_replace(F.regexp_extract(c, FLAG_REGEX, 3), r"[()]", ""), F.lit("")
+    )
+    return F.struct(
+        name.alias("name"), status.alias("status"), requestee.alias("requestee")
+    )
+
+
+def split_multi_field(col: Column | str, sep: str = r",\s*") -> Column:
+    """MULTI_FIELDS arrive as delimited strings; emit a sorted array
+    (normalize() keeps multi-values sorted for stable diffs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sort_array(F.array_distinct(F.split(c, sep)))
+
+
+def doc_id(entity: Column | str, ts: Column | str) -> Column:
+    """ES document id — ``f"{bug_id}_{modified_ts_seconds}"``.
+    reference: transform_bugzilla.py:55 (millis string minus last 3
+    digits == whole seconds)."""
+    e = F.col(entity) if isinstance(entity, str) else entity
+    t = F.col(ts) if isinstance(ts, str) else ts
+    return F.concat_ws("_", e.cast("string"), t.cast("long").cast("string"))
+
+
+def to_es_doc(df: DataFrame, entity: str, ts: str, payload: Sequence[str]) -> DataFrame:
+    """Shape rows as ES bulk documents: (_id, doc-json).  The sink
+    streams these straight into bulk-index lines; JSON rendering is
+    JVM-side ``to_json`` — no Python in the hot path."""
+    return df.select(
+        doc_id(entity, ts).alias("_id"),
+        F.to_json(F.struct(*[F.col(p) for p in payload])).alias("doc"),
+    )

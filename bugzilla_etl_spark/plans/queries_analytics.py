@@ -1,1 +1,252 @@
-"""Placeholder — filled in as SURVEY §2 coverage widens."""
+"""Analytics backbone (SURVEY §2 #21-#25): TPC-H-style join/agg
+queries — the bench headliners — plus event sessionization and a
+conversion funnel.
+
+Scale shapes: Q1 is one partial-agg shuffle over a tiny group space;
+Q3/Q5 broadcast every dimension so the only exchange left is the
+final aggregation; sessionization is the same single entity-shuffle
+window pattern as the snapshot block.
+
+Float parity: monetary aggregates are rounded to 4 decimals with the
+SAME rounding on both engines, absorbing summation-order ulps.
+Timestamp filters compare whole epoch seconds (integer, portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.plans.catalog import register
+from bugzilla_etl_spark.sources import load_table
+
+# Wall-clock cutoffs: orders/lineitem timestamps are parquet ms-precision,
+# which Spark 4 reads as TIMESTAMP_NTZ — compare against NTZ literals
+# (tz-independent) and mirror with DuckDB naive-timestamp literals.
+D_1998_09_01 = "1998-09-01 00:00:00"
+D_1996_03_15 = "1996-03-15 00:00:00"
+D_1996_01_01 = "1996-01-01 00:00:00"
+D_1997_01_01 = "1997-01-01 00:00:00"
+
+
+def _ntz(lit: str):
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                 AS sum_qty,
+           round(sum(l_extendedprice), 4)            AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+                                                     AS sum_charge,
+           round(avg(l_quantity), 4)                 AS avg_qty,
+           round(avg(l_extendedprice), 4)            AS avg_price,
+           round(avg(l_discount), 4)                 AS avg_disc,
+           count(*)                                  AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{D_1998_09_01}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: the scan+partial-agg throughput probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= _ntz(D_1998_09_01))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{D_1996_03_15}'
+      AND l_shipdate  > TIMESTAMP '{D_1996_03_15}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: selective dims broadcast into the fact scan."""
+    cu = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    od = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < _ntz(D_1996_03_15)
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > _ntz(D_1996_03_15)
+    )
+    joined = li.join(
+        F.broadcast(od), li.l_orderkey == od.o_orderkey
+    ).join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '{D_1996_01_01}'
+      AND o_orderdate <  TIMESTAMP '{D_1997_01_01}'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: 6-way star join, every dim broadcast —
+    the fact table is touched exactly once, no fact-side shuffle
+    until the tiny final aggregation."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ntz(D_1996_01_01))
+        & (F.col("o_orderdate") < _ntz(D_1997_01_01))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey)
+            & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN floor(epoch(ts))::BIGINT
+                         - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, event_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag -> flag -> cumsum ->
+    per-session agg; one shuffle on user_id, windows + agg reuse it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sec = F.col("ts").cast("long")
+    marked = ev.select(
+        "user_id", "event_id", "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((sec - F.lag(sec).over(w)) > 1800),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    sessions = marked.withColumn("session_id", F.sum("is_new").over(wcum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(first_signup) AS n_signed,
+           sum(CASE WHEN first_purchase > first_signup
+                    THEN 1 ELSE 0 END) AS n_converted
+    FROM firsts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup -> purchase conversion: conditional aggregation, two
+    tiny shuffles, no self-join (the naive funnel join is O(events²))."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").alias("n_signed"),
+        F.sum(
+            F.when(F.col("first_purchase") > F.col("first_signup"), 1).otherwise(0)
+        ).alias("n_converted"),
+    )

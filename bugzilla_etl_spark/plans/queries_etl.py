@@ -1,1 +1,273 @@
-"""Placeholder — filled in as SURVEY §2 coverage widens."""
+"""ETL / normalization queries (SURVEY §2 #8-#12, #14-#16).
+
+Null-token scrubbing, flag parsing, JSON props extraction, alias
+resolution/analysis, private-entity screening, ES document shaping,
+comments pipeline.  Where the test tables lack the reference's dirty
+inputs (null tokens, flag strings), we derive them DETERMINISTICALLY
+from existing columns with identical expressions on both engines —
+the operator under test is the cleanup/parse logic, not the synth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.operators import alias as A
+from bugzilla_etl_spark.operators import normalize as N
+from bugzilla_etl_spark.plans.catalog import register
+from bugzilla_etl_spark.sources import load_table
+
+
+@register(
+    "normalize_scrub",
+    oracle="""
+    SELECT event_id,
+           nullif(nullif(nullif(raw, '--'), '---'), '') AS scrubbed,
+           nullif(value * (event_id % 2), 0.0) AS val_zero_null,
+           TRY_CAST(nullif(nullif(nullif(raw, '--'), '---'), '') AS DOUBLE)
+               AS val_num
+    FROM (
+        SELECT event_id, value,
+               CASE event_id % 5
+                   WHEN 0 THEN '--'   WHEN 1 THEN '---'
+                   WHEN 2 THEN ''     WHEN 3 THEN CAST(value AS VARCHAR)
+                   ELSE 'n/a'
+               END AS raw
+        FROM events
+    )
+    """,
+)
+def normalize_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-token scrub + zero-is-null + numeric coercion.
+    reference: transform_bugzilla.py:53 normalize(), :42 NULL_VALUES."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.expr(
+            "CASE event_id % 5 WHEN 0 THEN '--' WHEN 1 THEN '---' "
+            "WHEN 2 THEN '' WHEN 3 THEN CAST(value AS STRING) ELSE 'n/a' END"
+        ).alias("raw"),
+    )
+    return ev.select(
+        "event_id",
+        N.scrub_nulls("raw").alias("scrubbed"),
+        N.zero_to_null(F.col("value") * (F.col("event_id") % 2)).alias(
+            "val_zero_null"
+        ),
+        N.numeric_coerce(N.scrub_nulls("raw")).alias("val_num"),
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from semi-structured payloads.
+    reference: extract_bugzilla.py:330 flatten_bugs_record."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "flag_parse",
+    oracle="""
+    SELECT event_id, flag,
+           nullif(regexp_extract(flag, '^(.*)([?+-])(\\([^)]*\\))?$', 1), '')
+               AS flag_name,
+           nullif(regexp_extract(flag, '^(.*)([?+-])(\\([^)]*\\))?$', 2), '')
+               AS flag_status,
+           nullif(replace(replace(
+               regexp_extract(flag, '^(.*)([?+-])(\\([^)]*\\))?$', 3),
+               '(', ''), ')', ''), '') AS requestee
+    FROM (
+        SELECT event_id,
+               event_type ||
+               CASE event_id % 3 WHEN 0 THEN '?' WHEN 1 THEN '+' ELSE '-' END ||
+               CASE WHEN event_id % 2 = 0
+                    THEN '(u' || CAST(user_id AS VARCHAR) || '@example.com)'
+                    ELSE '' END AS flag
+        FROM events
+    )
+    """,
+)
+def flag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag string -> (name, status, requestee).
+    reference: parse_bug_history.py:70 FLAG_PATTERN, :1052 parse_flag."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "event_type || CASE event_id % 3 WHEN 0 THEN '?' WHEN 1 THEN '+' "
+            "ELSE '-' END || CASE WHEN event_id % 2 = 0 "
+            "THEN '(u' || CAST(user_id AS STRING) || '@example.com)' ELSE '' END"
+        ).alias("flag"),
+    )
+    parsed = ev.select("event_id", "flag", N.parse_flag("flag").alias("p"))
+    return parsed.select(
+        "event_id",
+        "flag",
+        F.col("p.name").alias("flag_name"),
+        F.col("p.status").alias("flag_status"),
+        F.col("p.requestee").alias("requestee"),
+    )
+
+
+# Deterministic synthetic "email" per actor, plus an alias dim where
+# every odd user's mail is an old address of user-1's canonical mail.
+_SPARK_EMAIL = "concat('u', CAST(user_id AS STRING), '@example.com')"
+_DUCK_EMAIL = "('u' || CAST(user_id AS VARCHAR) || '@example.com')"
+
+
+@register(
+    "alias_resolve",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, user_id, {_DUCK_EMAIL} AS email FROM events),
+    mapping AS (
+        SELECT DISTINCT {_DUCK_EMAIL} AS alias,
+               ('u' || CAST(user_id - 1 AS VARCHAR) || '@example.com') AS canonical
+        FROM events WHERE user_id % 2 = 1
+    )
+    SELECT ev.event_id, ev.user_id,
+           coalesce(mapping.canonical, ev.email) AS email
+    FROM ev LEFT JOIN mapping ON ev.email = mapping.alias
+    """,
+)
+def alias_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-identity rewrite through a broadcast mapping dim.
+    reference: alias_analysis.py:172 get_canonical,
+    parse_bug_history.py:1048 email_alias."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr(_SPARK_EMAIL).alias("email")
+    )
+    mapping = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 2 == 1)
+        .select(
+            F.expr(_SPARK_EMAIL).alias("alias"),
+            F.expr(
+                "concat('u', CAST(user_id - 1 AS STRING), '@example.com')"
+            ).alias("canonical"),
+        )
+        .distinct()
+    )
+    out = A.resolve_aliases(ev, mapping, cols=["email"])
+    return out.select("event_id", "user_id", "email")
+
+
+@register(
+    "alias_analysis",
+    oracle="""
+    WITH pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS lost,
+               event_type AS found
+        FROM events
+    ), counts AS (
+        SELECT lost, found, count(*) AS n_matches
+        FROM pairs WHERE lost IS NOT NULL AND lost <> found
+        GROUP BY lost, found
+    )
+    SELECT lost AS alias, found AS canonical, n_matches
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY lost
+                                     ORDER BY n_matches DESC, found ASC) AS rn
+        FROM counts
+    ) WHERE rn = 1
+    """,
+)
+def alias_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the canonical mapping from transition evidence.
+    reference: alias_analysis.py:114 analysis, :184 add_alias."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = A.transition_pairs(ev, value_col="event_type")
+    return A.best_canonical(pairs)
+
+
+@register(
+    "private_screen",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE user_id NOT IN (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'error' AND value > 190
+    )
+    """,
+)
+def private_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove every row of screened entities (anti-join).
+    reference: extract_bugzilla.py:151 get_private_bugs_for_delete,
+    bz_etl.py incremental private-bug delete propagation."""
+    ev = load_table(spark, sf_dir, "events")
+    private = (
+        ev.where((F.col("event_type") == "error") & (F.col("value") > 190))
+        .select("user_id")
+        .distinct()
+    )
+    out = ev.join(F.broadcast(private), on="user_id", how="left_anti")
+    return out.select("event_id", "user_id", "event_type")
+
+
+@register(
+    "es_docs",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) || '_' ||
+           CAST(floor(epoch(ts))::BIGINT AS VARCHAR) AS _id,
+           user_id, event_type,
+           floor(epoch(ts))::BIGINT AS modified_ts
+    FROM (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id, floor(epoch(ts))::BIGINT
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def es_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bulk-document shaping: id = entity_epochseconds; one doc per
+    (entity, second) — exactly the reference's overwrite granularity,
+    where versions in the same second collapse to the last one.
+    reference: transform_bugzilla.py:55 (id), bz_etl.py ES sink."""
+    ev = load_table(spark, sf_dir, "events")
+    w_sec = F.col("ts").cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", w_sec).orderBy(F.col("event_id").desc())
+    latest = (
+        ev.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    )
+    return latest.select(
+        N.doc_id("user_id", "ts").alias("_id"),
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("modified_ts"),
+    )
+
+
+@register(
+    "comments_etl",
+    oracle="""
+    SELECT doc_id AS comment_id, source, n_chars,
+           length(text) AS text_len
+    FROM documents
+    WHERE source <> 'src0'
+    """,
+)
+def comments_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comments pipeline: screen private, project, stable id.
+    reference: bz_etl.py:61 etl_comments, extract_bugzilla.py:744
+    get_comments (isprivate filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("source") != "src0").select(
+        F.col("doc_id").alias("comment_id"),
+        "source",
+        "n_chars",
+        F.length("text").alias("text_len"),
+    )
