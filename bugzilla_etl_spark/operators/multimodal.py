@@ -1,0 +1,133 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with a typed metadata
+struct alongside.  Decode / feature-extract / resize / frame-sample
+run as Arrow-batched ``mapInPandas`` stages: each batch hands the
+Python worker a pandas DataFrame whose binary column is a Series of
+``bytes`` — the natural shape for wrapping PIL/ffmpeg/torchaudio.
+
+The codec libraries are NOT in this container, so the codec seam is
+stubbed: ``register_codec`` installs a real decoder; the default
+``deterministic_fake_codec`` derives stable pseudo-features from the
+bytes so the Spark-side plumbing (schema, batching, partition
+behavior) is fully testable.  The distributed plan is identical
+either way — only the per-batch Python body changes.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row pickling);
+media rows are large, so upstream ``repartition`` should target
+~100-200 MB of payload per partition, and the metadata struct lets
+filters (width, duration, mime) push down BEFORE bytes are decoded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+Codec = Callable[[bytes], list[float]]
+
+
+def deterministic_fake_codec(payload: bytes) -> list[float]:
+    """Stable stand-in for a real decoder: 8 pseudo-features folded
+    from the byte stream.  Replace via register_codec(real_decode)."""
+    acc = [0] * 8
+    for i, byte in enumerate(payload[:4096]):
+        acc[i % 8] = (acc[i % 8] * 31 + byte) % 997
+    return [a / 997.0 for a in acc]
+
+
+_codec: Codec = deterministic_fake_codec
+
+
+def register_codec(codec: Codec) -> None:
+    """Install a real decoder (e.g. PIL-based).  Raising
+    NotImplementedError from the codec marks unsupported mimes."""
+    global _codec
+    _codec = codec
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Derive a media table from documents: payload = utf-8 bytes of
+    the text (deterministic fake media), metadata from doc fields.
+    Stands in for `spark.read.format('binaryFile')` / a lakehouse
+    media table at 100 TB."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.col("n_chars") % 640).cast("int").alias("width"),
+        (F.col("n_chars") % 480).cast("int").alias("height"),
+        (F.col("n_chars") % 24).cast("int").alias("n_frames"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode + featurize via Arrow-batched mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_codec(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame-sampling plan: explode frame indices 0..n_frames-1 step
+    every_n WITHOUT decoding — pure column expressions; the decode of
+    selected frames happens in extract_features downstream."""
+    idx = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_frames") - 1, F.lit(0)),
+        F.lit(every_n),
+    )
+    return media.where(F.col("mime").startswith("video/")).select(
+        "media_id",
+        "mime",
+        F.explode(idx).alias("frame_idx"),
+        "payload",
+    )

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns.
+
+* brute_force_topk — exact cosine top-k: bounded query set broadcast
+  against the corpus; ranking on ROUNDED cosine with id tiebreak so
+  results are deterministic and engine-portable.
+* lsh_buckets — random-hyperplane sign bucketing, the scale path:
+  pseudo-planes derived from the portable hash family (no RNG state
+  to ship; every executor derives identical planes).
+* label blocking (IVF-style) — the `label` column acts as a coarse
+  quantizer: near-dup search only within a cell.
+
+All dot products are double-precision sequential folds over the
+array (F.aggregate/zip_with) — JVM codegen, no UDF, no explode of
+the vector dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.functions.hashing import hash64
+
+
+def _dvec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    The query side is small and broadcast; the corpus is scanned once.
+    Rank key = (cosine rounded to 4, candidate id): rounding absorbs
+    float summation ulps so rankings are stable across engines."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("cand_id"), _dvec(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def label_blocked_neardup(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style near-dup pairs: candidates only within the same coarse
+    cell (label); per-cell n² stays bounded by cell size."""
+    t = emb.select(
+        F.col(id_col).alias("vid"), F.col(label_col).alias("cell"),
+        _dvec(vec_col).alias("v"),
+    )
+    a = t.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"), "cell")
+    b = t.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"), "cell")
+    pairs = a.join(b, on="cell").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def hyperplane_bit(vec: Column, plane: int, dim: int) -> Column:
+    """Sign bit of <vec, pseudo-plane p>: plane component d is derived
+    from hash64('p:d') mapped to [-0.5, 0.5) — deterministic on every
+    executor and every engine, no RNG broadcast needed."""
+    comp = lambda d: (  # noqa: E731
+        (hash64(F.concat(F.lit(f"{plane}:"), d.cast("string"))) % 1000)
+        .cast("double") / 1000.0 - 0.5
+    )
+    proj = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, d: x * comp(d),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector its hyperplane-sign bucket (the ANN scale
+    path: top-k search then probes only matching/nearby buckets)."""
+    v = _dvec(vec_col)
+    # bucket id from explicit per-plane bits (unrolled: n_planes is a
+    # small constant, so the expression stays compact)
+    bits = [hyperplane_bit(v, p, dim) for p in range(n_planes)]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket * 2 + b
+    return emb.select(
+        F.col(id_col).alias("vec_id"), bucket.cast("long").alias("bucket")
+    )

@@ -29,6 +29,7 @@ _QUERY_MODULES = (
     "bugzilla_etl_spark.plans.queries_dedup",
     "bugzilla_etl_spark.plans.queries_text",
     "bugzilla_etl_spark.plans.queries_similarity",
+    "bugzilla_etl_spark.plans.queries_multimodal",
 )
 
 _loaded = False

@@ -1,1 +1,209 @@
-"""Placeholder — filled in as SURVEY §2 coverage widens."""
+"""Dedup queries (SURVEY §2 #26-#30) over the ``documents`` /
+``embeddings`` tables, each with a full DuckDB oracle built from the
+same portable hash family.
+
+Shared SQL fragments keep the Spark and DuckDB shingle/minhash
+pipelines textually aligned — the oracle recomputes signatures from
+scratch with 1-based list indexing, Spark with 0-based sequences;
+both produce identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.functions.hashing import duckdb_hash64
+from bugzilla_etl_spark.operators import dedup as D
+from bugzilla_etl_spark.operators import similarity as SIM
+from bugzilla_etl_spark.plans.catalog import register
+from bugzilla_etl_spark.sources import load_table
+
+# --- shared DuckDB fragments -------------------------------------------------
+
+_H = duckdb_hash64("{x}")  # portable hash template
+
+DUCK_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+DUCK_SHINGLES = (
+    "list_distinct(CASE WHEN len(tk) >= 3 THEN "
+    "list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]) "
+    "ELSE [] END)"
+)
+# minhash signature: 16 seeded mins over the shingle set
+DUCK_SIG = (
+    "list_transform(range(0,16), s -> list_min(list_transform(sh, x -> "
+    + duckdb_hash64("CAST(s AS VARCHAR) || ':' || x")
+    + ")))"
+)
+# 4 band keys of 4 signature slots each (1-based slices)
+DUCK_BANDS = (
+    "list_transform(range(0,4), b -> "
+    "list_aggregate(list_slice(sig, 4*b+1, 4*b+4), 'string_agg', ','))"
+)
+DUCK_JAC = (
+    "(len(list_intersect(sh_a, sh_b))::DOUBLE"
+    " / greatest(len(list_distinct(list_concat(sh_a, sh_b))), 1))"
+)
+
+
+_DUCK_NORM_HASH = duckdb_hash64("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, {_DUCK_NORM_HASH} AS text_hash
+        FROM documents
+    )
+    SELECT doc_id, text_hash,
+           min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id,
+           count(*) OVER (PARTITION BY text_hash) AS group_size
+    FROM keyed
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash (canonical id per group)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_groups(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, tk[1] AS block, {DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round({DUCK_JAC.replace('sh_a', 'a.sh').replace('sh_b', 'b.sh')}, 4)
+               AS jaccard
+    FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE {DUCK_JAC.replace('sh_a', 'a.sh').replace('sh_b', 'b.sh')} >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs under first-token blocking."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents)
+    ), sig AS (
+        SELECT doc_id, sh, {DUCK_SIG} AS sig FROM t
+    ), banded AS (
+        SELECT doc_id, unnest(generate_series(0,3)) AS band_id,
+               unnest(bands) AS band_key
+        FROM (SELECT doc_id, {DUCK_BANDS} AS bands FROM sig)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round({DUCK_JAC.replace('sh_a','ta.sh').replace('sh_b','tb.sh')}, 4)
+               AS jaccard
+    FROM cand
+    JOIN t ta ON ta.doc_id = cand.doc_a
+    JOIN t tb ON tb.doc_id = cand.doc_b
+    WHERE {DUCK_JAC.replace('sh_a','ta.sh').replace('sh_b','tb.sh')} >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) candidates, Jaccard-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH hs AS (
+        SELECT doc_id,
+               list_transform(list_distinct({DUCK_TOKENS}),
+                              t -> {duckdb_hash64('t')}) AS hv
+        FROM documents
+    )
+    SELECT doc_id,
+           list_sum(list_transform(range(0,32), b ->
+               CASE WHEN list_sum(list_transform(hv, h ->
+                        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT
+               AS simhash
+    FROM hs
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs)
+
+
+_DUCK_SIMHASH = """
+    list_sum(list_transform(range(0,32), b ->
+        CASE WHEN list_sum(list_transform(hv, h ->
+                 CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH hs AS (
+        SELECT doc_id,
+               list_transform(list_distinct({DUCK_TOKENS}),
+                              t -> {duckdb_hash64('t')}) AS hv
+        FROM documents
+    ), fp AS (
+        SELECT doc_id, {_DUCK_SIMHASH} AS simhash FROM hs
+    ), banded AS (
+        SELECT doc_id, simhash,
+               unnest(generate_series(0,3)) AS band_id,
+               unnest(list_transform(range(0,4),
+                      i -> (simhash >> (8*i)) & 255)) AS band_key
+        FROM fp
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS fp_a, b.simhash AS fp_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 2
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs: byte-band candidates + Hamming<=2 verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=2)
+
+
+@register(
+    "embedding_neardup",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 greatest(sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)), 1e-12), 4)
+               AS cos
+    FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) /
+                greatest(sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v)), 1e-12), 4) >= 0.35
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within IVF cells (label)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.label_blocked_neardup(emb, threshold=0.35)

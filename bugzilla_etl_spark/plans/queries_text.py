@@ -1,1 +1,121 @@
-"""Placeholder — filled in as SURVEY §2 coverage widens."""
+"""Text-analysis queries (SURVEY §2 #33-#36) over ``documents``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.functions.hashing import duckdb_hash64
+from bugzilla_etl_spark.operators import text as T
+from bugzilla_etl_spark.plans.catalog import register
+from bugzilla_etl_spark.sources import load_table
+
+DUCK_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SW = "', '".join(T.EN_STOPWORDS)
+DUCK_STOP_HITS = f"len(list_filter(tk, t -> list_contains(['{_SW}'], t)))"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           n_stop, n_tokens,
+           CASE WHEN n_stop::DOUBLE / greatest(n_tokens, 1) >= 0.05
+                THEN 'en' ELSE 'unk' END AS lang_guess
+    FROM (
+        SELECT doc_id, lang,
+               {DUCK_STOP_HITS} AS n_stop, len(tk) AS n_tokens
+        FROM (SELECT doc_id, lang, {DUCK_TOKENS} AS tk FROM documents)
+    )
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language heuristic (the n-gram/model scorer
+    slots in behind the same contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.stopword_hits(tok).alias("n_stop"),
+        F.size(tok).alias("n_tokens"),
+        T.lang_guess(tok).alias("lang_guess"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           round(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE
+                 / greatest(length(lower(text)), 1), 4) AS punct_ratio,
+           round({DUCK_STOP_HITS}::DOUBLE / greatest(len(tk), 1), 4)
+               AS stop_ratio,
+           round(list_sum(list_transform(tk, t -> length(t)))::DOUBLE
+                 / greatest(len(tk), 1), 4) AS mean_word_len,
+           CASE WHEN len(tk) BETWEEN 10 AND 1000
+                 AND {DUCK_STOP_HITS}::DOUBLE / greatest(len(tk), 1) >= 0.01
+                THEN 1 ELSE 0 END AS quality_keep
+    FROM (SELECT doc_id, text, {DUCK_TOKENS} AS tk FROM documents)
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality scoring with a
+    keep-flag — the classic pretraining quality filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = T.tokens("text")
+    stop_ratio = T.stopword_hits(tok) / F.greatest(F.size(tok), F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.round(T.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(T.mean_word_len(tok), 4).alias("mean_word_len"),
+        F.when(
+            F.size(tok).between(10, 1000) & (stop_ratio >= 0.01), 1
+        ).otherwise(0).alias("quality_keep"),
+    )
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({DUCK_TOKENS}) AS n_ws_tokens,
+           len(regexp_extract_all(lower(trim(text)),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish segment counts (cost estimation input)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_ws, n_bpe = T.token_counts("text")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform({DUCK_TOKENS},
+                                  t -> {duckdb_hash64('t')} % 1000000007)),
+               (acc, h) -> (acc * 131 + h) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.rolling_fingerprint(T.tokens("text")).alias("fingerprint")
+    )
