@@ -238,6 +238,44 @@ def incremental_touched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_asof_join",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ), r AS (
+        SELECT user_id, ts AS r_ts, value AS signup_value FROM events
+        WHERE event_type = 'signup'
+    )
+    SELECT l.user_id, l.event_id, l.ts, l.value,
+           (SELECT r.signup_value FROM r
+            WHERE r.user_id = l.user_id AND r.r_ts <= l.ts
+            ORDER BY r.r_ts DESC LIMIT 1) AS asof_signup_value
+    FROM l
+    """,
+)
+def interval_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the state of the latest
+    signup at-or-before it.  Union-window form — one shuffle on the
+    key, NO inequality join (which would be per-key O(L x R)).
+    reference: the _merge_order timestamp replay of
+    parse_bug_history.py applied across two row streams."""
+    from bugzilla_etl_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    return asof_join(
+        purchases, signups, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["signup_value"],
+    )
+
+
+@register(
     "replicate_pending",
     oracle=f"""
     SELECT event_id, user_id, ts

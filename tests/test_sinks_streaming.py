@@ -1,0 +1,175 @@
+"""Sink, streaming, and diff-chain tests — the reference-parity pieces
+outside the SQL-oracle gate (file formats, stateful streams, text
+patching).  Mirrors the reference's test strategy: golden output
+shapes + incremental-vs-full equivalence (tests/test_etl.py in the
+reference compares incremental ES docs against a full rebuild)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.operators.diffs import apply_diff_chain, apply_unified_diff
+from bugzilla_etl_spark.operators.snapshot import dedup_latest
+from bugzilla_etl_spark.sinks import es as es_sink
+from bugzilla_etl_spark.sources import load_table
+
+
+def test_es_bulk_lines_shape(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    out = str(tmp_path / "bulk")
+    es_sink.write_bulk(
+        ev, out, entity="user_id", ts="ts", payload=["event_type", "value"]
+    )
+    import glob
+
+    files = glob.glob(out + "/part-*")
+    assert files
+    lines = []
+    for f in files:
+        with open(f) as fh:
+            lines.extend(ln for ln in fh.read().splitlines() if ln)
+    assert lines and len(lines) % 2 == 0
+    # alternating action/doc pairs — a valid _bulk request body
+    for action, doc in zip(lines[0::2], lines[1::2]):
+        a = json.loads(action)
+        assert "_id" in a["index"] and "_" in a["index"]["_id"]
+        d = json.loads(doc)
+        assert "event_type" in d
+
+
+def test_es_doc_id_overwrite_idempotent(spark, sf_dir, tmp_path):
+    """Same input twice -> identical doc set (retry safety)."""
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    p1, p2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    for p in (p1, p2):
+        es_sink.write_docs_parquet(
+            ev, p, entity="user_id", ts="ts", payload=["event_type"]
+        )
+    a = sorted((r._id, r.doc) for r in spark.read.parquet(p1).collect())
+    b = sorted((r._id, r.doc) for r in spark.read.parquet(p2).collect())
+    assert a == b
+
+
+def test_apply_unified_diff_basics():
+    base = "line1\nline2\nline3"
+    diff = "@@ -2,1 +2,1 @@\n-line2\n+LINE2"
+    assert apply_unified_diff(base, diff) == "line1\nLINE2\nline3"
+    add = "@@ -4,0 +4,1 @@\n+line4"
+    assert apply_unified_diff(base, add) == "line1\nline2\nline3\nline4"
+    assert apply_unified_diff("", "@@ -1,1 +1,1 @@\n-\n+x") == "x"
+
+
+def test_apply_diff_chain_distributed(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "v1\nstory", None),
+        (1, t0 + dt.timedelta(days=1), None, "@@ -1,1 +1,1 @@\n-v1\n+v2"),
+        (1, t0 + dt.timedelta(days=2), None, "@@ -1,1 +1,1 @@\n-v2\n+v3"),
+        (2, t0, "other", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, base string, diff string"
+    )
+    out = {
+        (r.user_id, r.ts): r.value_text
+        for r in apply_diff_chain(df).collect()
+    }
+    assert out[(1, t0)] == "v1\nstory"
+    assert out[(1, t0 + dt.timedelta(days=1))] == "v2\nstory"
+    assert out[(1, t0 + dt.timedelta(days=2))] == "v3\nstory"
+    assert out[(2, t0)] == "other"
+
+
+def _write_event_slices(spark, sf_dir, out_dir, n_slices=3):
+    """Split sf0.001 events into time-ordered parquet slices (the
+    'arriving files' of a streaming source)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.approxQuantile(
+        "event_id", [i / n_slices for i in range(1, n_slices)], 0.0
+    )
+    lo = None
+    for i, hi in enumerate(list(bounds) + [None]):
+        sl = ev
+        if lo is not None:
+            sl = sl.where(F.col("event_id") > lo)
+        if hi is not None:
+            sl = sl.where(F.col("event_id") <= hi)
+        sl.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/slice={i}")
+        lo = hi
+    return ev.schema
+
+
+def test_stream_incremental_equals_full(spark, sf_dir, tmp_path):
+    """Incremental (micro-batch upsert) == full batch rebuild — the
+    reference's core ETL invariant (incremental_etl vs full_etl must
+    converge to the same ES state)."""
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        stream_upsert_foreachbatch,
+    )
+
+    src = str(tmp_path / "src")
+    schema = _write_event_slices(spark, sf_dir, src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream_upsert_foreachbatch(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    got = {
+        r.user_id: (r.ts, r.event_id)
+        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+    }
+    want = {
+        r.user_id: (r.ts, r.event_id)
+        for r in dedup_latest(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want
+
+
+def test_stream_stateful_current_state(spark, sf_dir, tmp_path):
+    """applyInPandasWithState keeps the latest event per entity across
+    micro-batches."""
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        stream_current_state,
+    )
+
+    src = str(tmp_path / "src")
+    schema = _write_event_slices(spark, sf_dir, src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream_current_state(stream)
+        .writeStream.format("memory")
+        .queryName("cur_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last update per user across all micro-batch emissions
+    mem = spark.sql(
+        """SELECT user_id, last_ts, last_event_id FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY last_ts DESC,
+                   last_event_id DESC) rn
+               FROM cur_state) WHERE rn = 1"""
+    )
+    got = {r.user_id: (r.last_ts, r.last_event_id) for r in mem.collect()}
+    want = {
+        r.user_id: (r.ts, r.event_id)
+        for r in dedup_latest(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want
