@@ -26,10 +26,20 @@ HEADLINE = [
     "incremental_touched",
     "es_docs",
     "alias_resolve",
+    "interval_asof_join",
     "events_sessionize",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_neardup",
+    "ann_topk",
+    "text_quality",
+    "doc_fingerprint",
+    "mm_features",
 ]
 
 

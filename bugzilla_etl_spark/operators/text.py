@@ -34,16 +34,23 @@ def tokens(col: Column | str) -> Column:
 
 
 def shingles(tok: Column, n: int = 3) -> Column:
-    """Distinct n-gram shingles (space-joined) over a token array."""
-    idx = F.sequence(F.lit(0), F.size(tok) - n)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tok, i + j + 1) for j in range(n)]
-    )
-    return F.array_distinct(
-        F.when(F.size(tok) >= n, F.transform(idx, gram)).otherwise(
-            F.array().cast("array<string>")
+    """Distinct n-gram shingles (space-joined) over a token array.
+
+    Built as zip_with over shifted slices of the array, NOT a
+    transform+element_at loop: lambda bodies re-evaluate outer
+    expressions per element (no CSE inside higher-order functions),
+    which made the naive form O(tokens² x split()) per document —
+    measured 25s to merely explode shingles at sf0.1.  zip_with
+    evaluates each argument once per ROW, so this is O(tokens).
+    zip_with pads the shorter side with null and concat propagates
+    null, so trailing partial grams filter out naturally."""
+    z = tok
+    for j in range(1, n):
+        shifted = F.slice(
+            tok, j + 1, F.greatest(F.size(tok) - j, F.lit(0))
         )
-    )
+        z = F.zip_with(z, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.filter(z, lambda x: x.isNotNull()))
 
 
 def stopword_hits(tok: Column, stopwords=EN_STOPWORDS) -> Column:

@@ -29,11 +29,13 @@ DUCK_SHINGLES = (
     "list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]) "
     "ELSE [] END)"
 )
-# minhash signature: 16 seeded mins over the shingle set
+# minhash signature: 16 double-hashed mins over the shingle set
+# (g_s = h1 + s*h2, mirroring minhash_signatures_agg)
+_D_H1 = "(('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT)"
+_D_H2 = "((('0x' || substr(md5(x), 17, 15))::UBIGINT::BIGINT) % 4294967296)"
 DUCK_SIG = (
     "list_transform(range(0,16), s -> list_min(list_transform(sh, x -> "
-    + duckdb_hash64("CAST(s AS VARCHAR) || ':' || x")
-    + ")))"
+    f"{_D_H1} + s * {_D_H2})))"
 )
 # 4 band keys of 4 signature slots each (1-based slices)
 DUCK_BANDS = (
