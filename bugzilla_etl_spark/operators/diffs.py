@@ -39,13 +39,20 @@ def apply_unified_diff(base: str, diff: str) -> str:
     lines = base.split("\n") if base else [""]
     out: list[str] = []
     pos = 0  # 0-based index into `lines`
+    in_hunks = False
     for raw in diff.split("\n"):
         m = HUNK_RE.match(raw)
         if m:
-            start = int(m.group(1)) - 1
+            in_hunks = True
+            # zero-length source range ("-N,0"): N is the line AFTER
+            # which to insert, so no -1 adjustment
+            src_len = int(m.group(2)) if m.group(2) is not None else 1
+            start = int(m.group(1)) - (0 if src_len == 0 else 1)
             out.extend(lines[pos:start])
             pos = start
             continue
+        if not in_hunks and (raw.startswith("---") or raw.startswith("+++")):
+            continue  # file header lines, not content
         if not raw:
             continue
         tag, body = raw[0], raw[1:]

@@ -216,6 +216,70 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_rollup",
+    oracle="""
+    SELECT make_timestamp(((floor(epoch(ts))::BIGINT // 86400) * 86400)
+                          * 1000000) AS day,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup (day x type): the standard
+    continuous-aggregate shape; partial agg makes the shuffle carry
+    only bucket partials.  Bucketing is epoch-UTC integer arithmetic —
+    date_trunc would shift with the session timezone."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.timestamp_seconds(
+        F.floor(F.col("ts").cast("long") / 86400) * 86400
+    )
+    return (
+        ev.groupBy(day.alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT event_type, user_id, spend, rnk FROM (
+        SELECT event_type, user_id, spend,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY spend DESC, user_id ASC) AS rnk
+        FROM (
+            SELECT event_type, user_id, round(sum(value), 4) AS spend
+            FROM events GROUP BY event_type, user_id
+        )
+    ) WHERE rnk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-3 users by total value within each event
+    type.  Agg first (shrinks to groups), THEN window — never window
+    over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    spend = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 4).alias("spend")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("spend").desc(), F.col("user_id").asc()
+    )
+    return (
+        spend.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "spend", "rnk")
+    )
+
+
+@register(
     "events_funnel",
     oracle="""
     WITH firsts AS (

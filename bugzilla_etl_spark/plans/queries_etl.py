@@ -252,6 +252,112 @@ def es_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "screen_mask",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           CASE WHEN s.user_id IS NOT NULL THEN '[screened]'
+                ELSE e.props END AS props
+    FROM events e
+    LEFT JOIN (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'error' AND value > 180
+    ) s ON e.user_id = s.user_id
+    """,
+)
+def screen_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column masking for screened entities — unlike private_screen
+    (row removal), screened bugs keep their rows but sensitive fields
+    are masked.  reference: extract_bugzilla.py:104
+    get_screened_whiteboard + the screened_whiteboard CASE in
+    get_bugs/get_new_activities."""
+    ev = load_table(spark, sf_dir, "events")
+    screened = (
+        ev.where((F.col("event_type") == "error") & (F.col("value") > 180))
+        .select("user_id")
+        .distinct()
+        .withColumn("_scr", F.lit(1))
+    )
+    return (
+        ev.join(F.broadcast(screened), on="user_id", how="left")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("_scr").isNotNull(), F.lit("[screened]"))
+            .otherwise(F.col("props"))
+            .alias("props"),
+        )
+    )
+
+
+@register(
+    "dependency_edges",
+    oracle="""
+    SELECT o_custkey AS entity, o_orderkey AS peer, 'blocks' AS direction
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey AS entity, o_custkey AS peer, 'depends_on' AS direction
+    FROM orders
+    """,
+)
+def dependency_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized relationship edges: each stored (a, b) row emits
+    both perspectives — exactly how the reference turns the
+    `dependencies` table into per-bug `blocked`/`dependson` fields
+    (extract_bugzilla.py:343 get_dependencies: two SELECTs UNION'd)
+    and `duplicates` into dupe_by/dupe_of (:375)."""
+    od = load_table(spark, sf_dir, "orders")
+    fwd = od.select(
+        F.col("o_custkey").alias("entity"),
+        F.col("o_orderkey").alias("peer"),
+        F.lit("blocks").alias("direction"),
+    )
+    rev = od.select(
+        F.col("o_orderkey").alias("entity"),
+        F.col("o_custkey").alias("peer"),
+        F.lit("depends_on").alias("direction"),
+    )
+    return fwd.unionAll(rev)
+
+
+@register(
+    "nested_docs",
+    oracle="""
+    SELECT user_id,
+           list(evt ORDER BY evt) AS events_nested,
+           count(*) AS n_events
+    FROM (
+        SELECT user_id,
+               CAST(event_id AS VARCHAR) || '|' || event_type || '|' ||
+               CAST(floor(epoch(ts))::BIGINT AS VARCHAR) AS evt
+        FROM events
+    ) GROUP BY user_id
+    """,
+)
+def nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-record nesting: child rows folded into a sorted array on
+    the parent doc — how attachments/flags/changes arrays are built
+    inside each bug-version document (extract_bugzilla.py:591
+    flatten_attachments inverted; transform_bugzilla.py:62 sorted
+    attachments).  Map-side partial collect keeps the shuffle at one
+    partial array per (entity x partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    evt = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.col("ts").cast("long").cast("string"),
+    )
+    return (
+        ev.select("user_id", evt.alias("evt"))
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list("evt")).alias("events_nested"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
     "comments_etl",
     oracle="""
     SELECT doc_id AS comment_id, source, n_chars,
