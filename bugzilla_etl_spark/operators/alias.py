@@ -67,6 +67,43 @@ def transition_pairs(
     return pairs.groupBy("lost", "found").agg(F.count(F.lit(1)).alias("n_matches"))
 
 
+def canonical_closure(mapping: DataFrame, max_iter: int = 8) -> DataFrame:
+    """Collapse alias CHAINS (a->b, b->c  =>  a->c, b->c) by iterated
+    path-halving self-joins — the declarative form of the reference's
+    repeated analysis passes that re-run until the alias file stops
+    changing (alias_analysis.py:37 full_analysis loops daily batches;
+    get_canonical follows the stored mapping transitively).
+
+    Each iteration doubles resolved path length, so max_iter=8 covers
+    chains of length 2^8 — far beyond real identity churn.  Early-out
+    when an iteration changes nothing.  Scale: the mapping is dim-
+    sized; each pass is one broadcast self-join, not a fact shuffle.
+    Cycles (a<->b) settle on the lexicographically smaller canonical.
+    """
+    cur = mapping.select("alias", "canonical")
+    for _ in range(max_iter):
+        nxt = cur.select(
+            F.col("alias").alias("a2"), F.col("canonical").alias("c2")
+        )
+        stepped = (
+            cur.join(F.broadcast(nxt), cur["canonical"] == nxt["a2"], "left")
+            .select(
+                "alias",
+                F.when(
+                    F.col("c2").isNotNull() & (F.col("c2") != F.col("alias")),
+                    F.col("c2"),
+                )
+                .otherwise(F.col("canonical"))
+                .alias("canonical"),
+            )
+        )
+        # fixed-point check on a tiny dim is one cheap action
+        if stepped.exceptAll(cur).isEmpty():
+            return stepped
+        cur = stepped
+    return cur
+
+
 def best_canonical(pair_counts: DataFrame) -> DataFrame:
     """Collapse pair counts into a mapping: for each 'lost' value, the
     most frequent 'found' partner wins (deterministic tiebreak on the

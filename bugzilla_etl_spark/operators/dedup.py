@@ -63,6 +63,22 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _hashed_shingled(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shingle sets as sorted LONG arrays (portable hash of each
+    shingle).  Pair-generating joins carry these instead of string
+    arrays: ~4x less shuffle volume and long-vs-long intersects.
+    Jaccard over hashed sets equals Jaccard over the strings
+    (collision odds ~1e-7 at 10^6 shingles on 60-bit hashes)."""
+    t = _shingled(docs, text_col, id_col)
+    return t.select(
+        "doc_id",
+        "tok",
+        F.sort_array(
+            F.transform(F.col("sh"), lambda s: hash64(s))
+        ).alias("shh"),
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """|A ∩ B| / |A ∪ B| over distinct-element arrays.
 
@@ -84,23 +100,29 @@ def ngram_jaccard_pairs(
     Blocking bounds the candidate space (per-block n²; pick the key so
     blocks stay small).  For unbounded corpora prefer minhash_lsh_pairs
     — this variant is the exact verifier used on candidate subsets."""
-    t = _shingled(docs, text_col, id_col).withColumn(
+    t = _hashed_shingled(docs, text_col, id_col).withColumn(
         "block", F.element_at("tok", 1)
     )
     a = t.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "block"
+        F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"), "block"
     )
     b = t.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "block"
+        F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"), "block"
     )
     pairs = a.join(b, on="block").where(F.col("doc_a") < F.col("doc_b"))
+    # size-ratio prefilter: |A∩B| <= min(|A|,|B|), so jac <= min/max;
+    # pairs whose set sizes differ by more than the threshold ratio
+    # can't qualify — pruned BEFORE the O(|A|+|B|) intersect runs.
+    sa, sb = F.size("sh_a"), F.size("sh_b")
+    ratio_ok = (sa >= threshold * sb) & (sb >= threshold * sa)
     # filter on the ROUNDED value: identical expression as the output
     # column (one subexpression after pushdown), and exactly equivalent
     # to `raw >= t` while set sizes stay < 2000 (jaccard is k/m with
     # m = |A∪B|, so no raw value can round across the threshold).
     jac4 = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4)
     return (
-        pairs.withColumn("jaccard", jac4)
+        pairs.where(ratio_ok)
+        .withColumn("jaccard", jac4)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -224,14 +246,15 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = t.select("doc_id", "sh")
+    sh = _hashed_shingled(docs, text_col, id_col).select("doc_id", "shh")
+    jac4 = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4)
     verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), on="doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), on="doc_b")
-        .withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jac") >= threshold)
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shh", "sh_a"), on="doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shh", "sh_b"), on="doc_b")
+        .withColumn("jaccard", jac4)
+        .where(F.col("jaccard") >= threshold)
     )
-    return verified.select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+    return verified.select("doc_a", "doc_b", "jaccard")
 
 
 def simhash_fingerprints(

@@ -59,6 +59,31 @@ def test_incremental_touched_broadcasts(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan
 
 
+def test_tpch_q5_all_dims_broadcast(spark, sf_dir):
+    """The star join must broadcast every dimension — a single
+    SortMergeJoin here means shuffling the fact table per dim, which
+    is the difference between 1 pass and 6 passes over 100 TB."""
+    import re
+
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    plan = _plan(catalog.QUERIES["tpch_q5"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 4, plan
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    """LSH banding must join on (band, key) — any cartesian/NLJ of the
+    doc table against itself is the O(n²) failure mode."""
+    from bugzilla_etl_spark.operators.dedup import minhash_lsh_pairs
+    from bugzilla_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(minhash_lsh_pairs(docs))
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_replicate_pending_no_shuffle_of_source(spark, sf_dir):
     """Watermark filter = broadcast 1-row agg; the source side must not
     be hash-exchanged."""
