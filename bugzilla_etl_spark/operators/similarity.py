@@ -45,6 +45,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
 
 
+def pair_cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """Cosine for the pair phase with PRE-JOIN norms: compute each
+    row's norm once below the join (attribute references across a
+    join boundary are not re-inlined by CollapseProject), so per
+    candidate pair only the dot product remains.  Folding norm() into
+    the pair expression instead re-evaluates two O(d) norms per
+    candidate."""
+    return dot(va, vb) / F.greatest(na * nb, F.lit(1e-12))
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -58,13 +68,24 @@ def brute_force_topk(
     Rank key = (cosine rounded to 4, candidate id): rounding absorbs
     float summation ulps so rankings are stable across engines."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
-    )
-    c = emb.select(F.col(id_col).alias("cand_id"), _dvec(vec_col).alias("cv"))
+        F.col(id_col).alias("query_id"),
+        _dvec(vec_col).alias("qv"),
+    ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
+    c = emb.select(
+        F.col(id_col).alias("cand_id"), _dvec(vec_col).alias("cv")
+    ).select("cand_id", "cv", norm(F.col("cv")).alias("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .withColumn(
+            "cos",
+            F.round(
+                pair_cosine(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                4,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cand_id").asc()
@@ -88,12 +109,21 @@ def label_blocked_neardup(
     t = emb.select(
         F.col(id_col).alias("vid"), F.col(label_col).alias("cell"),
         _dvec(vec_col).alias("v"),
+    ).select("vid", "cell", "v", norm(F.col("v")).alias("nrm"))
+    a = t.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"), "cell",
     )
-    a = t.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"), "cell")
-    b = t.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"), "cell")
+    b = t.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"), "cell",
+    )
     pairs = a.join(b, on="cell").where(F.col("id_a") < F.col("id_b"))
+    cos4 = F.round(
+        pair_cosine(F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")), 4
+    )
     return (
-        pairs.withColumn("cos", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        pairs.withColumn("cos", cos4)
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
