@@ -18,9 +18,11 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: SCD2 snapshot-version reconstruction over the event log."""
+    """Flagship: the end-to-end bug-version pipeline — change log ->
+    versioned snapshots (intervals, rolled-forward state, accumulated
+    sets) -> ES documents, in one single-shuffle plan."""
     catalog.load_all()
-    return catalog.QUERIES["snapshot_versions"](spark, SF0001)
+    return catalog.QUERIES["bug_version_docs"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "bug_version_docs",
     "snapshot_versions",
     "snapshot_asof",
     "set_accumulate",

@@ -30,6 +30,7 @@ _QUERY_MODULES = (
     "bugzilla_etl_spark.plans.queries_text",
     "bugzilla_etl_spark.plans.queries_similarity",
     "bugzilla_etl_spark.plans.queries_multimodal",
+    "bugzilla_etl_spark.plans.queries_engine",
 )
 
 _loaded = False

@@ -1,0 +1,262 @@
+"""General engine-surface queries: pivot/unpivot, multi-level
+aggregation (ROLLUP), exact percentiles, moving windows, outer joins,
+and the composite end-to-end ETL pipeline (the flagship).
+
+These are the "could a reference user run their whole workload here"
+operators — every one oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.plans.catalog import register
+from bugzilla_etl_spark.sources import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_event_counts",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow rows -> wide per-category columns, the tracking-flags
+    pivot (extract_bugzilla.py:487 get_tracking_flags emits cf_*
+    columns from narrow storage).  Explicit value list keeps the
+    schema static — a dynamic pivot would need a driver-side distinct
+    pass first."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            ).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ]
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(value, 4) AS value
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+               l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem
+    )
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide measures -> narrow (melt) via stack() — single scan, no
+    self-union (the UNION ALL oracle scans three times; stack is the
+    plan you want at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount) AS (measure, value)"
+        ),
+    ).select(
+        "l_orderkey", "l_linenumber", "measure",
+        F.round("value", 4).alias("value"),
+    )
+
+
+@register(
+    "rollup_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation in one pass (ROLLUP expands to
+    grouping-set partials, not three scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(min(value), 4) AS vmin,
+           round(max(value), 4) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`).  At 100 TB swap in approx_percentile and
+    accept the documented error bound — the exact form is the oracle
+    for that accuracy test."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+@register(
+    "moving_average",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
+    FROM events
+    """,
+)
+def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded moving window per entity — same single entity shuffle
+    as every temporal operator."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.avg("value").over(w), 4).alias("ma4"),
+    )
+
+
+@register(
+    "orders_fulfillment",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           coalesce(l.n_lines, 0) AS n_lines,
+           round(coalesce(l.revenue, 0), 4) AS revenue
+    FROM orders o
+    LEFT JOIN (
+        SELECT l_orderkey, count(*) AS n_lines,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem GROUP BY l_orderkey
+    ) l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def orders_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer join with aggregate-before-join: the child table is
+    collapsed to one row per key BEFORE joining, so the join input is
+    orders-sized, not lineitem-sized."""
+    od = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_rev"
+            ),
+        )
+    )
+    return od.join(li, od.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.round(F.coalesce("_rev", F.lit(0)), 4).alias("revenue"),
+    )
+
+
+@register(
+    "bug_version_docs",
+    oracle="""
+    WITH versioned AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER w AS version,
+               lead(ts) OVER w AS expires_on,
+               last(CASE WHEN event_type = 'purchase' THEN value END
+                    IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_purchase_value,
+               list_sort(list(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) AS seen_types
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(user_id AS VARCHAR) || '_' ||
+               CAST(floor(epoch(ts))::BIGINT AS VARCHAR) AS _id,
+           user_id, version, ts AS modified_ts, expires_on,
+           event_type, value, last_purchase_value, seen_types
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, floor(epoch(ts))::BIGINT
+            ORDER BY event_id DESC) AS rn
+        FROM versioned
+    ) WHERE rn = 1
+    """,
+)
+def bug_version_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end pipeline: change log -> versioned snapshots with
+    interval bounds, rolled-forward state, accumulated multi-value
+    sets -> one ES doc per (entity, second) with the reference's doc
+    id.  Composes snapshot_versions + state_rollforward +
+    set_accumulate + es_docs in a single plan: ONE entity shuffle
+    feeds all four windows, then the per-second dedup window reuses
+    the same partitioning.  reference: the whole of
+    parse_bug_history.py + transform_bugzilla.py normalize()."""
+    from bugzilla_etl_spark.operators import snapshot as S
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versioned = ev.select(
+        "user_id", "event_id", "ts", "event_type", "value",
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).alias("expires_on"),
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        ).over(wcum).alias("last_purchase_value"),
+        F.sort_array(F.collect_set("event_type").over(wcum)).alias(
+            "seen_types"
+        ),
+    )
+    per_second = Window.partitionBy(
+        "user_id", F.col("ts").cast("long")
+    ).orderBy(F.col("event_id").desc())
+    docs = (
+        versioned.withColumn("_rn", F.row_number().over(per_second))
+        .where(F.col("_rn") == 1)
+    )
+    from bugzilla_etl_spark.operators.normalize import doc_id
+
+    return docs.select(
+        doc_id("user_id", "ts").alias("_id"),
+        "user_id",
+        "version",
+        F.col("ts").alias("modified_ts"),
+        "expires_on",
+        "event_type",
+        "value",
+        "last_purchase_value",
+        "seen_types",
+    )

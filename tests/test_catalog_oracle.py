@@ -31,4 +31,4 @@ def test_query_matches_oracle(spark, duck, sf_dir, name, fn, oracle):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
-    assert "expires_on" in df.columns
+    assert "expires_on" in df.columns and "_id" in df.columns
