@@ -31,6 +31,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bugzilla_etl_spark.functions.hashing import hash64
+
 # reference: bugzilla_etl/extract_bugzilla.py:30 MAX_TIMESTAMP — we keep
 # NULL instead of a sentinel; expose epoch-millis constant for callers
 # that need the reference's exact convention.
@@ -145,6 +147,36 @@ def set_final(
     return log.groupBy(entity).agg(
         F.sort_array(F.collect_set(value_col)).alias("final_set"),
         F.countDistinct(value_col).alias("n_distinct"),
+    )
+
+
+def set_final_salted(
+    log: DataFrame,
+    value_col: str,
+    entity: str = "user_id",
+    n_salts: int = 8,
+) -> DataFrame:
+    """``set_final`` with two-phase salted aggregation — the hot-key
+    mitigation when one entity owns a pathological share of rows (one
+    bug with millions of changes): phase 1 aggregates by
+    (entity, salt) spreading the hot key over n_salts reducers, phase
+    2 merges the n_salts partial sets per entity.  Identical result,
+    same oracle; the salt is a deterministic hash of the tiebreak
+    column so re-runs place rows identically."""
+    salt = (hash64(F.col(value_col)) % n_salts).alias("_salt")
+    partial = (
+        log.select(entity, value_col, salt)
+        .groupBy(entity, "_salt")
+        .agg(F.collect_set(value_col).alias("_part"))
+    )
+    return (
+        partial.groupBy(entity)
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("_part")))
+            ).alias("final_set"),
+        )
+        .withColumn("n_distinct", F.size("final_set").cast("long"))
     )
 
 

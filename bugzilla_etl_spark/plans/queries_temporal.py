@@ -141,6 +141,24 @@ def set_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_final_salted",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS final_set,
+           count(DISTINCT event_type) AS n_distinct
+    FROM events GROUP BY user_id
+    """,
+)
+def set_final_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as set_final via two-phase SALTED aggregation —
+    the hot-entity mitigation (same oracle proves the rewrite exact).
+    reference semantics: transform_bugzilla.py:99; scale pattern:
+    SCALING.md skew notes."""
+    ev = load_table(spark, sf_dir, "events")
+    return S.set_final_salted(ev, value_col="event_type")
+
+
+@register(
     "dedup_latest",
     oracle="""
     SELECT user_id, event_id, ts, event_type, value

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bugzilla_etl_spark.functions.hashing import duckdb_hash64
@@ -98,6 +98,52 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.alias("n_ws_tokens"),
         n_bpe.alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents)
+        GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, score, rnk FROM (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4)
+                   AS score,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))
+                            DESC, tf.term ASC) AS rnk
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — term stats via explode +
+    two partial aggs; the document-frequency table is vocabulary-
+    sized and broadcast back onto the term rows (no fact-side
+    shuffle for the join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; corpus size is a metadata-cheap count
+    score = F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    w = Window.partitionBy("doc_id").orderBy(
+        score.desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df), on="term")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.round(score, 4).alias("score"), "rnk")
     )
 
 
