@@ -280,6 +280,46 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sessionize_native",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w >= 1800.0
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id, count(*) AS n_events, min(ts) AS session_start
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window (dynamic-gap
+    event-time windows) — same sessions as the lag+cumsum build, and
+    the operator that carries over to Structured Streaming unchanged.
+    Session windows are [start, last+gap): a gap of EXACTLY 30min
+    starts a new session, hence the oracle's `>= 1800` on fractional
+    epoch seconds (µs-exact in a double)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", "n_events", F.col("sw.start").alias("session_start")
+        )
+    )
+
+
+@register(
     "events_funnel",
     oracle="""
     WITH firsts AS (

@@ -209,7 +209,7 @@ def orders_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT *, row_number() OVER (
             PARTITION BY user_id, floor(epoch(ts))::BIGINT
-            ORDER BY event_id DESC) AS rn
+            ORDER BY ts DESC, event_id DESC) AS rn
         FROM versioned
     ) WHERE rn = 1
     """,
@@ -240,12 +240,14 @@ def bug_version_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seen_types"
         ),
     )
-    per_second = Window.partitionBy(
-        "user_id", F.col("ts").cast("long")
-    ).orderBy(F.col("event_id").desc())
-    docs = (
-        versioned.withColumn("_rn", F.row_number().over(per_second))
-        .where(F.col("_rn") == 1)
+    # per-second doc dedup WITHOUT a second exchange: the main window
+    # already orders (user_id, ts, event_id), so "last row of its
+    # second" is just lead(second) differing — Catalyst reuses the
+    # existing partitioning for this lead instead of re-shuffling on
+    # (user_id, second).
+    sec = F.col("ts").cast("long")
+    docs = versioned.withColumn("_next_sec", F.lead(sec).over(w)).where(
+        F.col("_next_sec").isNull() | (F.col("_next_sec") != sec)
     )
     from bugzilla_etl_spark.operators.normalize import doc_id
 

@@ -1,0 +1,43 @@
+"""Storage-layout tests: partition pruning must actually prune."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.sinks.layout import (
+    read_history_layout,
+    write_history_layout,
+)
+from bugzilla_etl_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partition_pruning_on_date_layout(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "hist")
+    write_history_layout(ev, path)
+
+    back = read_history_layout(spark, path)
+    # full round-trip
+    assert back.count() == ev.count()
+
+    one_day = back.where(F.col("event_date") == "2024-01-05")
+    plan = _plan(one_day)
+    # the date filter must become a partition filter, not a data filter
+    assert "PartitionFilters" in plan
+    assert "2024-01-05" in plan.split("PartitionFilters")[1].splitlines()[0]
+    got = one_day.count()
+    want = ev.where(
+        F.floor(F.col("ts").cast("long") / 86400) * 86400
+        == 1704412800  # 2024-01-05 UTC
+    ).count()
+    assert got == want and got > 0
