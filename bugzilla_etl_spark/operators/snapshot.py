@@ -143,11 +143,13 @@ def set_final(
     """Final sorted multi-value per entity (normalize() keeps
     MULTI_FIELDS sorted — transform_bugzilla.py:99-102).  Partial
     aggregation (ObjectHashAggregate) combines map-side, so the
-    shuffle carries per-entity partial sets, not raw rows."""
+    shuffle carries per-entity partial sets, not raw rows.
+    n_distinct derives from the collected set — a countDistinct
+    would add an Expand + second exchange for a number we already
+    hold."""
     return log.groupBy(entity).agg(
         F.sort_array(F.collect_set(value_col)).alias("final_set"),
-        F.countDistinct(value_col).alias("n_distinct"),
-    )
+    ).withColumn("n_distinct", F.size("final_set").cast("long"))
 
 
 def set_final_salted(

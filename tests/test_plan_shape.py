@@ -84,6 +84,25 @@ def test_minhash_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_catalog_no_smj_no_cartesian(spark, sf_dir):
+    """Fleet-wide plan audit: NO query in the catalog may plan a
+    SortMergeJoin (a dim failed to broadcast) or a CartesianProduct
+    (unkeyed pair generation).  Explain-only — nothing executes."""
+    import re
+
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    offenders = []
+    for name, fn in sorted(catalog.QUERIES.items()):
+        plan = _plan(fn(spark, sf_dir))
+        if re.search(r"\(\d+\) SortMergeJoin", plan):
+            offenders.append((name, "SortMergeJoin"))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+    assert not offenders, offenders
+
+
 def test_replicate_pending_no_shuffle_of_source(spark, sf_dir):
     """Watermark filter = broadcast 1-row agg; the source side must not
     be hash-exchanged."""
