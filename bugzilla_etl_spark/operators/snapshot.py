@@ -249,21 +249,25 @@ def incremental_touched(
     since_epoch_s: int,
     entity: str = "user_id",
     ts: str = "ts",
+    broadcast_touched: bool = True,
 ) -> DataFrame:
     """Incremental ETL semantics (bz_etl.py:172 incremental_etl): any
     entity with at least one change after the watermark is re-built
     IN FULL — so: semi-join the log against the touched-entity set.
 
-    Scale: the touched set is usually tiny relative to history; the
-    inner filter is pushed to the scan and AQE turns the semi-join
-    into a broadcast when the touched side is small.
+    Scale: the touched set is usually tiny relative to history, so we
+    hint the broadcast; set ``broadcast_touched=False`` after a long
+    outage (huge touched set) and let AQE pick the strategy from the
+    runtime size instead.
     """
     touched = (
         log.where(F.col(ts).cast("long") >= F.lit(since_epoch_s))
         .select(entity)
         .distinct()
     )
-    return log.join(F.broadcast(touched), on=entity, how="left_semi")
+    if broadcast_touched:
+        touched = F.broadcast(touched)
+    return log.join(touched, on=entity, how="left_semi")
 
 
 def replicate_pending(source: DataFrame, dest: DataFrame, ts: str = "ts") -> DataFrame:

@@ -103,6 +103,26 @@ def stream_current_state(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_time_rollup(events_stream: DataFrame) -> DataFrame:
+    """Watermarked hourly rollup — the continuous-aggregate form of
+    the batch ``time_rollup`` query.  The 2h watermark bounds state:
+    hour buckets older than the watermark are finalized and evicted,
+    which is what keeps a forever-running aggregation's memory flat.
+    """
+    return (
+        events_stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"), "event_type",
+            "n_events", "sum_value",
+        )
+    )
+
+
 def stream_upsert_foreachbatch(
     events_stream: DataFrame, state_dir: str, checkpoint_dir: str
 ):
