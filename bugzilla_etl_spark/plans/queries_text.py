@@ -147,6 +147,57 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_DOC_HASH = duckdb_hash64("CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_DUCK_DOC_HASH} % 100 < 20
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample via the portable key hash — unlike
+    rand()-based sampling this is reproducible across engines, runs,
+    AND incremental extensions of the corpus (a doc's in/out status
+    never flips), which is what a training-data pipeline needs for
+    ablations.  Stratification falls out per-language because the
+    hash is independent of lang."""
+    from bugzilla_etl_spark.functions.hashing import hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(hash64(F.col("doc_id")) % 100 < 20).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "key_skew_stats",
+    oracle="""
+    SELECT count(*) AS n_keys,
+           max(n) AS max_rows,
+           round(avg(n), 4) AS avg_rows,
+           round(max(n) / avg(n), 4) AS skew_ratio
+    FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    """,
+)
+def key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnostics: per-key row counts -> max/avg skew
+    ratio.  This is the measurement that decides when to switch an
+    aggregation to the salted two-phase form (SCALING.md skew notes);
+    two tiny shuffles (key partials, then a 1-row reduce)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_rows"),
+        F.round(F.avg("n"), 4).alias("avg_rows"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+    )
+
+
 @register(
     "doc_fingerprint",
     oracle=f"""
