@@ -139,18 +139,28 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
+def frame_sample(
+    media: DataFrame, every_n: int = 4, include_payload: bool = False
+) -> DataFrame:
     """Frame-sampling plan: explode frame indices 0..n_frames-1 step
     every_n WITHOUT decoding — pure column expressions; the decode of
-    selected frames happens in extract_features downstream."""
+    selected frames happens in extract_features downstream.
+
+    ``include_payload=False`` by default: exploding with the payload
+    column duplicates the media bytes once PER FRAME through the rest
+    of the plan — at scale, select frames first and join the payload
+    back right before the decode stage (one copy per decoded frame
+    batch, not per plan edge).  Catalyst prunes the column when
+    unused, but the API shouldn't invite the copy."""
     idx = F.sequence(
         F.lit(0),
         F.greatest(F.col("n_frames") - 1, F.lit(0)),
         F.lit(every_n),
     )
-    return media.where(F.col("mime").startswith("video/")).select(
-        "media_id",
-        "mime",
+    cols = ["media_id", "mime"]
+    out = media.where(F.col("mime").startswith("video/")).select(
+        *cols,
         F.explode(idx).alias("frame_idx"),
-        "payload",
+        *(["payload"] if include_payload else []),
     )
+    return out

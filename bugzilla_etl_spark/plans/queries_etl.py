@@ -357,6 +357,45 @@ def nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("diff_apply", oracle=None)
+def diff_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFF_FIELDS reconstruction as a runnable query: build a
+    deterministic 2-version diff chain per document (v1 = the text,
+    v2 = a unified diff editing line 1) and rebuild the value
+    timeline with applyInPandas.  Not SQL-expressible (text patching)
+    -> rows-only check; exactness is covered by the difflib
+    round-trip property test.
+    reference: transform_bugzilla.py:25 DIFF_FIELDS,
+    parse_bug_history.py:1104 ApplyDiff."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from bugzilla_etl_spark.operators.diffs import apply_diff_chain
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_rows = docs.select(
+        F.col("doc_id").alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200)).alias("ts"),
+        F.col("text").alias("base"),
+        F.lit(None).cast("string").alias("diff"),
+    )
+    diff_rows = docs.select(
+        F.col("doc_id").alias("user_id"),
+        F.timestamp_seconds(F.lit(1704153600)).alias("ts"),
+        F.lit(None).cast("string").alias("base"),
+        F.concat(
+            F.lit("@@ -1,1 +1,1 @@\n-"),
+            F.col("text"),
+            F.lit("\n+EDITED "),
+            F.col("text"),
+        ).alias("diff"),
+    )
+    chain = base_rows.unionByName(diff_rows)
+    out = apply_diff_chain(chain)
+    return out.select(
+        "user_id", "ts", F.length("value_text").alias("value_len")
+    )
+
+
 @register(
     "comments_etl",
     oracle="""
