@@ -21,6 +21,30 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def test_bucketed_table_eliminates_window_exchange(spark, sf_dir):
+    """THE scale cornerstone: over an entity-bucketed table, the whole
+    snapshot pipeline plans ZERO exchanges — the shuffle that
+    dominates every temporal operator at 100 TB simply disappears
+    when the storage layout carries the partitioning."""
+    import re
+
+    from bugzilla_etl_spark.operators import snapshot as S
+
+    ev = load_table(spark, sf_dir, "events")
+    spark.sql("DROP TABLE IF EXISTS events_bucketed_t")
+    (
+        ev.write.mode("overwrite")
+        .bucketBy(8, "user_id")
+        .sortBy("user_id", "ts")
+        .saveAsTable("events_bucketed_t")
+    )
+    try:
+        plan = _plan(S.snapshot_versions(spark.table("events_bucketed_t")))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_bucketed_t")
+
+
 def test_partition_pruning_on_date_layout(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     path = str(tmp_path / "hist")
