@@ -34,6 +34,7 @@ HEADLINE = [
     "tpch_q5",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_invindex",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_neardup",

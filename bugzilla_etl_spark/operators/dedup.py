@@ -128,6 +128,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_pairs_invindex(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full-corpus exact Jaccard pairs via an INVERTED INDEX — no
+    blocking key required, the textbook scalable exact-dedup:
+
+      explode shingles -> drop stop-shingles (df > max_df) ->
+      posting-list self-join -> candidate pairs = docs sharing >= 1
+      indexable shingle -> rejoin full shingle sets -> exact Jaccard.
+
+    Work is Σ df² over indexable shingles (bounded by max_df), never
+    corpus².  Candidate semantics: a pair is only FOUND if it shares
+    at least one shingle with df <= max_df; for near-dup thresholds
+    this misses only pairs whose entire overlap is ultra-common
+    boilerplate — exactly the pairs dedup shouldn't fire on.  The
+    verification Jaccard itself uses the COMPLETE shingle sets."""
+    t = _hashed_shingled(docs, text_col, id_col)
+    postings = t.select("doc_id", F.explode("shh").alias("sh"))
+    rare = (
+        postings.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("sh")
+    )
+    indexable = postings.join(rare, on="sh")
+    a = indexable.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = indexable.select(F.col("doc_id").alias("doc_b"), "sh")
+    cand = (
+        a.join(b, on="sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets_ = t.select("doc_id", "shh")
+    jac4 = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+    return (
+        cand.join(
+            sets_.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "shh", "sh_a"
+            ),
+            on="doc_a",
+        )
+        .join(
+            sets_.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "shh", "sh_b"
+            ),
+            on="doc_b",
+        )
+        .withColumn("jaccard", jac4)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_signature(sh: Column, n: int = N_MINHASH) -> Column:
     """n-element minhash signature of a shingle array — pure row-local
     array expression (no explode, no shuffle).  Same double-hash

@@ -123,6 +123,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, threshold=0.5)
 
 
+# hashed shingle set (sorted long array), mirroring _hashed_shingled
+_DUCK_SHH = (
+    "list_sort(list_transform(sh, s -> "
+    + duckdb_hash64("s")
+    + "))"
+)
+_DUCK_JACH = (
+    "(len(list_intersect(sh_a, sh_b))::DOUBLE"
+    " / greatest(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)), 1))"
+)
+
+
+@register(
+    "dedup_jaccard_invindex",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_SHH} AS shh
+        FROM (SELECT doc_id, {DUCK_SHINGLES} AS sh
+              FROM (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents))
+    ), postings AS (
+        SELECT doc_id, unnest(shh) AS sh FROM t
+    ), rare AS (
+        SELECT sh FROM postings GROUP BY sh HAVING count(*) <= 500
+    ), ix AS (
+        SELECT p.doc_id, p.sh FROM postings p JOIN rare USING (sh)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ix a JOIN ix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round({_DUCK_JACH.replace('sh_a', 'ta.shh').replace('sh_b', 'tb.shh')}, 4)
+               AS jaccard
+    FROM cand
+    JOIN t ta ON ta.doc_id = cand.doc_a
+    JOIN t tb ON tb.doc_id = cand.doc_b
+    WHERE round({_DUCK_JACH.replace('sh_a', 'ta.shh').replace('sh_b', 'tb.shh')}, 4) >= 0.5
+    """,
+)
+def dedup_jaccard_invindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus exact Jaccard pairs via inverted index (no blocking
+    key) — the textbook scalable exact-dedup; work bounded by
+    stop-shingle df cap, verification on complete sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs_invindex(docs, threshold=0.5, max_df=500)
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
