@@ -184,6 +184,74 @@ def orders_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_json_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           round(value, 4) AS value
+    FROM events
+    """,
+)
+def docs_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document serialization round-trip: rows -> to_json (the ES doc
+    body) -> from_json with explicit schema -> typed columns again.
+    This is the replicate.py:46 extract_from_file read path (docs come
+    back from files as JSON).  The oracle checks the round-trip is
+    lossless by comparing against the source rows directly."""
+    from bugzilla_etl_spark.sources import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    doc = ev.select(
+        "event_id",
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type", "value")
+        ).alias("doc"),
+    )
+    parsed = doc.select(
+        F.from_json(
+            "doc",
+            "event_id long, user_id long, event_type string, value double",
+        ).alias("p")
+    )
+    return parsed.select(
+        F.col("p.event_id").alias("event_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.event_type").alias("event_type"),
+        F.round("p.value", 4).alias("value"),
+    )
+
+
+@register(
+    "rolling_distinct_users",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           len(list_distinct(list(user_id) OVER (
+               PARTITION BY event_type ORDER BY floor(epoch(ts))::BIGINT
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ))) AS active_users_1h
+    FROM events
+    """,
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour distinct actors per event type — a RANGE-frame
+    window on epoch seconds (time-based frames need a numeric
+    ordering key; both engines then agree on frame bounds exactly).
+    collect_set over the range frame; countDistinct is not a window
+    function in Spark."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "event_type", "ts",
+        F.size(F.collect_set("user_id").over(w)).cast("long").alias(
+            "active_users_1h"
+        ),
+    )
+
+
+@register(
     "bug_version_docs",
     oracle="""
     WITH versioned AS (
