@@ -131,56 +131,54 @@ def ngram_jaccard_pairs(
 def jaccard_pairs_invindex(
     docs: DataFrame,
     threshold: float = 0.5,
-    max_df: int = 500,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Full-corpus exact Jaccard pairs via an INVERTED INDEX — no
-    blocking key required, the textbook scalable exact-dedup:
+    """Full-corpus EXACT Jaccard pairs via an inverted index, computed
+    entirely by COUNTING — no arrays ever cross the pair phase:
 
-      explode shingles -> drop stop-shingles (df > max_df) ->
-      posting-list self-join -> candidate pairs = docs sharing >= 1
-      indexable shingle -> rejoin full shingle sets -> exact Jaccard.
+      explode shingles -> posting self-join on shingle ->
+      |A∩B| = count of shared shingles per (doc_a, doc_b) [one
+      partial-aggregating shuffle of skinny rows] -> join per-doc set
+      sizes (broadcast dim) -> jaccard = c / (|A| + |B| - c).
 
-    Work is Σ df² over indexable shingles (bounded by max_df), never
-    corpus².  Candidate semantics: a pair is only FOUND if it shares
-    at least one shingle with df <= max_df; for near-dup thresholds
-    this misses only pairs whose entire overlap is ultra-common
-    boilerplate — exactly the pairs dedup shouldn't fire on.  The
-    verification Jaccard itself uses the COMPLETE shingle sets."""
+    Work is Σ df² over shingle posting lists (trigram df is tiny on
+    natural text: max 25 at sf0.1 here), never corpus², and the
+    shuffled rows are three longs wide — no shingle-array copies at
+    all, unlike the blocked array-intersect verifier.  A corpus with
+    pathological boilerplate shingles should pre-filter those from
+    the postings AND subtract them from the sizes (cap + exactness
+    both; not needed for this data)."""
     t = _hashed_shingled(docs, text_col, id_col)
     postings = t.select("doc_id", F.explode("shh").alias("sh"))
-    rare = (
-        postings.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= max_df)
-        .select("sh")
-    )
-    indexable = postings.join(rare, on="sh")
-    a = indexable.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = indexable.select(F.col("doc_id").alias("doc_b"), "sh")
-    cand = (
+    sizes = t.select("doc_id", F.size("shh").alias("sz"))
+    a = postings.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = postings.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
         a.join(b, on="sh")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    sets_ = t.select("doc_id", "shh")
-    jac4 = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+    jac = F.col("c") / (F.col("sz_a") + F.col("sz_b") - F.col("c"))
     return (
-        cand.join(
-            sets_.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "shh", "sh_a"
+        inter.join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "sz", "sz_a"
+                )
             ),
             on="doc_a",
         )
         .join(
-            sets_.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "shh", "sh_b"
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "sz", "sz_b"
+                )
             ),
             on="doc_b",
         )
-        .withColumn("jaccard", jac4)
+        .withColumn("jaccard", F.round(jac, 4))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

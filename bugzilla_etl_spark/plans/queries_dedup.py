@@ -144,29 +144,26 @@ _DUCK_JACH = (
               FROM (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents))
     ), postings AS (
         SELECT doc_id, unnest(shh) AS sh FROM t
-    ), rare AS (
-        SELECT sh FROM postings GROUP BY sh HAVING count(*) <= 500
-    ), ix AS (
-        SELECT p.doc_id, p.sh FROM postings p JOIN rare USING (sh)
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM ix a JOIN ix b ON a.sh = b.sh AND a.doc_id < b.doc_id
-    )
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM postings a JOIN postings b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, len(shh) AS sz FROM t)
     SELECT doc_a, doc_b,
-           round({_DUCK_JACH.replace('sh_a', 'ta.shh').replace('sh_b', 'tb.shh')}, 4)
-               AS jaccard
-    FROM cand
-    JOIN t ta ON ta.doc_id = cand.doc_a
-    JOIN t tb ON tb.doc_id = cand.doc_b
-    WHERE round({_DUCK_JACH.replace('sh_a', 'ta.shh').replace('sh_b', 'tb.shh')}, 4) >= 0.5
+           round(c::DOUBLE / (sa.sz + sb.sz - c), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(c::DOUBLE / (sa.sz + sb.sz - c), 4) >= 0.5
     """,
 )
 def dedup_jaccard_invindex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-corpus exact Jaccard pairs via inverted index (no blocking
-    key) — the textbook scalable exact-dedup; work bounded by
-    stop-shingle df cap, verification on complete sets."""
+    """Full-corpus EXACT Jaccard pairs via inverted index: |A∩B| by
+    counting shared shingles — skinny-row shuffles only, no arrays in
+    the pair phase, no blocking key."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs_invindex(docs, threshold=0.5, max_df=500)
+    return D.jaccard_pairs_invindex(docs, threshold=0.5)
 
 
 @register(
