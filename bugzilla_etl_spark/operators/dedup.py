@@ -97,32 +97,50 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by 3-gram Jaccard, blocked on the first token.
 
-    Blocking bounds the candidate space (per-block n²; pick the key so
-    blocks stay small).  For unbounded corpora prefer minhash_lsh_pairs
-    — this variant is the exact verifier used on candidate subsets."""
+    Blocking bounds the candidate space (per-block work; pick the key
+    so blocks stay small).  For unbounded corpora prefer
+    minhash_lsh_pairs; for exact full-corpus results use
+    jaccard_pairs_invindex (this variant demonstrates key-blocked
+    restriction on top of the same counting plan)."""
     t = _hashed_shingled(docs, text_col, id_col).withColumn(
         "block", F.element_at("tok", 1)
     )
-    a = t.select(
-        F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"), "block"
+    # intersections by COUNTING within the block (posting self-join of
+    # skinny rows), never by carrying shingle arrays through the pair
+    # join — same plan shape as jaccard_pairs_invindex plus the
+    # blocking restriction on the join key.
+    postings = t.select("doc_id", "block", F.explode("shh").alias("sh"))
+    sizes = t.select("doc_id", F.size("shh").alias("sz"))
+    a = postings.select(F.col("doc_id").alias("doc_a"), "block", "sh")
+    b = postings.select(F.col("doc_id").alias("doc_b"), "block", "sh")
+    inter = (
+        a.join(b, on=["block", "sh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    b = t.select(
-        F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"), "block"
-    )
-    pairs = a.join(b, on="block").where(F.col("doc_a") < F.col("doc_b"))
-    # size-ratio prefilter: |A∩B| <= min(|A|,|B|), so jac <= min/max;
-    # pairs whose set sizes differ by more than the threshold ratio
-    # can't qualify — pruned BEFORE the O(|A|+|B|) intersect runs.
-    sa, sb = F.size("sh_a"), F.size("sh_b")
-    ratio_ok = (sa >= threshold * sb) & (sb >= threshold * sa)
-    # filter on the ROUNDED value: identical expression as the output
-    # column (one subexpression after pushdown), and exactly equivalent
-    # to `raw >= t` while set sizes stay < 2000 (jaccard is k/m with
-    # m = |A∪B|, so no raw value can round across the threshold).
-    jac4 = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+    # filter on the ROUNDED value: exactly equivalent to `raw >= t`
+    # while set sizes stay < 2000 (jaccard is k/m, m = |A∪B|, so no
+    # raw value can round across the threshold).
+    jac = F.col("c") / (F.col("sz_a") + F.col("sz_b") - F.col("c"))
     return (
-        pairs.where(ratio_ok)
-        .withColumn("jaccard", jac4)
+        inter.join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "sz", "sz_a"
+                )
+            ),
+            on="doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "sz", "sz_b"
+                )
+            ),
+            on="doc_b",
+        )
+        .withColumn("jaccard", F.round(jac, 4))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
