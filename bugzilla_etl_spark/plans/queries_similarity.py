@@ -40,16 +40,37 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, queries, k=5)
 
 
+def _duck_plane(p: int) -> str:
+    """DuckDB expression for pseudo-plane p (mirrors
+    similarity.hyperplane_bit's hash-derived components)."""
+    from bugzilla_etl_spark.functions.hashing import duckdb_hash64
+
+    h = duckdb_hash64(f"('{p}:' || CAST(d AS VARCHAR))")
+    return f"list_transform(range(0,64), d -> (({h} % 1000) / 1000.0 - 0.5))"
+
+
+_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_duck_plane(p)}) >= 0 "
+    f"THEN {1 << (7 - p)} ELSE 0 END)"
+    for p in range(8)
+)
+
+
 @register(
     "ann_lsh_buckets",
-    oracle=None,  # hash->bucket layout is engine-checked via tests +
-    # rows-only here: the recall-vs-brute-force test lives in
-    # tests/test_similarity.py (oracle SQL for 8 hyperplane folds is
-    # expressible but adds nothing the recall check doesn't cover)
+    oracle=f"""
+    WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT bucket, count(*) AS n_vectors FROM (
+        SELECT ({_DUCK_BUCKET})::BIGINT AS bucket FROM t
+    ) GROUP BY bucket
+    """,
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucket assignment (the 100 TB ANN path: search
-    only within matching buckets, multi-probe for recall)."""
+    only within matching buckets, multi-probe for recall).  The
+    pseudo-planes derive from the portable hash family, so the DuckDB
+    oracle recomputes the exact same buckets (a sign flip would need
+    |projection| within float ulps of zero)."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = SIM.lsh_buckets(emb, n_planes=8, dim=64)
     return out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
