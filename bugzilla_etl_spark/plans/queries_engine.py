@@ -97,6 +97,25 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass (grouping-set
+    expansion over the same partial aggregation, not 4 scans)."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+@register(
     "value_percentiles",
     oracle="""
     SELECT event_type,
