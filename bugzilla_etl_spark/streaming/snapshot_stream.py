@@ -103,6 +103,17 @@ def stream_current_state(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_events(events_stream: DataFrame) -> DataFrame:
+    """Exactly-once ingestion: drop replayed/duplicate events by id
+    within the watermark horizon.  The reference gets idempotency from
+    ES overwrite-by-_id at the sink; Spark-native pipelines dedup
+    BEFORE downstream aggregations so replays never double-count.
+    State = seen ids newer than the 2h watermark (bounded)."""
+    return events_stream.withWatermark("ts", "2 hours").dropDuplicates(
+        ["event_id"]
+    )
+
+
 def stream_time_rollup(events_stream: DataFrame) -> DataFrame:
     """Watermarked hourly rollup — the continuous-aggregate form of
     the batch ``time_rollup`` query.  The 2h watermark bounds state:

@@ -109,3 +109,44 @@ def test_stream_time_rollup_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_dedup_drops_replays(spark, sf_dir, tmp_path):
+    """Events replayed across micro-batches must be ingested once."""
+    from pyspark.sql import functions as F
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        stream_dedup_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    src = str(tmp_path / "src")
+    # write the SAME slice twice plus a fresh slice -> replay scenario
+    ev.where(F.col("event_id") < 150).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/a")
+    ev.where(F.col("event_id") < 150).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/b")
+    ev.where(F.col("event_id") >= 150).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/c")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream_dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream"
+    ).first()
+    want = ev.count()
+    assert got.n == got.d == want, (got, want)
