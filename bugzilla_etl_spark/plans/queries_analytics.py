@@ -187,8 +187,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_id,
            count(*) AS n_events,
-           min(ts) AS session_start,
-           max(ts) AS session_end
+           min(floor(epoch(ts))::BIGINT) AS session_start,
+           max(floor(epoch(ts))::BIGINT) AS session_end
     FROM sessions GROUP BY user_id, session_id
     """,
 )
@@ -208,10 +208,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0).alias("is_new"),
     )
     sessions = marked.withColumn("session_id", F.sum("is_new").over(wcum))
+    # instants emitted as epoch longs (parity rule: cast(ts as long)
+    # == floor(epoch(ts))::BIGINT — portable across engines/tz)
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.min(F.col("ts").cast("long")).alias("session_start"),
+        F.max(F.col("ts").cast("long")).alias("session_end"),
     )
 
 
@@ -328,10 +330,10 @@ def events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
         FROM events GROUP BY user_id
     )
-    SELECT count(*) AS n_users,
-           count(first_signup) AS n_signed,
+    SELECT count(*)::BIGINT AS n_users,
+           count(first_signup)::BIGINT AS n_signed,
            sum(CASE WHEN first_purchase > first_signup
-                    THEN 1 ELSE 0 END) AS n_converted
+                    THEN 1 ELSE 0 END)::BIGINT AS n_converted
     FROM firsts
     """,
 )

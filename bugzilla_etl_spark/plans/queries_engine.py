@@ -291,8 +291,11 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(user_id AS VARCHAR) || '_' ||
                CAST(floor(epoch(ts))::BIGINT AS VARCHAR) AS _id,
-           user_id, version, ts AS modified_ts, expires_on,
-           event_type, value, last_purchase_value, seen_types
+           user_id, version,
+           floor(epoch(ts))::BIGINT AS modified_ts,
+           floor(epoch(expires_on))::BIGINT AS expires_on,
+           event_type, value, last_purchase_value,
+           array_to_string(seen_types, '|') AS seen_types
     FROM (
         SELECT *, row_number() OVER (
             PARTITION BY user_id, floor(epoch(ts))::BIGINT
@@ -338,14 +341,16 @@ def bug_version_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bugzilla_etl_spark.operators.normalize import doc_id
 
+    # instants as epoch longs + '|'-joined set: scalar, hash-portable
+    # output (parity rules in tools/verify_local.py docstring)
     return docs.select(
         doc_id("user_id", "ts").alias("_id"),
         "user_id",
         "version",
-        F.col("ts").alias("modified_ts"),
-        "expires_on",
+        F.col("ts").cast("long").alias("modified_ts"),
+        F.col("expires_on").cast("long").alias("expires_on"),
         "event_type",
         "value",
         "last_purchase_value",
-        "seen_types",
+        F.concat_ws("|", "seen_types").alias("seen_types"),
     )

@@ -323,7 +323,7 @@ def dependency_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nested_docs",
     oracle="""
     SELECT user_id,
-           list(evt ORDER BY evt) AS events_nested,
+           array_to_string(list(evt ORDER BY evt), ';') AS events_nested,
            count(*) AS n_events
     FROM (
         SELECT user_id,
@@ -351,7 +351,9 @@ def nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", evt.alias("evt"))
         .groupBy("user_id")
         .agg(
-            F.sort_array(F.collect_list("evt")).alias("events_nested"),
+            F.concat_ws(";", F.sort_array(F.collect_list("evt"))).alias(
+                "events_nested"
+            ),
             F.count(F.lit(1)).alias("n_events"),
         )
     )

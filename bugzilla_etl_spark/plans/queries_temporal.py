@@ -109,53 +109,61 @@ def state_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set_accumulate",
     oracle="""
     SELECT user_id, event_id, ts,
-           list_sort(list(DISTINCT event_type) OVER (
+           array_to_string(list_sort(list(DISTINCT event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           )) AS acc_set
+           )), '|') AS acc_set
     FROM events
     """,
 )
 def set_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running multi-value set (cc/keywords reconstruction).
-    reference: parse_bug_history.py:816 addValues / :848 removeValues."""
+    reference: parse_bug_history.py:816 addValues / :848 removeValues.
+
+    The accumulated set is emitted '|'-joined (sorted, so the string
+    is canonical) — scalar output the verifier can hash."""
     ev = load_table(spark, sf_dir, "events")
     out = S.set_accumulate(ev, value_col="event_type")
-    return out.select("user_id", "event_id", "ts", "acc_set")
+    return out.select(
+        "user_id", "event_id", "ts",
+        F.concat_ws("|", "acc_set").alias("acc_set"),
+    )
 
 
-@register(
-    "set_final",
-    oracle="""
+SET_FINAL_ORACLE = """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS final_set,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|')
+               AS final_set,
            count(DISTINCT event_type) AS n_distinct
     FROM events GROUP BY user_id
-    """,
-)
+    """
+
+
+def _serialize_final_set(out: DataFrame) -> DataFrame:
+    """'|'-join the sorted set column so the verifier can hash it."""
+    return out.select(
+        "user_id",
+        F.concat_ws("|", "final_set").alias("final_set"),
+        "n_distinct",
+    )
+
+
+@register("set_final", oracle=SET_FINAL_ORACLE)
 def set_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final sorted multi-value per entity.
     reference: transform_bugzilla.py:99 MULTI_FIELDS sort."""
     ev = load_table(spark, sf_dir, "events")
-    return S.set_final(ev, value_col="event_type")
+    return _serialize_final_set(S.set_final(ev, value_col="event_type"))
 
 
-@register(
-    "set_final_salted",
-    oracle="""
-    SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS final_set,
-           count(DISTINCT event_type) AS n_distinct
-    FROM events GROUP BY user_id
-    """,
-)
+@register("set_final_salted", oracle=SET_FINAL_ORACLE)
 def set_final_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as set_final via two-phase SALTED aggregation —
     the hot-entity mitigation (same oracle proves the rewrite exact).
     reference semantics: transform_bugzilla.py:99; scale pattern:
     SCALING.md skew notes."""
     ev = load_table(spark, sf_dir, "events")
-    return S.set_final_salted(ev, value_col="event_type")
+    return _serialize_final_set(S.set_final_salted(ev, value_col="event_type"))
 
 
 @register(

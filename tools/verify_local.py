@@ -1,55 +1,74 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every catalog query on Spark and its oracle on DuckDB over the
-same parquet dir, then compares: row count, column names, and an
-order-insensitive value comparison (columns sorted by name, rows
-sorted by their stringified tuple, floats rounded to 6 significant
-decimals, timestamps compared as epoch micros).
+same parquet dir, then compares through PANDAS frames the way the
+driver does: columns sorted by name, ``sort_values`` over ALL columns
+(this is what raises ``unhashable type: 'list'`` on array outputs —
+we must fail the same way the driver fails), then an
+order-insensitive canonical-value comparison (floats to 6 significant
+digits, timestamps to ISO micros).
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
+       python tools/verify_local.py --json OUT.json [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import datetime
+import json
 import math
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+args = sys.argv[1:]
+JSON_OUT = None
+if args and args[0] == "--json":
+    JSON_OUT = args[1]
+    args = args[2:]
+SF_DIR = args[0] if args else "/root/testdata/sf0.01"
+ONLY = set(args[1:])
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(v):
-    if v is None:
+def _canon_cell(v):
+    if v is None or v is pd.NaT:
         return "∅"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return "nan"
         if v == 0:
             return "0"
         return f"{v:.6g}"
-    if isinstance(v, datetime.datetime):
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
         return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
 
 
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = ["|".join(canon(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
+def canon_frame(pdf: pd.DataFrame) -> list[str]:
+    """Driver-shaped canonicalization: name-sorted columns, then
+    sort_values over every column (raises on unhashable cells exactly
+    like the driver's canonicalizer), then per-cell canonical strings.
+    """
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    cells = pdf.map(_canon_cell)
+    rows = ["|".join(r) for r in cells.itertuples(index=False, name=None)]
+    rows.sort()  # canonical order independent of engine sort quirks
+    return rows
 
 
 def main():
@@ -65,47 +84,76 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
+    results: dict[str, dict] = {}
     failures = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        results[name] = rec
         try:
             sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            rec["spark_rows"] = len(spdf)
         except Exception as e:
+            rec["err"] = f"spark error {type(e).__name__}: {str(e)[:300]}"
             failures.append(name)
-            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            print(f"FAIL {name}: {rec['err']}")
             continue
         if name not in oracles:
-            print(f"OK?  {name}: rows-only ({len(srows)} rows, no oracle)")
+            rec["err"] = "no_oracle"
+            print(f"OK?  {name}: rows-only ({len(spdf)} rows, no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
+            rec["oracle_rows"] = len(dpdf)
         except Exception as e:
+            rec["err"] = f"duckdb error {str(e)[:300]}"
             failures.append(name)
-            print(f"FAIL {name}: duckdb error {str(e)[:300]}")
+            print(f"FAIL {name}: {rec['err']}")
             continue
-        if sorted(scols) != sorted(dcols):
+        rec["schema_match"] = sorted(spdf.columns) == sorted(dpdf.columns)
+        rec["rows_match"] = len(spdf) == len(dpdf)
+        if not rec["schema_match"]:
             failures.append(name)
-            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            print(
+                f"FAIL {name}: columns spark={sorted(spdf.columns)} "
+                f"duck={sorted(dpdf.columns)}"
+            )
             continue
-        if len(srows) != len(drows):
+        if not rec["rows_match"]:
             failures.append(name)
-            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            print(
+                f"FAIL {name}: rowcount spark={len(spdf)} duck={len(dpdf)}"
+            )
             continue
-        a, b = canon_rows(scols, srows), canon_rows(dcols, drows)
+        try:
+            a, b = canon_frame(spdf), canon_frame(dpdf)
+        except Exception as e:
+            rec["err"] = f"canon error {type(e).__name__}: {str(e)[:300]}"
+            failures.append(name)
+            print(f"FAIL {name}: {rec['err']}")
+            continue
+        rec["hash_match"] = a == b
         if a != b:
             failures.append(name)
-            bad = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+            bad = next(
+                (i for i, (x, y) in enumerate(zip(a, b)) if x != y),
+                len(a) - 1,
+            )
             print(f"FAIL {name}: values differ at sorted row {bad}:")
             print(f"  spark: {a[bad][:250]}")
             print(f"  duck : {b[bad][:250]}")
         else:
-            print(f"PASS {name} ({len(srows)} rows)")
+            print(f"PASS {name} ({len(spdf)} rows)")
 
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {JSON_OUT} ({len(results)} rows)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 
