@@ -78,8 +78,12 @@ def canonical_closure(mapping: DataFrame, max_iter: int = 8) -> DataFrame:
     chains of length 2^8 — far beyond real identity churn.  Early-out
     when an iteration changes nothing.  Scale: the mapping is dim-
     sized; each pass is one broadcast self-join, not a fact shuffle.
-    Cycles (a<->b) settle on the lexicographically smaller canonical.
-    """
+    Cycles (a<->b) settle on the lexicographically smaller canonical:
+    when following the chain returns to the alias itself, the step
+    resolves to least(alias, canonical) — so a->b becomes a->a (then
+    dropped as a self-map) and b->a stays, instead of the two mutual
+    rows surviving the fixed point unresolved.  Self-maps are removed
+    from the result."""
     cur = mapping.select("alias", "canonical")
     for _ in range(max_iter):
         nxt = cur.select(
@@ -90,18 +94,19 @@ def canonical_closure(mapping: DataFrame, max_iter: int = 8) -> DataFrame:
             .select(
                 "alias",
                 F.when(
-                    F.col("c2").isNotNull() & (F.col("c2") != F.col("alias")),
-                    F.col("c2"),
+                    F.col("c2") == F.col("alias"),
+                    F.least(F.col("alias"), F.col("canonical")),
                 )
-                .otherwise(F.col("canonical"))
+                .otherwise(F.coalesce(F.col("c2"), F.col("canonical")))
                 .alias("canonical"),
             )
         )
         # fixed-point check on a tiny dim is one cheap action
         if stepped.exceptAll(cur).isEmpty():
-            return stepped
+            cur = stepped
+            break
         cur = stepped
-    return cur
+    return cur.where(F.col("alias") != F.col("canonical"))
 
 
 def best_canonical(pair_counts: DataFrame) -> DataFrame:

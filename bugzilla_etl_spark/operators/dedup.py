@@ -39,11 +39,13 @@ def normalized_text(col: Column | str) -> Column:
 def exact_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized text: every doc mapped to its group's
     canonical (minimum) id + group size.  Window over the hash key —
-    single shuffle on the 60-bit text hash."""
+    single shuffle on the FULL 128-bit md5 hex (a 60-bit truncation
+    has ~40% birthday-collision odds at 1e9 docs, which would silently
+    merge distinct texts under an operator named "exact")."""
     from pyspark.sql import Window
 
     keyed = docs.select(
-        F.col(id_col), hash64(normalized_text(text_col)).alias("text_hash")
+        F.col(id_col), F.md5(normalized_text(text_col)).alias("text_hash")
     )
     w = Window.partitionBy("text_hash")
     return keyed.select(
@@ -372,14 +374,28 @@ def simhash_fingerprints(
 
 def simhash_pairs(
     docs: DataFrame,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
+    n_bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-pairs within Hamming distance: byte-band candidates (a pair
-    within distance d<=6 over 4 bytes must agree on >=1 whole byte
-    only if d < 4 bits spread — we band on all 4 bytes which catches
-    any pair agreeing on at least one byte) + popcount verification."""
+    """Near-pairs within Hamming distance via band buckets + popcount
+    verification.
+
+    Recall guarantee is the pigeonhole bound: a pair at distance d
+    differs in at most d bands, so it collides on >=1 whole band only
+    when d <= n_bands - 1.  Asking for a larger radius than the
+    banding can guarantee silently loses pairs, so it is an error —
+    raise n_bands instead (cost: candidate buckets get coarser keys of
+    SIMHASH_BITS/n_bands bits, so more bands means bigger buckets;
+    at 100 TB keep band keys >= 8 bits or move to a 64-bit simhash)."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding on {n_bands} segments only guarantees recall for "
+            f"hamming <= {n_bands - 1}; got max_hamming={max_hamming}. "
+            "Increase n_bands (pigeonhole bound)."
+        )
+    width = SIMHASH_BITS // n_bands  # band b covers bits [b*width, ...)
     fp = simhash_fingerprints(docs, text_col, id_col)
     banded = fp.select(
         "doc_id",
@@ -389,11 +405,17 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        F.shiftright(F.col("simhash"), 8 * i)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("simhash"), width * i)
+                        .bitwiseAND(
+                            F.lit(
+                                (1 << width) - 1
+                                if i < n_bands - 1
+                                else (1 << (SIMHASH_BITS - width * i)) - 1
+                            )
+                        )
                         .alias("band_key"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bk"),

@@ -48,7 +48,9 @@ DUCK_JAC = (
 )
 
 
-_DUCK_NORM_HASH = duckdb_hash64("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+# full 128-bit md5 hex — exact dedup must not truncate (collision
+# odds on 60 bits reach ~40% at 1e9 docs)
+_DUCK_NORM_HASH = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 
 
 @register(

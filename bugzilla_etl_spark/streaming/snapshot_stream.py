@@ -66,17 +66,22 @@ def _update_state(
     state: GroupState,
 ):
     """Keep the latest event per entity ((ts, event_id) max-merge of
-    prior state and this micro-batch)."""
+    prior state and this micro-batch).  Vectorized: per Arrow batch,
+    one column-wise max over ts and one idxmax over event_id within
+    the max-ts rows — no Python row loop."""
     if state.exists:
         ts, eid, etype, val = state.get
     else:
         ts, eid, etype, val = None, None, None, None
     for pdf in pdfs:
-        for _, row in pdf.iterrows():
-            cand = (row["ts"], row["event_id"])
-            if ts is None or cand > (ts, eid):
-                ts, eid = row["ts"], int(row["event_id"])
-                etype, val = row["event_type"], float(row["value"])
+        if not len(pdf):
+            continue
+        top_ts = pdf["ts"].max()
+        at_top = pdf[pdf["ts"] == top_ts]
+        row = at_top.loc[at_top["event_id"].idxmax()]
+        if ts is None or (row["ts"], row["event_id"]) > (ts, eid):
+            ts, eid = row["ts"], int(row["event_id"])
+            etype, val = row["event_type"], float(row["value"])
     state.update((ts, eid, etype, val))
     yield pd.DataFrame(
         {
@@ -108,10 +113,17 @@ def stream_dedup_events(events_stream: DataFrame) -> DataFrame:
     within the watermark horizon.  The reference gets idempotency from
     ES overwrite-by-_id at the sink; Spark-native pipelines dedup
     BEFORE downstream aggregations so replays never double-count.
-    State = seen ids newer than the 2h watermark (bounded)."""
-    return events_stream.withWatermark("ts", "2 hours").dropDuplicates(
-        ["event_id"]
-    )
+
+    ``dropDuplicatesWithinWatermark`` — NOT ``dropDuplicates``: with
+    plain dropDuplicates the watermark only evicts state when the
+    event-time column is part of the key subset, so keying on
+    event_id alone would grow seen-id state forever.  The
+    within-watermark variant expires each id once it is older than
+    the watermark delay, keeping state bounded at
+    (arrival rate x 2h) regardless of stream lifetime."""
+    return events_stream.withWatermark(
+        "ts", "2 hours"
+    ).dropDuplicatesWithinWatermark(["event_id"])
 
 
 def stream_time_rollup(events_stream: DataFrame) -> DataFrame:
@@ -135,20 +147,59 @@ def stream_time_rollup(events_stream: DataFrame) -> DataFrame:
 
 
 def stream_upsert_foreachbatch(
-    events_stream: DataFrame, state_dir: str, checkpoint_dir: str
+    events_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
 ):
-    """Micro-batch upsert: per-batch latest merged with the stored
-    state (read-modify-write of a small parquet dir; at scale this is
-    a MERGE INTO on a lakehouse table keyed by entity)."""
+    """Micro-batch upsert into entity-bucketed parquet state —
+    partition-pruned, never a full-state rewrite.
+
+    State layout: ``state_dir/bucket=N/`` where
+    ``bucket = pmod(hash(entity), n_buckets)``.  Each batch:
+
+      1. bucket the batch rows; collect the (<= n_buckets) touched
+         bucket ids — a tiny driver-side list, not data collect;
+      2. read ONLY the touched bucket directories (partition pruning
+         by path: untouched state is never read);
+      3. merge + latest-per-entity within those buckets;
+      4. write to a dot-prefixed temp dir (invisible to concurrent
+         readers — Spark's path filter skips dot/underscore paths),
+         then swap each touched bucket dir into place by rename.
+
+    A crash mid-swap leaves every bucket individually consistent
+    (old or new, never partial) and the streaming checkpoint replays
+    the batch, which converges because the merge is idempotent.  At
+    lakehouse scale the same shape is MERGE INTO on a table
+    partitioned/bucketed by entity — only matching file groups
+    rewrite.  Untouched bucket files are byte-identical across
+    batches (asserted in tests)."""
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
         from pyspark.sql import Window
 
         spark = batch.sparkSession
-        try:
-            prev = spark.read.parquet(state_dir)
-        except Exception:
-            prev = None
+        batch = batch.withColumn(
+            "bucket", F.pmod(F.hash("user_id"), F.lit(n_buckets))
+        )
+        touched = sorted(
+            r.bucket for r in batch.select("bucket").distinct().collect()
+        )
+        if not touched:
+            return
+        existing = [
+            b for b in touched if os.path.isdir(f"{state_dir}/bucket={b}")
+        ]
+        prev = (
+            spark.read.option("basePath", state_dir).parquet(
+                *[f"{state_dir}/bucket={b}" for b in existing]
+            )
+            if existing
+            else None
+        )
         merged = batch if prev is None else batch.unionByName(prev)
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()
@@ -158,11 +209,18 @@ def stream_upsert_foreachbatch(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # write to a temp dir then swap would be the production move;
-        # local test scope just rewrites (cache to cut the read-write race)
-        latest.cache().count()
-        latest.write.mode("overwrite").parquet(state_dir)
-        latest.unpersist()
+        tmp = f"{state_dir}/.swap_{batch_id}"
+        latest.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        for b in touched:
+            src, dst = f"{tmp}/bucket={b}", f"{state_dir}/bucket={b}"
+            if not os.path.isdir(src):
+                continue
+            retired = f"{state_dir}/.old_{batch_id}_{b}"
+            if os.path.isdir(dst):
+                os.rename(dst, retired)
+            os.rename(src, dst)
+            shutil.rmtree(retired, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     return (
         events_stream.writeStream.foreachBatch(upsert)

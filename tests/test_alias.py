@@ -19,15 +19,30 @@ def test_canonical_closure_chains(spark):
     assert out == {"a": "d", "b": "d", "c": "d", "x": "y"}
 
 
-def test_canonical_closure_cycle_stable(spark):
+def test_canonical_closure_cycle_resolves_to_least(spark):
+    """A 2-cycle (a<->b) must RESOLVE, not survive as two mutual
+    rows: both names collapse to the lexicographically smaller
+    canonical, and the resulting self-map is dropped."""
     mapping = spark.createDataFrame(
         [("a", "b"), ("b", "a")], "alias string, canonical string"
     )
     out = dict(
         (r.alias, r.canonical) for r in canonical_closure(mapping).collect()
     )
-    # a 2-cycle must terminate with each side pointing at the other
-    assert out == {"a": "b", "b": "a"}
+    assert out == {"b": "a"}
+
+
+def test_canonical_closure_cycle_plus_chain(spark):
+    """A chain feeding into a 2-cycle lands on the cycle's least
+    member."""
+    mapping = spark.createDataFrame(
+        [("c", "a"), ("a", "b"), ("b", "a")],
+        "alias string, canonical string",
+    )
+    out = dict(
+        (r.alias, r.canonical) for r in canonical_closure(mapping).collect()
+    )
+    assert out == {"b": "a", "c": "a"}
 
 
 def test_resolve_aliases_identity_for_unmapped(spark):

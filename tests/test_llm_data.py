@@ -40,8 +40,47 @@ def test_simhash_deterministic_across_runs(spark, sf_dir):
 
 def test_simhash_pairs_hamming_bound(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    for r in D.simhash_pairs(docs, max_hamming=6).collect():
+    for r in D.simhash_pairs(docs, max_hamming=6, n_bands=8).collect():
         assert 0 <= r.hamming <= 6
+
+
+def test_simhash_pairs_rejects_unguaranteed_radius():
+    """Pigeonhole: n_bands segments only guarantee recall for
+    d <= n_bands - 1; a wider radius must be an explicit error, not a
+    silent recall hole."""
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_pairs(None, max_hamming=6, n_bands=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_pairs(None, max_hamming=4)  # default 4 bands
+
+
+def test_simhash_pairs_banding_complete_recall(spark, sf_dir):
+    """Every pair within the radius found by brute force must appear
+    in the banded output (the guarantee the n_bands check protects)."""
+    import itertools
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    fps = dict(D.simhash_fingerprints(docs).collect())
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_pairs(docs, max_hamming=3, n_bands=4).collect()
+    }
+    assert want == got
+
+
+def test_exact_groups_full_hash_width(spark, sf_dir):
+    """Exact dedup groups on the untruncated 128-bit md5 (a 60-bit
+    key has ~40% collision odds at 1e9 docs)."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    rows = D.exact_groups(docs).collect()
+    assert rows and all(len(r.text_hash) == 32 for r in rows)
 
 
 def test_lsh_bucket_recall_against_brute_force(spark, sf_dir):

@@ -135,6 +135,108 @@ def test_stream_incremental_equals_full(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_stream_upsert_prunes_untouched_buckets(spark, tmp_path):
+    """A micro-batch touching one entity must leave every bucket
+    partition it didn't touch byte-identical on disk — the
+    partition-pruned MERGE shape, not a full-state rewrite."""
+    import datetime as dt
+    import glob
+    import hashlib
+    import os
+
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        stream_upsert_foreachbatch,
+    )
+
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    wide = [
+        (i, t0, i, "signup", float(i)) for i in range(64)
+    ]  # many buckets
+    spark.createDataFrame(wide, schema).coalesce(1).write.parquet(
+        f"{src}/slice=0"
+    )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{src}/slice=0").schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = stream_upsert_foreachbatch(
+            stream, state, str(tmp_path / ckpt)
+        ).start()
+        q.awaitTermination(120)
+
+    run("ckpt1")
+
+    def digest():
+        out = {}
+        for f in glob.glob(f"{state}/bucket=*/*.parquet"):
+            with open(f, "rb") as fh:
+                out[os.path.relpath(f, state)] = hashlib.md5(
+                    fh.read()
+                ).hexdigest()
+        return out
+
+    before = digest()
+    assert len({p.split("/")[0] for p in before}) > 4  # spread over buckets
+
+    # second batch: ONE entity updated
+    spark.createDataFrame(
+        [(1000, t0 + dt.timedelta(days=1), 7, "purchase", 1.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/slice=1")
+    run("ckpt1")
+
+    after = digest()
+    from pyspark.sql import functions as F
+
+    # compute the touched bucket the same way the operator does
+    tb = (
+        spark.createDataFrame([(7,)], "user_id long")
+        .select(F.pmod(F.hash("user_id"), F.lit(16)).alias("b"))
+        .collect()[0]
+        .b
+    )
+    untouched_before = {
+        p: h for p, h in before.items() if not p.startswith(f"bucket={tb}/")
+    }
+    untouched_after = {
+        p: h for p, h in after.items() if not p.startswith(f"bucket={tb}/")
+    }
+    assert untouched_before == untouched_after
+    # and the touched bucket did change
+    assert any(
+        before.get(p) != after.get(p)
+        for p in set(before) | set(after)
+        if p.startswith(f"bucket={tb}/")
+    )
+    # merged state is correct: entity 7 now has the new event
+    got = {
+        r.user_id: r.event_id
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got[7] == 1000 and got[0] == 0 and len(got) == 64
+
+
+def test_stream_dedup_state_uses_within_watermark():
+    """Regression: dropDuplicates keyed on event_id alone never evicts
+    state (the watermark applies only when the event-time column is in
+    the key).  The plan must use dropDuplicatesWithinWatermark."""
+    import inspect
+
+    from bugzilla_etl_spark.streaming import snapshot_stream
+
+    src = inspect.getsource(snapshot_stream.stream_dedup_events)
+    assert "dropDuplicatesWithinWatermark" in src
+
+
 def test_stream_stateful_current_state(spark, sf_dir, tmp_path):
     """applyInPandasWithState keeps the latest event per entity across
     micro-batches."""
