@@ -1,0 +1,184 @@
+"""Flag-change replay — per-version flag *sets* rebuilt from an
+add/remove change log, the most distinctive semantics of the
+reference's history parser.
+
+reference: bugzilla_etl/parse_bug_history.py
+    :292  processFlagsTableItem   (current-state flag rows)
+    :653  processFlagChange       (removed -> mark deleted w/ carry;
+                                   added -> realign-or-append)
+    :626  findFlag                (match by deformat(type) +
+                                   requestee-for-'?' / setter-otherwise)
+    :970  processFlags            (set replay per activity row)
+    :1088 deformat                (lower + U+2011 -> '-')
+
+Spark-first re-expression.  The reference replays each bug's activity
+imperatively against an in-memory flag list; the same semantics
+factor into a declarative plan because findFlag's match is (almost) a
+key equality:
+
+  match key  = deformat(request_type) + (requestee   if status '?'
+                                         else setter)   [findFlag :630-:636]
+  replay     = last change wins per (entity, match key)  ->  SCD2
+               intervals via lead(ts) over that key
+  deletion   = a 'remove' change yields status 'd', value NULL,
+               previous_status = the removed flag's own status, and
+               previous_modified_ts = ts of the last preceding 'add'
+               [processFlagChange :666-:681]
+  realign    = a later 'add' on the same key supersedes the dangling
+               deletion (the interval chain does this for free; the
+               reference's candidate scoring :693-:766 exists only
+               because its keys are implicit)
+  re-nest    = join bug-version timestamps into the key intervals,
+               aggregate the live set per version
+
+Scale shape (100 TB): one shuffle on (entity, key) for the interval
+windows, one hash join on entity (bug) whose per-key fan-out is the
+entity's own history — the identical bound the reference carries in
+memory per bug — then one aggregation shuffle.  No cross-entity data
+motion beyond hash partitioning on entity; skewed entities are single
+bugs with huge histories, bounded by Bugzilla itself (~1e4 rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# parse_bug_history.py:1088 — lower() + non-breaking hyphen U+2011
+NONBREAK_HYPHEN = "‑"
+
+
+def deformat(col: F.Column | str) -> F.Column:
+    """Fuzzy-match canonicalization of a flag type (deformat :1088)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.translate(c, NONBREAK_HYPHEN, "-"))
+
+
+def flag_match_key(
+    name: F.Column, status: F.Column, requestee: F.Column
+) -> F.Column:
+    """findFlag :630-:636 — '?' requests match on requestee, granted/
+    denied flags match on the setter (constant within an entity's
+    replay, so it reduces to a marker)."""
+    return F.concat_ws(
+        "/",
+        deformat(name),
+        F.when(status == "?", F.coalesce(requestee, F.lit(""))).otherwise(
+            F.lit("*setter*")
+        ),
+    )
+
+
+def flag_state_intervals(
+    changes: DataFrame,
+    entity: str = "user_id",
+    ts: str = "ts",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """SCD2 state intervals per (entity, flag match key).
+
+    ``changes`` columns: entity, ts (long), *tiebreak, name, status,
+    requestee, action ('add' | 'remove').
+
+    Output: entity, match_key, flag_name, requestee, cur_status,
+    previous_status, prev_add_ts, valid_from, valid_to (NULL = open).
+
+    A 'remove' produces the reference's deleted-flag marker
+    (processFlagChange :666-:681): cur_status 'd', previous_status =
+    the removed flag's own status, previous ts carried from the last
+    'add' so flag age is recoverable.
+    """
+    key = flag_match_key(F.col("name"), F.col("status"), F.col("requestee"))
+    ch = changes.withColumn("match_key", key)
+
+    w = Window.partitionBy(entity, "match_key").orderBy(ts, *tiebreak)
+    hist = w.rowsBetween(Window.unboundedPreceding, -1)
+
+    return ch.select(
+        F.col(entity),
+        "match_key",
+        deformat("name").alias("flag_name"),
+        "requestee",
+        F.when(F.col("action") == "remove", F.lit("d"))
+        .otherwise(F.col("status"))
+        .alias("cur_status"),
+        F.when(F.col("action") == "remove", F.col("status")).alias(
+            "previous_status"
+        ),
+        F.last(
+            F.when(F.col("action") == "add", F.col(ts)), ignorenulls=True
+        )
+        .over(hist)
+        .alias("prev_add_ts"),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+    )
+
+
+def flag_states_per_version(
+    intervals: DataFrame,
+    versions: DataFrame,
+    entity: str = "user_id",
+    version_ts: str = "version_ts",
+) -> DataFrame:
+    """Join version timestamps into the key intervals and aggregate
+    the live flag set per version (populateIntermediateVersionObjects'
+    per-version flags list, re-expressed as one join + one agg).
+
+    ``versions``: (entity, version_ts long), one row per bug version.
+    Output: entity, version_ts, n_active, n_deleted, flags_active,
+    flags_deleted — the sets serialized sorted + '|'-joined so the
+    driver's canonicalizer can hash them.
+    """
+    i, v = intervals.alias("i"), versions.alias("v")
+    joined = v.join(
+        i,
+        (F.col(f"i.{entity}") == F.col(f"v.{entity}"))
+        & (F.col("i.valid_from") <= F.col(f"v.{version_ts}"))
+        & (
+            F.col("i.valid_to").isNull()
+            | (F.col(f"v.{version_ts}") < F.col("i.valid_to"))
+        ),
+        "left",
+    )
+
+    active = F.col("i.cur_status").isNotNull() & (
+        F.col("i.cur_status") != "d"
+    )
+    deleted = F.col("i.cur_status") == "d"
+    # Reference flag VALUE string: name + status + '(requestee)' (:1052)
+    active_str = F.concat(
+        F.col("i.flag_name"),
+        F.col("i.cur_status"),
+        F.when(
+            (F.col("i.cur_status") == "?") & F.col("i.requestee").isNotNull(),
+            F.concat(F.lit("("), F.col("i.requestee"), F.lit(")")),
+        ).otherwise(F.lit("")),
+    )
+    # Deleted marker carries previous_status + age (duration_ms :680)
+    deleted_str = F.concat(
+        F.col("i.flag_name"),
+        F.lit(":d:prev="),
+        F.coalesce(F.col("i.previous_status"), F.lit("")),
+        F.lit(":age="),
+        F.coalesce(
+            (F.col("i.valid_from") - F.col("i.prev_add_ts")).cast("string"),
+            F.lit("-1"),
+        ),
+    )
+
+    return joined.groupBy(
+        F.col(f"v.{entity}").alias(entity),
+        F.col(f"v.{version_ts}").alias(version_ts),
+    ).agg(
+        F.count(F.when(active, F.lit(1))).alias("n_active"),
+        F.count(F.when(deleted, F.lit(1))).alias("n_deleted"),
+        F.concat_ws(
+            "|", F.sort_array(F.collect_list(F.when(active, active_str)))
+        ).alias("flags_active"),
+        F.concat_ws(
+            "|", F.sort_array(F.collect_list(F.when(deleted, deleted_str)))
+        ).alias("flags_deleted"),
+    )

@@ -1,0 +1,142 @@
+"""Sub-entity versioning — per-(entity, sub_id) state rollforward,
+re-nested into each PARENT version.  This is the reference's
+attachment handling: attachments live inside a bug's versions, but
+their fields change on their own (bug_id, attach_id) timeline.
+
+reference: bugzilla_etl/parse_bug_history.py:255
+    processAttachmentsTableItem — currBugAttachmentsMap[attach_id]
+    accumulates field mutations; created_ts = MIN(modified_ts, ...)
+           bugzilla_etl/extract_bugzilla.py:591 flatten_attachments —
+    attachment rows arrive flattened (bug_id, attach_id, field, value)
+    and are re-nested per bug version.
+
+Spark-first: the per-sub-entity mutable dict becomes SCD2 intervals
+per (entity, sub_id, field) via lead(ts); the re-nest is a join of
+parent-version timestamps into those intervals plus a two-level
+aggregation (fields -> one sub-entity doc, sub-entities -> one
+version doc).  Window order matters for shuffle reuse: the
+(entity, sub_id) running-min window runs FIRST, then the
+(entity, sub_id, field) window — hashpartitioning(entity, sub_id)
+satisfies the finer clustering (subset rule), so the second window
+adds only a sort, not an exchange.
+
+Scale shape (100 TB): one shuffle on (entity, sub_id), one hash join
+on entity with per-entity fan-out = versions x live sub-entity fields
+(the same in-memory bound the reference carries per bug), two
+aggregation shuffles for the nesting.  Nothing crosses entities.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def subentity_state_intervals(
+    changes: DataFrame,
+    entity: str = "user_id",
+    sub: str = "attach_id",
+    field: str = "field",
+    value: str = "value",
+    ts: str = "ts",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """SCD2 intervals per (entity, sub, field) + the sub-entity's
+    created_ts (running MIN of change ts — processAttachmentsTableItem
+    :286 ``att["created_ts"] = MIN(...)``).
+
+    ``changes``: entity, sub, field, value, ts (long), *tiebreak.
+    Output: entity, sub, field, value, created_ts, valid_from,
+    valid_to (NULL = open interval).
+    """
+    # (entity, sub) window FIRST: its exchange also serves the finer
+    # (entity, sub, field) window below (hash(e,s) ⊆ cluster(e,s,f)).
+    w_sub = (
+        Window.partitionBy(entity, sub)
+        .orderBy(ts, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_field = Window.partitionBy(entity, sub, field).orderBy(ts, *tiebreak)
+
+    return changes.select(
+        F.col(entity),
+        F.col(sub),
+        F.col(field),
+        F.col(value),
+        F.min(ts).over(w_sub).alias("created_ts"),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w_field).alias("valid_to"),
+    )
+
+
+def nest_per_version(
+    intervals: DataFrame,
+    versions: DataFrame,
+    entity: str = "user_id",
+    sub: str = "attach_id",
+    field: str = "field",
+    value: str = "value",
+    version_ts: str = "version_ts",
+) -> DataFrame:
+    """Re-nest sub-entity states into parent versions.
+
+    LEFT join keeps versions with zero live sub-entities (a bug
+    version with an empty attachments list).  Output per version:
+    n_subs, subs — each sub-entity serialized
+    ``a<sub>:c<created_ts>:f1=v1,f2=v2`` (fields sorted), sub-entities
+    sorted, '|'-joined — strings so the driver canonicalizer hashes
+    them.
+    """
+    i, v = intervals.alias("i"), versions.alias("v")
+    joined = v.join(
+        i,
+        (F.col(f"i.{entity}") == F.col(f"v.{entity}"))
+        & (F.col("i.valid_from") <= F.col(f"v.{version_ts}"))
+        & (
+            F.col("i.valid_to").isNull()
+            | (F.col(f"v.{version_ts}") < F.col("i.valid_to"))
+        ),
+        "left",
+    )
+
+    # Level 1: fields -> one row per (version, sub-entity)
+    per_sub = joined.groupBy(
+        F.col(f"v.{entity}").alias(entity),
+        F.col(f"v.{version_ts}").alias(version_ts),
+        F.col(f"i.{sub}").alias("_sub"),
+    ).agg(
+        F.min("i.created_ts").alias("_created"),
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.collect_list(
+                    F.concat(
+                        F.col(f"i.{field}"),
+                        F.lit("="),
+                        F.col(f"i.{value}").cast("string"),
+                    )
+                )
+            ),
+        ).alias("_fields"),
+    )
+
+    sub_str = F.concat(
+        F.lit("a"),
+        F.col("_sub").cast("string"),
+        F.lit(":c"),
+        F.col("_created").cast("string"),
+        F.lit(":"),
+        F.col("_fields"),
+    )
+    # Level 2: sub-entities -> one row per version
+    return per_sub.groupBy(entity, version_ts).agg(
+        F.count("_sub").alias("n_subs"),
+        F.concat_ws(
+            "|",
+            F.sort_array(
+                F.collect_list(F.when(F.col("_sub").isNotNull(), sub_str))
+            ),
+        ).alias("subs"),
+    )

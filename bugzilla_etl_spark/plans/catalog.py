@@ -31,6 +31,7 @@ _QUERY_MODULES = (
     "bugzilla_etl_spark.plans.queries_similarity",
     "bugzilla_etl_spark.plans.queries_multimodal",
     "bugzilla_etl_spark.plans.queries_engine",
+    "bugzilla_etl_spark.plans.queries_history",
 )
 
 _loaded = False

@@ -1,0 +1,200 @@
+"""History-replay queries — flag-set replay and attachment sub-entity
+versioning, the two deepest pieces of the reference's history parser
+(SURVEY §2 follow-ups to #1/#4/#12).
+
+The test ``events`` table has no flag strings or attachment rows, so
+— exactly like queries_etl's flag_parse — the flag/attachment change
+log is derived DETERMINISTICALLY from (event_id, user_id, event_type,
+value) with identical arithmetic on both engines.  Timestamps flow as
+epoch MICROSECOND longs end-to-end (µs is what both engines store, so
+``unix_micros`` == ``epoch_us`` bit-for-bit and no same-second
+version collisions arise).
+
+reference: parse_bug_history.py:292/:653/:626/:970/:1088 (flags),
+           :255 + extract_bugzilla.py:591 (attachments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.operators import flags as FL
+from bugzilla_etl_spark.operators import subentity as SUB
+from bugzilla_etl_spark.plans.catalog import register
+from bugzilla_etl_spark.sources import load_table
+
+# ---- deterministic flag-change synthesis (same CASEs both engines) --
+# name: every 5th event uses the UPPER-cased type, exercising
+# deformat()-keyed matching (parse_bug_history.py:1088).
+_NAME = "CASE WHEN event_id % 5 = 0 THEN upper(event_type) ELSE event_type END"
+_STATUS = (
+    "CASE WHEN event_id % 2 = 0 THEN '?' "
+    "WHEN event_id % 4 = 1 THEN '+' ELSE '-' END"
+)
+_ACTION = "CASE WHEN event_id % 3 = 0 THEN 'remove' ELSE 'add' END"
+_REQ_SPARK = (
+    "CASE WHEN event_id % 2 = 0 "
+    "THEN concat('u', CAST(event_id % 4 AS STRING), '@x') END"
+)
+_REQ_DUCK = (
+    "CASE WHEN event_id % 2 = 0 "
+    "THEN 'u' || CAST(event_id % 4 AS VARCHAR) || '@x' END"
+)
+
+
+@register(
+    "flag_state_versions",
+    oracle=f"""
+    WITH ch AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tsl,
+             {_NAME} AS name, {_STATUS} AS status,
+             {_REQ_DUCK} AS requestee, {_ACTION} AS action
+      FROM events
+    ),
+    keyed AS (
+      SELECT *,
+             lower(replace(name, chr(8209), '-')) AS flag_name,
+             lower(replace(name, chr(8209), '-')) || '/' ||
+               CASE WHEN status = '?' THEN coalesce(requestee, '')
+                    ELSE '*setter*' END AS match_key
+      FROM ch
+    ),
+    iv AS (
+      SELECT user_id, match_key, flag_name, requestee,
+             CASE WHEN action = 'remove' THEN 'd' ELSE status END
+                 AS cur_status,
+             CASE WHEN action = 'remove' THEN status END AS previous_status,
+             last_value(CASE WHEN action = 'add' THEN tsl END IGNORE NULLS)
+                 OVER (PARTITION BY user_id, match_key ORDER BY tsl, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_add_ts,
+             tsl AS valid_from,
+             lead(tsl) OVER (PARTITION BY user_id, match_key
+                             ORDER BY tsl, event_id) AS valid_to
+      FROM keyed
+    ),
+    ver AS (SELECT DISTINCT user_id, epoch_us(ts) AS version_ts FROM events)
+    SELECT v.user_id, v.version_ts,
+           count(CASE WHEN i.cur_status IS NOT NULL AND i.cur_status <> 'd'
+                      THEN 1 END) AS n_active,
+           count(CASE WHEN i.cur_status = 'd' THEN 1 END) AS n_deleted,
+           coalesce(array_to_string(list_sort(list(
+               i.flag_name || i.cur_status ||
+               CASE WHEN i.cur_status = '?' AND i.requestee IS NOT NULL
+                    THEN '(' || i.requestee || ')' ELSE '' END
+           ) FILTER (WHERE i.cur_status IS NOT NULL AND i.cur_status <> 'd')),
+               '|'), '') AS flags_active,
+           coalesce(array_to_string(list_sort(list(
+               i.flag_name || ':d:prev=' || coalesce(i.previous_status, '') ||
+               ':age=' || coalesce(CAST(i.valid_from - i.prev_add_ts
+                                        AS VARCHAR), '-1')
+           ) FILTER (WHERE i.cur_status = 'd')), '|'), '') AS flags_deleted
+    FROM ver v LEFT JOIN iv i
+      ON i.user_id = v.user_id
+     AND i.valid_from <= v.version_ts
+     AND (i.valid_to IS NULL OR v.version_ts < i.valid_to)
+    GROUP BY v.user_id, v.version_ts
+    """,
+)
+def flag_state_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-version flag sets via add/remove replay with deformat-keyed
+    matching and deleted-flag carry.
+    reference: parse_bug_history.py:653 processFlagChange,
+    :626 findFlag, :1088 deformat."""
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tsl"),
+        F.expr(_NAME).alias("name"),
+        F.expr(_STATUS).alias("status"),
+        F.expr(_REQ_SPARK).alias("requestee"),
+        F.expr(_ACTION).alias("action"),
+    )
+    iv = FL.flag_state_intervals(ch, entity="user_id", ts="tsl")
+    ver = ev.select(
+        "user_id", F.unix_micros("ts").alias("version_ts")
+    ).distinct()
+    return FL.flag_states_per_version(iv, ver).select(
+        "user_id",
+        "version_ts",
+        "n_active",
+        "n_deleted",
+        "flags_active",
+        "flags_deleted",
+    )
+
+
+@register(
+    "attachment_versions",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tsl,
+             1 + (event_id % 5) AS attach_id,
+             event_type AS field,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 2 = 0
+    ),
+    iv AS (
+      SELECT user_id, attach_id, field, cents,
+             min(tsl) OVER (PARTITION BY user_id, attach_id
+                            ORDER BY tsl, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS created_ts,
+             tsl AS valid_from,
+             lead(tsl) OVER (PARTITION BY user_id, attach_id, field
+                             ORDER BY tsl, event_id) AS valid_to
+      FROM ch
+    ),
+    ver AS (SELECT DISTINCT user_id, epoch_us(ts) AS version_ts FROM events),
+    per_sub AS (
+      SELECT v.user_id, v.version_ts, i.attach_id AS sub_id,
+             min(i.created_ts) AS created,
+             array_to_string(list_sort(list(
+                 i.field || '=' || CAST(i.cents AS VARCHAR))), ',') AS fields
+      FROM ver v LEFT JOIN iv i
+        ON i.user_id = v.user_id
+       AND i.valid_from <= v.version_ts
+       AND (i.valid_to IS NULL OR v.version_ts < i.valid_to)
+      GROUP BY v.user_id, v.version_ts, i.attach_id
+    )
+    SELECT user_id, version_ts,
+           count(sub_id) AS n_subs,
+           coalesce(array_to_string(list_sort(list(
+               'a' || CAST(sub_id AS VARCHAR) || ':c' ||
+               CAST(created AS VARCHAR) || ':' || fields
+           ) FILTER (WHERE sub_id IS NOT NULL)), '|'), '') AS subs
+    FROM per_sub
+    GROUP BY user_id, version_ts
+    """,
+)
+def attachment_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attachment sub-entity rollforward re-nested per bug version.
+    Even event_ids are attachment-field mutations (attach_id =
+    1 + event_id%5, field = event_type, value in integer cents);
+    every event still creates a parent version, so early versions
+    carry an empty attachment list.
+    reference: parse_bug_history.py:255 processAttachmentsTableItem,
+    extract_bugzilla.py:591 flatten_attachments."""
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.where(F.col("event_id") % 2 == 0).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tsl"),
+        (F.lit(1) + F.col("event_id") % 5).alias("attach_id"),
+        F.col("event_type").alias("field"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    iv = SUB.subentity_state_intervals(
+        ch, entity="user_id", sub="attach_id", field="field",
+        value="cents", ts="tsl",
+    )
+    ver = ev.select(
+        "user_id", F.unix_micros("ts").alias("version_ts")
+    ).distinct()
+    out = SUB.nest_per_version(
+        iv, ver, entity="user_id", sub="attach_id", field="field",
+        value="cents",
+    )
+    return out.select("user_id", "version_ts", "n_subs", "subs")

@@ -1,0 +1,164 @@
+"""Behavioral tests for flag-change replay and sub-entity versioning
+(reference parse_bug_history.py semantics on hand-built change logs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.operators import flags as FL
+from bugzilla_etl_spark.operators import subentity as SUB
+
+
+def _flag_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id int, event_id int, tsl long, name string, "
+        "status string, requestee string, action string"
+    )
+
+
+def _versions(spark, rows):
+    return spark.createDataFrame(rows, "user_id int, version_ts long")
+
+
+def test_flag_delete_carries_previous_status_and_age(spark):
+    # review?(a@x) added at t=100, removed at t=300 ->
+    # deleted marker with prev='?' and age=200 (processFlagChange :666)
+    ch = _flag_rows(
+        spark,
+        [
+            (1, 1, 100, "review", "?", "a@x", "add"),
+            (1, 2, 300, "review", "?", "a@x", "remove"),
+        ],
+    )
+    iv = FL.flag_state_intervals(ch, ts="tsl")
+    out = FL.flag_states_per_version(
+        iv, _versions(spark, [(1, 100), (1, 300)])
+    ).sort("version_ts")
+    r = {row["version_ts"]: row for row in out.collect()}
+    assert r[100]["flags_active"] == "review?(a@x)"
+    assert r[100]["n_deleted"] == 0
+    assert r[300]["flags_active"] == ""
+    assert r[300]["flags_deleted"] == "review:d:prev=?:age=200"
+
+
+def test_flag_deformat_matches_across_case_and_hyphen(spark):
+    # 'Sec‑Review' (U+2011) and 'sec-review' are the SAME flag key
+    # (deformat :1088): the second add supersedes, not duplicates.
+    ch = _flag_rows(
+        spark,
+        [
+            (1, 1, 100, "Sec‑Review", "+", None, "add"),
+            (1, 2, 200, "sec-review", "-", None, "add"),
+        ],
+    )
+    iv = FL.flag_state_intervals(ch, ts="tsl")
+    out = FL.flag_states_per_version(iv, _versions(spark, [(1, 250)]))
+    row = out.collect()[0]
+    assert row["n_active"] == 1
+    assert row["flags_active"] == "sec-review-"
+
+
+def test_flag_requestee_keys_requests_separately(spark):
+    # Two '?' requests of the same type to different requestees
+    # coexist; a granted '+' of that type is a third, setter-keyed
+    # flag (findFlag :630-:636).
+    ch = _flag_rows(
+        spark,
+        [
+            (1, 1, 100, "review", "?", "a@x", "add"),
+            (1, 2, 110, "review", "?", "b@x", "add"),
+            (1, 3, 120, "review", "+", None, "add"),
+        ],
+    )
+    iv = FL.flag_state_intervals(ch, ts="tsl")
+    out = FL.flag_states_per_version(iv, _versions(spark, [(1, 150)]))
+    row = out.collect()[0]
+    assert row["n_active"] == 3
+    assert row["flags_active"] == "review+|review?(a@x)|review?(b@x)"
+
+
+def test_flag_readd_supersedes_dangling_deletion(spark):
+    # add -> remove -> re-add: final state is active again, and the
+    # middle version shows the deletion (realignment :693).
+    ch = _flag_rows(
+        spark,
+        [
+            (1, 1, 100, "approval", "?", "q@x", "add"),
+            (1, 2, 200, "approval", "?", "q@x", "remove"),
+            (1, 3, 300, "approval", "?", "q@x", "add"),
+        ],
+    )
+    iv = FL.flag_state_intervals(ch, ts="tsl")
+    out = FL.flag_states_per_version(
+        iv, _versions(spark, [(1, 200), (1, 300)])
+    )
+    r = {row["version_ts"]: row for row in out.collect()}
+    assert r[200]["n_deleted"] == 1 and r[200]["n_active"] == 0
+    assert r[300]["flags_active"] == "approval?(q@x)"
+    assert r[300]["n_deleted"] == 0
+
+
+def _sub_rows(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "user_id int, event_id int, tsl long, attach_id int, "
+        "field string, cents long",
+    )
+
+
+def test_subentity_rollforward_and_nesting(spark):
+    # attach 1: status set twice (rollforward keeps latest <= T);
+    # attach 2 appears later; version before any change nests empty.
+    ch = _sub_rows(
+        spark,
+        [
+            (1, 1, 100, 1, "status", 10),
+            (1, 2, 200, 1, "status", 20),
+            (1, 3, 150, 1, "size", 5),
+            (1, 4, 250, 2, "status", 30),
+        ],
+    )
+    iv = SUB.subentity_state_intervals(
+        ch, sub="attach_id", field="field", value="cents", ts="tsl"
+    )
+    ver = _versions(spark, [(1, 50), (1, 160), (1, 260)])
+    out = SUB.nest_per_version(
+        iv, ver, sub="attach_id", field="field", value="cents"
+    )
+    r = {row["version_ts"]: row for row in out.collect()}
+    assert r[50]["n_subs"] == 0 and r[50]["subs"] == ""
+    assert r[160]["n_subs"] == 1
+    assert r[160]["subs"] == "a1:c100:size=5,status=10"
+    assert r[260]["n_subs"] == 2
+    assert r[260]["subs"] == "a1:c100:size=5,status=20|a2:c250:status=30"
+
+
+def test_subentity_created_ts_is_first_change(spark):
+    # created_ts = MIN over the sub-entity's changes
+    # (processAttachmentsTableItem :286), stable across later versions.
+    ch = _sub_rows(
+        spark,
+        [
+            (1, 1, 500, 7, "status", 1),
+            (1, 2, 900, 7, "flagged", 2),
+        ],
+    )
+    iv = SUB.subentity_state_intervals(
+        ch, sub="attach_id", field="field", value="cents", ts="tsl"
+    )
+    out = SUB.nest_per_version(
+        iv, _versions(spark, [(1, 1000)]), sub="attach_id",
+        field="field", value="cents",
+    )
+    assert out.collect()[0]["subs"] == "a7:c500:flagged=2,status=1"
+
+
+def test_subentity_single_exchange_for_both_windows(spark):
+    # hashpartitioning(entity, sub) must serve BOTH windows (subset
+    # rule) — exactly one Exchange in the interval plan.
+    ch = _sub_rows(spark, [(1, 1, 100, 1, "status", 10)])
+    iv = SUB.subentity_state_intervals(
+        ch, sub="attach_id", field="field", value="cents", ts="tsl"
+    )
+    plan = iv._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
