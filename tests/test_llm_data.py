@@ -165,3 +165,62 @@ def test_frame_sample_no_decode_in_plan(spark, sf_dir):
     plan = buf.getvalue()
     assert "MapInPandas" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+def test_invindex_df_cap_bounds_boilerplate_skew(spark):
+    """Hot-shingle guard: a 50%-boilerplate corpus must not blow up
+    the posting self-join.  With the cap binding, (a) candidate rows
+    stay under the no-boilerplate budget, (b) pairs are exact Jaccard
+    over the REDUCED shingle universe (sizes subtracted too)."""
+    # 40 docs: evens share one long boilerplate preamble (every
+    # preamble shingle has df=20); each doc also has a unique tail,
+    # and docs 2k/2k+1 share that tail (the real near-dups).
+    boiler = "terms of service apply to all content provided here "
+    rows = []
+    for i in range(40):
+        tail = f"unique payload {i // 2} alpha beta gamma delta"
+        text = (boiler + tail) if i % 2 == 0 else ("intro words " + tail)
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = D.jaccard_pairs_invindex(docs, threshold=0.3, max_df=10)
+    uncapped = D.jaccard_pairs_invindex(docs, threshold=0.3)
+
+    # (a) the join's candidate volume: Σ df² with the cap is bounded
+    # by the budget that holds when no shingle exceeds the cap.
+    from bugzilla_etl_spark.operators.dedup import _hashed_shingled
+
+    post = _hashed_shingled(docs, "text", "doc_id").select(
+        "doc_id", F.explode("shh").alias("sh")
+    )
+    dfs = post.groupBy("sh").count()
+    total = dfs.agg(F.sum(F.col("count") * F.col("count"))).collect()[0][0]
+    capped_total = (
+        dfs.where(F.col("count") <= 10)
+        .agg(F.sum(F.col("count") * F.col("count")))
+        .collect()[0][0]
+    )
+    budget = 10 * post.count()  # Σ df² ≤ max_df · |postings|
+    assert capped_total <= budget < total
+
+    # (b) exactness on the reduced universe: recompute brute-force
+    # jaccard with hot shingles removed from BOTH sets.
+    hot = {r["sh"] for r in dfs.where(F.col("count") > 10).collect()}
+    sets = {
+        r["doc_id"]: set(r["shh"]) - hot
+        for r in _hashed_shingled(docs, "text", "doc_id").collect()
+    }
+    expect = set()
+    ids = sorted(sets)
+    for a in ids:
+        for b in ids:
+            if a < b and sets[a] and sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if round(j, 4) >= 0.3:
+                    expect.add((a, b))
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == expect
+    # the cap binds: the boilerplate-only overlap pairs disappear
+    assert got != {
+        (r["doc_a"], r["doc_b"]) for r in uncapped.collect()
+    } or len(hot) == 0
