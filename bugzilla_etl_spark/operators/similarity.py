@@ -103,29 +103,75 @@ def label_blocked_neardup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    max_cell: int | None = None,
 ) -> DataFrame:
     """IVF-style near-dup pairs: candidates only within the same coarse
-    cell (label); per-cell n² stays bounded by cell size."""
+    cell (label); per-cell n² stays bounded by cell size.
+
+    ``max_cell`` is the cell-skew guard.  A skewed cell (one label
+    holding 1e6 vectors) would land its entire n² on one task.  Cells
+    larger than max_cell are split into nsplit = ceil(size/max_cell)
+    sub-cells by a deterministic salt of the vector id; every
+    unordered pair is still generated exactly once by joining the
+    sub-cell pairs (i ≤ j): a row with salt s serves as the A side of
+    buckets (s, j≥s) and the B side of buckets (i≤s, s).  Join-key
+    granularity becomes (cell, i, j), so no task sees more than
+    ~max_cell² candidates regardless of label skew; total work is the
+    same n² the exact semantics require — the guard redistributes it.
+    Results are identical to the unguarded plan (oracle unchanged);
+    replication factor per row is nsplit+1, bounded and chosen by the
+    cell's own size via a broadcast 1-row-per-cell dim."""
     t = emb.select(
         F.col(id_col).alias("vid"), F.col(label_col).alias("cell"),
         _dvec(vec_col).alias("v"),
     ).select("vid", "cell", "v", norm(F.col("v")).alias("nrm"))
-    a = t.select(
-        F.col("vid").alias("id_a"), F.col("v").alias("v_a"),
-        F.col("nrm").alias("n_a"), "cell",
-    )
-    b = t.select(
-        F.col("vid").alias("id_b"), F.col("v").alias("v_b"),
-        F.col("nrm").alias("n_b"), "cell",
-    )
-    pairs = a.join(b, on="cell").where(F.col("id_a") < F.col("id_b"))
+
+    if max_cell is None:
+        a = t.select(
+            F.col("vid").alias("id_a"), F.col("v").alias("v_a"),
+            F.col("nrm").alias("n_a"), "cell",
+        )
+        b = t.select(
+            F.col("vid").alias("id_b"), F.col("v").alias("v_b"),
+            F.col("nrm").alias("n_b"), "cell",
+        )
+        pairs = a.join(b, on="cell").where(F.col("id_a") < F.col("id_b"))
+        ida, idb = F.col("id_a"), F.col("id_b")
+    else:
+        cells = t.groupBy("cell").agg(
+            F.ceil(F.count(F.lit(1)) / max_cell).cast("int").alias("nsplit")
+        )
+        s = t.join(F.broadcast(cells), on="cell").withColumn(
+            "s", F.pmod(hash64(F.col("vid").cast("string")),
+                        F.col("nsplit")).cast("int")
+        )
+        a = s.select(
+            F.col("vid").alias("id_a"), F.col("v").alias("v_a"),
+            F.col("nrm").alias("n_a"), "cell",
+            F.col("s").alias("i"),
+            F.explode(
+                F.sequence(F.col("s"), F.col("nsplit") - 1)
+            ).alias("j"),
+        )
+        b = s.select(
+            F.col("vid").alias("id_b"), F.col("v").alias("v_b"),
+            F.col("nrm").alias("n_b"), "cell",
+            F.explode(F.sequence(F.lit(0), F.col("s"))).alias("i"),
+            F.col("s").alias("j"),
+        )
+        pairs = a.join(b, on=["cell", "i", "j"]).where(
+            (F.col("i") < F.col("j")) | (F.col("id_a") < F.col("id_b"))
+        )
+        ida = F.least(F.col("id_a"), F.col("id_b"))
+        idb = F.greatest(F.col("id_a"), F.col("id_b"))
+
     cos4 = F.round(
         pair_cosine(F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")), 4
     )
     return (
         pairs.withColumn("cos", cos4)
         .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        .select(ida.alias("id_a"), idb.alias("id_b"), "cos")
     )
 
 

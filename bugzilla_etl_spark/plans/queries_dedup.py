@@ -261,4 +261,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within IVF cells (label)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.label_blocked_neardup(emb, threshold=0.35)
+    # max_cell=128 binds at sf0.1 (largest label cell: 218 vectors)
+    # so the gate exercises the salted sub-cell plan; results are
+    # provably identical to the unguarded join (oracle unchanged).
+    return SIM.label_blocked_neardup(emb, threshold=0.35, max_cell=128)

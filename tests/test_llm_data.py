@@ -224,3 +224,40 @@ def test_invindex_df_cap_bounds_boilerplate_skew(spark):
     assert got != {
         (r["doc_a"], r["doc_b"]) for r in uncapped.collect()
     } or len(hot) == 0
+
+
+def test_neardup_cell_skew_split_identical_and_bounded(spark, sf_dir):
+    """Cell-skew guard: with max_cell forcing multi-way splits, the
+    pair set is IDENTICAL to the unguarded join, and no (cell, i, j)
+    bucket holds more than ~max_cell rows per side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in SIM.label_blocked_neardup(emb, threshold=0.2).collect()
+    }
+    split = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in SIM.label_blocked_neardup(
+            emb, threshold=0.2, max_cell=4
+        ).collect()
+    }
+    assert split == base and len(base) > 0
+
+    # side-size bound per join bucket: each sub-cell holds <=
+    # ceil(cell/nsplit) ~ max_cell rows (salt is ~uniform; allow 3x)
+    t = emb.select(
+        F.col("vec_id").alias("vid"), F.col("label").alias("cell")
+    )
+    from bugzilla_etl_spark.functions.hashing import hash64
+
+    cells = t.groupBy("cell").agg(
+        F.ceil(F.count(F.lit(1)) / 4).cast("int").alias("nsplit")
+    )
+    salted = t.join(cells, on="cell").withColumn(
+        "s", F.pmod(hash64(F.col("vid").cast("string")), F.col("nsplit"))
+    )
+    worst = (
+        salted.groupBy("cell", "s").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert worst <= 3 * 4, worst
