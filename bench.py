@@ -42,6 +42,19 @@ HEADLINE = [
     "text_quality",
     "doc_fingerprint",
     "mm_features",
+    # engine surface (BASELINE.md: first measured round sets the pin)
+    "pivot_event_counts",
+    "unpivot_measures",
+    "rollup_returns",
+    "cube_order_stats",
+    "value_percentiles",
+    "moving_average",
+    "orders_fulfillment",
+    "docs_json_roundtrip",
+    "rolling_distinct_users",
+    # history replay (round 3)
+    "flag_state_versions",
+    "attachment_versions",
 ]
 
 

@@ -101,3 +101,137 @@ def apply_diff_chain(
         )
 
     return log.groupBy(entity).applyInPandas(rebuild, schema=schema)
+
+
+def reverse_unified_diff(target: str, diff: str) -> str:
+    """Apply a unified diff BACKWARDS (new text -> old text).
+
+    This is the reference's actual direction: parsing starts from the
+    CURRENT value and rolls back through history, so each stored diff
+    must be un-applied (parse_bug_history.py:1104 ApplyDiff with
+    reverse=True; mo_logs.strings apply_diff(reverse=)).
+
+    Role swap relative to the forward applier: the '+' side ranges
+    address ``target``, '+' lines are consumed (they exist in the new
+    text), '-' lines are emitted (they existed in the old text).
+    """
+    lines = target.split("\n") if target else [""]
+    out: list[str] = []
+    pos = 0
+    in_hunks = False
+    for raw in diff.split("\n"):
+        m = HUNK_RE.match(raw)
+        if m:
+            in_hunks = True
+            dst_len = int(m.group(4)) if m.group(4) is not None else 1
+            start = int(m.group(3)) - (0 if dst_len == 0 else 1)
+            out.extend(lines[pos:start])
+            pos = start
+            continue
+        if not in_hunks and (raw.startswith("---") or raw.startswith("+++")):
+            continue
+        if not raw:
+            continue
+        tag, body = raw[0], raw[1:]
+        if tag == " ":
+            out.append(body)
+            pos += 1
+        elif tag == "+":
+            pos += 1  # present in new text only: consume, don't emit
+        elif tag == "-":
+            out.append(body)  # restored old line
+    out.extend(lines[pos:])
+    return "\n".join(out)
+
+
+def assemble_fragments(
+    log: DataFrame,
+    entity: str = "user_id",
+    ts: str = "ts",
+    frag_col: str = "frag",
+    order_col: str = "part",
+    out_col: str = "diff",
+) -> DataFrame:
+    """Reassemble values split across multiple activity records.
+
+    Bugzilla's bugs_activity column is 255 chars; long diffs/fields
+    span several rows sharing one timestamp and must be concatenated
+    in record order (parse_bug_history.py:1106 'THE BUGZILLA DIFF IS
+    ACROSS MULTIPLE RECORDS', :1193 LongField).  The reference leans
+    on its backwards-walk stack to undo the reverse arrival order;
+    declaratively the order is just an explicit sort key.  Pure
+    aggregation — one shuffle on (entity, ts), no UDF.
+    """
+    pair = F.struct(F.col(order_col).alias("o"), F.col(frag_col).alias("f"))
+    return log.groupBy(entity, ts).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(pair)), lambda x: x["f"]
+            ),
+            "",
+        ).alias(out_col)
+    )
+
+
+def rollback_diff_chain(
+    current: DataFrame,
+    changes: DataFrame,
+    entity: str = "user_id",
+    ts: str = "ts",
+    text_col: str = "text",
+    diff_col: str = "diff",
+) -> DataFrame:
+    """Reconstruct every historical value from the CURRENT text by
+    un-applying diffs newest -> oldest (the reference's rollback walk:
+    populateIntermediateVersionObjects consumes activity in reverse
+    chronological order).
+
+    ``current``: one row per entity with the present text.
+    ``changes``: (entity, ts, diff) — the stored old->new diff at ts
+    (pre-assembled if fragmented; see assemble_fragments).
+    Output: (entity, ts, value_text) — the value AS OF each change ts
+    (i.e. the text the change produced), plus one ts=NULL row per
+    entity carrying the base value before all recorded changes.
+
+    Same distribution contract as apply_diff_chain: one shuffle on
+    entity, Arrow batches, linear sequential patching per group (the
+    chain is inherently order-dependent; per-entity history is the
+    bounded unit of work exactly as in the reference's per-bug replay).
+    """
+    schema = StructType(
+        [
+            StructField(entity, LongType()),
+            StructField(ts, TimestampType()),
+            StructField("value_text", StringType()),
+        ]
+    )
+    cur = current.select(
+        F.col(entity),
+        F.lit(None).cast("timestamp").alias(ts),
+        F.lit(None).cast("string").alias(diff_col),
+        F.col(text_col).alias("_current"),
+    )
+    ch = changes.select(
+        F.col(entity), F.col(ts), F.col(diff_col),
+        F.lit(None).cast("string").alias("_current"),
+    )
+    merged = cur.unionByName(ch)
+
+    def rollback(pdf: pd.DataFrame) -> pd.DataFrame:
+        base = pdf[pdf["_current"].notna()]
+        text = str(base["_current"].iloc[0]) if len(base) else ""
+        hist = pdf[pdf["_current"].isna()].sort_values(
+            ts, ascending=False, kind="mergesort"
+        )
+        ents, tss, vals = [], [], []
+        for e, t, d in zip(hist[entity], hist[ts], hist[diff_col]):
+            ents.append(e)
+            tss.append(t)
+            vals.append(text)  # value AS OF this change (its result)
+            text = reverse_unified_diff(text, d if isinstance(d, str) else "")
+        ents.append(pdf[entity].iloc[0])
+        tss.append(pd.NaT)
+        vals.append(text)  # base value before recorded history
+        return pd.DataFrame({entity: ents, ts: tss, "value_text": vals})
+
+    return merged.groupBy(entity).applyInPandas(rollback, schema=schema)
