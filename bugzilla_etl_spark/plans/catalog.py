@@ -61,6 +61,7 @@ _PRIORITY = (
     # new this round
     "flag_state_versions",
     "attachment_versions",
+    "diff_rollback",
     # failed the r1/r2 gate, fixed since: must re-test
     "set_accumulate",
     "set_final",

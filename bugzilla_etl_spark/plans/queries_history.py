@@ -198,3 +198,69 @@ def attachment_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         value="cents",
     )
     return out.select("user_id", "version_ts", "n_subs", "subs")
+
+
+@register(
+    "diff_rollback",
+    oracle="""
+    SELECT doc_id AS user_id, 1704153600000000 AS version_ts,
+           length(text) + 7 AS value_len
+    FROM documents
+    UNION ALL
+    SELECT doc_id AS user_id, NULL AS version_ts,
+           length(text) AS value_len
+    FROM documents
+    """,
+)
+def diff_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-diff rollback with 255-char truncation reassembly:
+    the stored old->new diff for each doc is split into 100-char
+    activity fragments, reassembled in part order
+    (assemble_fragments), then UN-applied from the CURRENT text to
+    recover the pre-edit value — the reference's actual rollback
+    direction.  The oracle checks the observable timeline (per-doc
+    value length at the edit version and at base); byte-exactness of
+    the patching is covered by the difflib round-trip tests.
+    reference: parse_bug_history.py:1104 ApplyDiff(reverse=True),
+    :1193 LongField (multi-record append), bugs_activity 255-char
+    truncation."""
+    from bugzilla_etl_spark.operators.diffs import (
+        assemble_fragments,
+        rollback_diff_chain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    diff = F.concat(
+        F.lit("@@ -1,1 +1,1 @@\n-"),
+        F.col("text"),
+        F.lit("\n+EDITED "),
+        F.col("text"),
+    )
+    asm = assemble_fragments(
+        docs.select(F.col("doc_id").alias("user_id"), diff.alias("diff"))
+        .select(
+            "user_id",
+            F.lit(1704153600000000).alias("tsl"),
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, int((length(diff)-1)/100)), "
+                    "i -> substring(diff, i*100+1, 100))"
+                )
+            ).alias("part", "frag"),
+        )
+        .where(F.col("frag") != ""),
+        ts="tsl",
+    )
+    current = docs.select(
+        F.col("doc_id").alias("user_id"),
+        F.concat(F.lit("EDITED "), F.col("text")).alias("text"),
+    )
+    changes = asm.select(
+        "user_id", F.timestamp_micros("tsl").alias("ts"), "diff"
+    )
+    out = rollback_diff_chain(current, changes)
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("version_ts"),
+        F.length("value_text").alias("value_len"),
+    )
