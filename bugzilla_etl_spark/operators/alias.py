@@ -126,3 +126,100 @@ def best_canonical(pair_counts: DataFrame) -> DataFrame:
             "n_matches",
         )
     )
+
+
+def minimize_aliases(
+    counts: DataFrame, min_diff: int = 4, max_iter: int = 10
+) -> DataFrame:
+    """The reference's ITERATIVE alias minimization, structure intact
+    (alias_analysis.py:114 analysis): from per-bug cc multisets
+    (``counts``: bug_id, email, cnt — old-minus-new accumulation, so
+    negative = added-without-remove), repeat until fixpoint:
+
+      1. problems = emails with total cnt <= -(min_diff/2)
+         (:131 'ONLY COUNT NEGATIVE EMAILS', :137 threshold)
+      2. per problem, aggregate the multisets of ONLY the bugs
+         experiencing it (:150 solution_agg) and rank candidates
+      3. accept best iff it beats the runner-up by min_diff
+         (:160 'not distinctive enough' guard — and like the
+         reference, a problem with no co-occurring candidate is
+         skipped, not force-matched)
+      4. fold accepted aliases into the multisets and re-run
+         (:184 add_alias / :340 mapper)
+
+    Divergence, documented: the reference folds after EACH accepted
+    alias (sequential greedy); this accepts every distinctive problem
+    of a round simultaneously (batch-synchronous), then re-
+    canonicalizes and iterates — the standard Spark shape for
+    label-propagation-style fixpoints.  Each iteration is one
+    declarative pass: a broadcast fold join + two aggregations + a
+    window; only the empty-check and loop live on the driver, and
+    ``max_iter`` bounds lineage depth.  The mapping is dim-sized
+    throughout — no fact-table shuffle anywhere."""
+    mapping: DataFrame | None = None
+    for _ in range(max_iter):
+        if mapping is None:
+            cur = counts
+        else:
+            m = mapping.select(
+                F.col("alias").alias("__a"),
+                F.col("canonical").alias("__c"),
+            )
+            cur = (
+                counts.join(
+                    F.broadcast(m), counts["email"] == m["__a"], "left"
+                )
+                .select(
+                    "bug_id",
+                    F.coalesce("__c", "email").alias("email"),
+                    "cnt",
+                )
+                .groupBy("bug_id", "email")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        totals = cur.groupBy("email").agg(F.sum("cnt").alias("total"))
+        problems = totals.where(F.col("total") <= F.lit(-(min_diff / 2)))
+        pb = (
+            cur.where(F.col("cnt") < 0)
+            .join(F.broadcast(problems.select("email")), on="email")
+            .select(F.col("email").alias("problem"), "bug_id")
+        )
+        sol = (
+            pb.join(cur, on="bug_id")
+            .groupBy("problem", "email")
+            .agg(F.sum("cnt").alias("score"))
+        )
+        w = Window.partitionBy("problem").orderBy(
+            F.col("score").desc(), F.col("email").asc()
+        )
+        ranked = sol.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= 2
+        )
+        top2 = ranked.groupBy("problem").agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("email"))).alias(
+                "canonical"
+            ),
+            F.max(F.when(F.col("_rn") == 1, F.col("score"))).alias("best"),
+            F.max(F.when(F.col("_rn") == 2, F.col("score"))).alias(
+                "second"
+            ),
+            F.count(F.lit(1)).alias("n_cand"),
+        )
+        new = top2.where(
+            (F.col("n_cand") >= 2)
+            & (F.col("best") > F.col("second") + min_diff)
+            & (F.col("canonical") != F.col("problem"))
+        ).select(F.col("problem").alias("alias"), "canonical")
+        if new.isEmpty():
+            break
+        mapping = (
+            new if mapping is None
+            else mapping.select("alias", "canonical").unionByName(new)
+        )
+        mapping = canonical_closure(mapping)
+    if mapping is None:
+        # typed empty mapping, so callers can join unconditionally
+        return counts.sparkSession.createDataFrame(
+            [], "alias string, canonical string"
+        )
+    return mapping

@@ -62,6 +62,7 @@ _PRIORITY = (
     "flag_state_versions",
     "attachment_versions",
     "diff_rollback",
+    "alias_minimize",
     # failed the r1/r2 gate, fixed since: must re-test
     "set_accumulate",
     "set_final",

@@ -264,3 +264,78 @@ def diff_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("version_ts"),
         F.length("value_text").alias("value_len"),
     )
+
+
+# cc-change synthesis for alias minimization: each user owns bugs
+# user_id*7+k; odd users ADD under their old address ('@old') but the
+# removal records carry the current one ('@x') — exactly the
+# add-without-remove imbalance the reference mines.
+_CC_EMAIL_SPARK = (
+    "CASE WHEN event_id % 2 = 0 THEN "
+    " CASE WHEN user_id % 2 = 1 "
+    "  THEN concat('u', CAST(user_id AS STRING), '@old') "
+    "  ELSE concat('u', CAST(user_id AS STRING), '@x') END "
+    "ELSE concat('u', CAST(user_id AS STRING), '@x') END"
+)
+_CC_EMAIL_DUCK = (
+    "CASE WHEN event_id % 2 = 0 THEN "
+    " CASE WHEN user_id % 2 = 1 "
+    "  THEN 'u' || CAST(user_id AS VARCHAR) || '@old' "
+    "  ELSE 'u' || CAST(user_id AS VARCHAR) || '@x' END "
+    "ELSE 'u' || CAST(user_id AS VARCHAR) || '@x' END"
+)
+
+
+@register(
+    "alias_minimize",
+    oracle=f"""
+    WITH ch AS (
+      SELECT user_id * 7 + (event_id % 7) AS bug_id,
+             {_CC_EMAIL_DUCK} AS email,
+             CASE WHEN event_id % 2 = 0 THEN -1 ELSE 1 END AS delta
+      FROM events
+    ),
+    counts AS (SELECT bug_id, email, sum(delta) AS cnt
+               FROM ch GROUP BY 1, 2),
+    totals AS (SELECT email, sum(cnt) AS total FROM counts GROUP BY 1),
+    problems AS (SELECT email FROM totals WHERE total <= -2.0),
+    pb AS (SELECT c.email AS problem, c.bug_id
+           FROM counts c JOIN problems p ON c.email = p.email
+           WHERE c.cnt < 0),
+    sol AS (SELECT pb.problem, c.email, sum(c.cnt) AS score
+            FROM pb JOIN counts c ON c.bug_id = pb.bug_id
+            GROUP BY 1, 2),
+    ranked AS (SELECT *, row_number() OVER (
+                   PARTITION BY problem ORDER BY score DESC, email
+               ) AS rn FROM sol),
+    top2 AS (SELECT problem,
+                    max(CASE WHEN rn = 1 THEN email END) AS canonical,
+                    max(CASE WHEN rn = 1 THEN score END) AS best,
+                    max(CASE WHEN rn = 2 THEN score END) AS second,
+                    count(*) AS n_cand
+             FROM ranked WHERE rn <= 2 GROUP BY 1)
+    SELECT problem AS alias, canonical
+    FROM top2
+    WHERE n_cand >= 2 AND best > second + 4 AND canonical <> problem
+    """,
+)
+def alias_minimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative alias minimization over per-bug cc multisets
+    (alias_analysis.py:114).  The Spark side runs the GENERAL
+    fixpoint loop (minimize_aliases); on this synthesis it converges
+    after one round and the second round proves emptiness, so the
+    oracle is the single-round closed form — the iterative machinery
+    beyond round one (folding, chain closure) is covered by unit
+    tests with multi-round alias chains."""
+    from bugzilla_etl_spark.operators.alias import minimize_aliases
+
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.select(
+        (F.col("user_id") * 7 + F.col("event_id") % 7).alias("bug_id"),
+        F.expr(_CC_EMAIL_SPARK).alias("email"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(-1))
+        .otherwise(F.lit(1))
+        .alias("delta"),
+    )
+    counts = ch.groupBy("bug_id", "email").agg(F.sum("delta").alias("cnt"))
+    return minimize_aliases(counts, min_diff=4).select("alias", "canonical")

@@ -57,3 +57,43 @@ def test_resolve_aliases_identity_for_unmapped(spark):
         for r in resolve_aliases(df, mapping, ["email"]).collect()
     )
     assert out == {1: "canon@x", 2: "q@x"}
+
+
+def test_minimize_aliases_multi_round_chain(spark):
+    """The fixpoint loop must need MORE than one round here: c@ is
+    only discoverable after b@ folds into a@ (round 1 merges b->a,
+    which concentrates a@'s positive counts; round 2 then resolves
+    c->a via the chain closure)."""
+    from bugzilla_etl_spark.operators.alias import minimize_aliases
+
+    rows = []
+    # b@ added-without-remove on bugs 1..6, removals recorded as a@
+    for bug in range(1, 7):
+        rows += [(bug, "b@", -1), (bug, "a@", 1)]
+    # c@ added-without-remove on bugs 11..16; removals split between
+    # b@ and a@ so NEITHER alone beats the other by min_diff until
+    # b@ has folded into a@ (3+3 vs margin 4).
+    for bug in range(11, 17):
+        rows += [(bug, "c@", -1), (bug, "b@" if bug % 2 else "a@", 1)]
+    counts = spark.createDataFrame(
+        rows, "bug_id long, email string, cnt long"
+    )
+    m = {
+        r["alias"]: r["canonical"]
+        for r in minimize_aliases(counts, min_diff=4).collect()
+    }
+    assert m == {"b@": "a@", "c@": "a@"}
+
+
+def test_minimize_aliases_skips_indistinct(spark):
+    """A problem whose best and runner-up tie within min_diff stays
+    unmatched (the reference's 'not distinctive enough' guard)."""
+    from bugzilla_etl_spark.operators.alias import minimize_aliases
+
+    rows = []
+    for bug in range(1, 7):
+        rows += [(bug, "x@", -1), (bug, "p@" if bug % 2 else "q@", 1)]
+    counts = spark.createDataFrame(
+        rows, "bug_id long, email string, cnt long"
+    )
+    assert minimize_aliases(counts, min_diff=4).isEmpty()
