@@ -63,6 +63,7 @@ _PRIORITY = (
     "attachment_versions",
     "diff_rollback",
     "alias_minimize",
+    "stream_snapshot",
     # failed the r1/r2 gate, fixed since: must re-test
     "set_accumulate",
     "set_final",
@@ -76,6 +77,9 @@ _PRIORITY = (
 # green in BOTH r1 and r2, each either a variant of an in-window
 # sibling or a single-shuffle transform locally re-verified per run.
 _DEPRIORITY = (
+    "alias_analysis",
+    "flag_parse",
+    "private_screen",
     "merge_order_union",
     "activity_invert",
     "replicate_pending",

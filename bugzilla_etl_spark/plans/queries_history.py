@@ -339,3 +339,79 @@ def alias_minimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = ch.groupBy("bug_id", "email").agg(F.sum("delta").alias("cnt"))
     return minimize_aliases(counts, min_diff=4).select("alias", "canonical")
+
+
+@register(
+    "stream_snapshot",
+    oracle="""
+    SELECT user_id,
+           epoch_us(ts) AS last_ts,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot maintenance as an ACTUAL Structured
+    Streaming run, bounded by the availableNow trigger: file source
+    -> applyInPandasWithState latest-per-entity -> memory sink, then
+    the final state per entity is returned as a static frame.  The
+    oracle is the batch equivalence the reference's incremental loop
+    guarantees (incremental == full): streaming state must converge
+    to exactly the latest event per entity.
+    reference: bz_etl.py:172 incremental_etl (poll-since-watermark
+    loop), ES overwrite-by-id idempotency."""
+    import tempfile
+    import uuid
+
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        stream_current_state,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(path)
+    # the file-stream source requires a DIRECTORY; the test tables
+    # are single files, so expose the file through a temp dir (in
+    # production this is the landing directory the extractor drops
+    # incremental batches into)
+    import os
+
+    srcdir = tempfile.mkdtemp(prefix="bes_ssrc_")
+    os.symlink(path, os.path.join(srcdir, "events.parquet"))
+    src = spark.readStream.schema(static.schema).parquet(srcdir)
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    name = f"stream_snap_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_current_state(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bes_ss_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("last_ts").desc(), F.col("last_event_id").desc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.unix_micros("last_ts").alias("last_ts"),
+            "last_event_id",
+            "last_event_type",
+            "last_value",
+        )
+    )
