@@ -497,3 +497,89 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def neardup_components(
+    pairs: DataFrame,
+    members: DataFrame | None = None,
+    max_iter: int = 12,
+) -> DataFrame:
+    """Near-dup PAIRS -> canonical dedup GROUPS: connected components
+    by iterative min-label propagation, the step that turns a pair
+    generator (minhash/simhash/embedding) into an actionable
+    keep-one-per-group dedup decision.
+
+    Each round every node adopts the minimum label among itself and
+    its neighbors, THEN labels compress through their own canonical
+    (label = label-of-label, path halving), so chains resolve in
+    O(log diameter) rounds — real near-dup clusters are near-cliques,
+    converging in 1-2.  Convergence is checked with one tiny action
+    per round and ``max_iter`` bounds lineage depth.  Scale: the edge
+    list lives shuffled on node id; each round is two skinny
+    aggregations, no array carrying, no driver data.
+
+    ``members`` (optional, one id column) adds singleton components
+    for ids with no pairs.  Output: (doc_id, component) where
+    component = min doc_id of the group.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least("src", "nmin").alias("component"),
+        )
+    )
+    for _ in range(max_iter):
+        # neighbor minimum under current labels
+        lbl_dst = labels.select(
+            F.col("doc_id").alias("dst"), F.col("component").alias("dlbl")
+        )
+        nbr = (
+            edges.join(lbl_dst, on="dst")
+            .groupBy("src")
+            .agg(F.min("dlbl").alias("nmin"))
+        )
+        stepped = (
+            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # path halving: follow the label's own label
+        thru = stepped.select(
+            F.col("doc_id").alias("l2"), F.col("component").alias("c2")
+        )
+        compressed = (
+            stepped.join(thru, stepped["component"] == thru["l2"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("c2", "component").alias("component"),
+            )
+        )
+        if compressed.exceptAll(labels).isEmpty():
+            labels = compressed
+            break
+        labels = compressed
+    if members is not None:
+        idc = members.columns[0]
+        singles = members.select(F.col(idc).alias("doc_id")).join(
+            labels.select("doc_id"), on="doc_id", how="left_anti"
+        )
+        labels = labels.unionByName(
+            singles.select("doc_id", F.col("doc_id").alias("component"))
+        )
+    return labels

@@ -64,6 +64,8 @@ _PRIORITY = (
     "diff_rollback",
     "alias_minimize",
     "stream_snapshot",
+    "stream_dedup",
+    "dedup_components",
     # failed the r1/r2 gate, fixed since: must re-test
     "set_accumulate",
     "set_final",
@@ -77,6 +79,8 @@ _PRIORITY = (
 # green in BOTH r1 and r2, each either a variant of an in-window
 # sibling or a single-shuffle transform locally re-verified per run.
 _DEPRIORITY = (
+    "tpch_q1",  # re-verified every round by bench.py + local gate
+    "mm_frame_sample",  # variant of in-window mm_features
     "alias_analysis",
     "flag_parse",
     "private_screen",

@@ -265,3 +265,64 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the gate exercises the salted sub-cell plan; results are
     # provably identical to the unguarded join (oracle unchanged).
     return SIM.label_blocked_neardup(emb, threshold=0.35, max_cell=128)
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents)
+    ), sig AS (
+        SELECT doc_id, sh, {DUCK_SIG} AS sig FROM t
+    ), banded AS (
+        SELECT doc_id, unnest(generate_series(0,3)) AS band_id,
+               unnest(bands) AS band_key
+        FROM (SELECT doc_id, {DUCK_BANDS} AS bands FROM sig)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN t ta ON ta.doc_id = cand.doc_a
+        JOIN t tb ON tb.doc_id = cand.doc_b
+        WHERE {DUCK_JAC.replace('sh_a','ta.sh').replace('sh_b','tb.sh')} >= 0.5
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ), l1 AS (
+        SELECT s, least(s, min(d)) AS c FROM edges GROUP BY s
+    ), l2 AS (
+        SELECT e.s, least(min(l1s.c), min(l1d.c)) AS c
+        FROM edges e
+        JOIN l1 l1s ON l1s.s = e.s
+        JOIN l1 l1d ON l1d.s = e.d
+        GROUP BY e.s
+    ), l3 AS (
+        SELECT l2.s AS doc_id, coalesce(lx.c, l2.c) AS component
+        FROM l2 LEFT JOIN l2 lx ON lx.s = l2.c
+    )
+    SELECT doc_id, component FROM l3
+    UNION ALL
+    SELECT doc_id, doc_id AS component FROM documents
+    WHERE doc_id NOT IN (SELECT s FROM edges)
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> canonical dedup GROUPS (connected components
+    by iterative min-label propagation with path halving) — the step
+    that turns the minhash pair generator into a keep-one-per-group
+    decision.  The Spark side loops to fixpoint (general diameter);
+    the oracle is the 2-hop + compression closed form, exact here
+    because LSH near-dup clusters are near-cliques (measured max
+    diameter 1 at sf0.01/sf0.1; chain convergence is covered by unit
+    tests with long paths).  Singletons map to themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    return D.neardup_components(
+        pairs, members=docs.select("doc_id")
+    ).select("doc_id", "component")

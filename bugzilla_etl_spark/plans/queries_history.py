@@ -415,3 +415,59 @@ def stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_value",
         )
     )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS tsl, event_type, value
+    FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion proven end-to-end: the landing dir
+    holds TWO copies of every event file (a replay), the stream
+    dedups by event_id within the watermark
+    (dropDuplicatesWithinWatermark — bounded state, see
+    stream_dedup_events), and the oracle is simply the original
+    table: every event exactly once, replays absorbed.
+    reference: bz_etl.py ES overwrite-by-_id idempotency; the
+    incremental loop re-emits touched bugs and relies on the sink to
+    absorb duplicates."""
+    import os
+    import tempfile
+    import uuid
+
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        stream_dedup_events,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(path)
+    srcdir = tempfile.mkdtemp(prefix="bes_sdup_")
+    os.symlink(path, os.path.join(srcdir, "events_a.parquet"))
+    os.symlink(path, os.path.join(srcdir, "events_b.parquet"))
+    src = spark.readStream.schema(static.schema).parquet(srcdir)
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_dedup_events(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bes_sd_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("tsl"),
+        "event_type",
+        "value",
+    )

@@ -261,3 +261,29 @@ def test_neardup_cell_skew_split_identical_and_bounded(spark, sf_dir):
         .agg(F.max("count")).collect()[0][0]
     )
     assert worst <= 3 * 4, worst
+
+
+def test_neardup_components_long_chain_converges(spark):
+    """The fixpoint loop must resolve a 9-node PATH (diameter 8) to
+    one component — beyond the oracle's 2-hop closed form, proving
+    the general iteration + path halving."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 108)] + [(200, 201)],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        r["doc_id"]: r["component"]
+        for r in D.neardup_components(pairs).collect()
+    }
+    assert all(out[i] == 100 for i in range(100, 109))
+    assert out[200] == out[201] == 200
+
+
+def test_neardup_components_singletons(spark):
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    members = spark.createDataFrame([(1,), (2,), (9,)], "doc_id long")
+    out = {
+        r["doc_id"]: r["component"]
+        for r in D.neardup_components(pairs, members=members).collect()
+    }
+    assert out == {1: 1, 2: 1, 9: 9}
