@@ -52,9 +52,13 @@ HEADLINE = [
     "orders_fulfillment",
     "docs_json_roundtrip",
     "rolling_distinct_users",
-    # history replay (round 3)
+    # history replay + iterative ops (round 3; streaming queries are
+    # excluded — availableNow trigger startup dominates their wall)
     "flag_state_versions",
     "attachment_versions",
+    "diff_rollback",
+    "alias_minimize",
+    "dedup_components",
 ]
 
 
