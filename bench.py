@@ -59,6 +59,14 @@ HEADLINE = [
     "diff_rollback",
     "alias_minimize",
     "dedup_components",
+    # training-data pipeline extensions (round 3)
+    "decontam_overlap",
+    "quality_repetition",
+    "dedup_chunk",
+    "ann_ivf",
+    # rotated past the driver's 50-row gate cap -> timed here instead
+    "token_count",
+    "ann_lsh_buckets",
 ]
 
 

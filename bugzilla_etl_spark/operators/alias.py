@@ -85,6 +85,7 @@ def canonical_closure(mapping: DataFrame, max_iter: int = 8) -> DataFrame:
     rows surviving the fixed point unresolved.  Self-maps are removed
     from the result."""
     cur = mapping.select("alias", "canonical")
+    owned: DataFrame | None = None  # persisted frames created here
     for _ in range(max_iter):
         nxt = cur.select(
             F.col("alias").alias("a2"), F.col("canonical").alias("c2")
@@ -100,12 +101,18 @@ def canonical_closure(mapping: DataFrame, max_iter: int = 8) -> DataFrame:
                 .otherwise(F.coalesce(F.col("c2"), F.col("canonical")))
                 .alias("canonical"),
             )
+            # pin each round: the fixpoint check + next round otherwise
+            # re-execute the whole join chain back to the input (the
+            # lineage doubles per iteration, so actions go quadratic)
+            .persist()
         )
         # fixed-point check on a tiny dim is one cheap action
-        if stepped.exceptAll(cur).isEmpty():
-            cur = stepped
+        done = stepped.exceptAll(cur).isEmpty()
+        if owned is not None:
+            owned.unpersist()
+        owned = cur = stepped
+        if done:
             break
-        cur = stepped
     return cur.where(F.col("alias") != F.col("canonical"))
 
 
@@ -156,7 +163,14 @@ def minimize_aliases(
     window; only the empty-check and loop live on the driver, and
     ``max_iter`` bounds lineage depth.  The mapping is dim-sized
     throughout — no fact-table shuffle anywhere."""
+    # Every round reads `cur` three times (totals, problem postings,
+    # solution join) and runs 1-2 actions; unpinned, each action would
+    # recompute the full lineage back through the fact-table
+    # aggregation that produced `counts` — persist the base once and
+    # each round's folded multiset.
+    counts = counts.persist()
     mapping: DataFrame | None = None
+    prev_cur: DataFrame | None = None
     for _ in range(max_iter):
         if mapping is None:
             cur = counts
@@ -176,6 +190,7 @@ def minimize_aliases(
                 )
                 .groupBy("bug_id", "email")
                 .agg(F.sum("cnt").alias("cnt"))
+                .persist()
             )
         totals = cur.groupBy("email").agg(F.sum("cnt").alias("total"))
         problems = totals.where(F.col("total") <= F.lit(-(min_diff / 2)))
@@ -209,14 +224,20 @@ def minimize_aliases(
             (F.col("n_cand") >= 2)
             & (F.col("best") > F.col("second") + min_diff)
             & (F.col("canonical") != F.col("problem"))
-        ).select(F.col("problem").alias("alias"), "canonical")
-        if new.isEmpty():
+        ).select(F.col("problem").alias("alias"), "canonical").persist()
+        empty = new.isEmpty()
+        if prev_cur is not None:
+            prev_cur.unpersist()
+        prev_cur = cur if cur is not counts else None
+        if empty:
+            new.unpersist()
             break
         mapping = (
             new if mapping is None
             else mapping.select("alias", "canonical").unionByName(new)
         )
         mapping = canonical_closure(mapping)
+    counts.unpersist()
     if mapping is None:
         # typed empty mapping, so callers can join unconditionally
         return counts.sparkSession.createDataFrame(

@@ -540,6 +540,7 @@ def neardup_components(
             F.least("src", "nmin").alias("component"),
         )
     )
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(max_iter):
         # neighbor minimum under current labels
         lbl_dst = labels.select(
@@ -569,11 +570,16 @@ def neardup_components(
                 "doc_id",
                 F.coalesce("c2", "component").alias("component"),
             )
+            # pin each round: the convergence check and the next round
+            # would otherwise re-execute every earlier round's joins
+            # (lineage grows per iteration -> quadratic recompute)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        if compressed.exceptAll(labels).isEmpty():
-            labels = compressed
-            break
+        done = compressed.exceptAll(labels).isEmpty()
+        labels.unpersist()
         labels = compressed
+        if done:
+            break
     if members is not None:
         idc = members.columns[0]
         singles = members.select(F.col(idc).alias("doc_id")).join(
@@ -583,3 +589,103 @@ def neardup_components(
             singles.select("doc_id", F.col("doc_id").alias("component"))
         )
     return labels
+
+
+def decontam_overlap(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the count of
+    distinct n-gram shingles it shares with an EVAL corpus, plus a
+    contaminated flag — the standard pre-training hygiene pass that
+    drops documents leaking evaluation data.
+
+    Scale shape (100 TB corpus, MB-scale benchmark): the eval shingle
+    set is hashed to longs and BROADCAST — the corpus-side explode
+    joins map-side with zero shuffle of training data, then one
+    partial-agg count per doc.  Hash collisions (60-bit) only ever
+    ADD a false hit, i.e. decontamination stays conservative.
+    reference scope: beyond Bugzilla-ETL — training-data pipeline
+    extension (same family as dedup_*)."""
+    ev = (
+        _hashed_shingled(eval_docs, text_col, id_col)
+        .select(F.explode("shh").alias("sh"))
+        .distinct()
+    )
+    tr = _hashed_shingled(docs, text_col, id_col)
+    hits = (
+        tr.select("doc_id", F.explode("shh").alias("sh"))
+        .join(F.broadcast(ev), on="sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        tr.select("doc_id")
+        .join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.when(F.coalesce("n_overlap", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .alias("contaminated"),
+        )
+    )
+
+
+def chunk_shared_stats(
+    docs: DataFrame,
+    width: int = 64,
+    stride: int = 32,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-chunk dedup / boilerplate detection: slide a
+    width-char window (stride chars apart) over each text, hash the
+    chunks, and report per doc how many of its distinct chunks appear
+    in >= min_df documents — catching copied PASSAGES (headers,
+    license blocks, templated boilerplate) that document-level
+    dedup can't see.
+
+    Plan: chunking is a per-row array expression (sequence +
+    substring inside one SQL transform — no UDF, no O(len²)), then
+    explode -> df-count per chunk hash (one shuffle, partial aggs)
+    -> join postings back to the df table on the agg's own
+    partitioning -> per-doc count (second shuffle).  The join is 1:1
+    per posting row, so hot chunks fan out no further than their own
+    posting count — the Σdf² blowup of pair-generating designs never
+    appears (this operator COUNTS sharing, it doesn't enumerate
+    pairs)."""
+    chunk_expr = (
+        f"transform(sequence(0, (greatest(length({text_col}) - {width}, 0) "
+        f"div {stride})), i -> substring({text_col}, i * {stride} + 1, "
+        f"{width}))"
+    )
+    ch = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(F.expr(chunk_expr), lambda c: hash64(c))
+            )
+        ).alias("chash"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    df = ch.groupBy("chash").agg(F.count(F.lit(1)).alias("df"))
+    shared = F.col("df") >= min_df
+    return (
+        ch.join(df, on="chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(shared, 1)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_chunks"), 4).alias(
+                "shared_frac"
+            ),
+        )
+    )

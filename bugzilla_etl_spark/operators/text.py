@@ -53,6 +53,19 @@ def shingles(tok: Column, n: int = 3) -> Column:
     return F.array_distinct(F.filter(z, lambda x: x.isNotNull()))
 
 
+def bigrams(tok: Column) -> Column:
+    """ALL adjacent token bigrams, multiplicities preserved —
+    repetition metrics need counts, unlike shingles() which dedups
+    for set semantics.  Same zip_with/slice shape (arguments evaluate
+    once per row; see shingles() for why transform+element_at is
+    O(tokens²) here)."""
+    shifted = F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0)))
+    return F.filter(
+        F.zip_with(tok, shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+
+
 def stopword_hits(tok: Column, stopwords=EN_STOPWORDS) -> Column:
     """Count of tokens that are stopwords (filter + size: no shuffle)."""
     sw = F.array(*[F.lit(s) for s in stopwords])

@@ -32,6 +32,7 @@ _QUERY_MODULES = (
     "bugzilla_etl_spark.plans.queries_multimodal",
     "bugzilla_etl_spark.plans.queries_engine",
     "bugzilla_etl_spark.plans.queries_history",
+    "bugzilla_etl_spark.plans.queries_pipeline",
 )
 
 _loaded = False
@@ -66,6 +67,10 @@ _PRIORITY = (
     "stream_snapshot",
     "stream_dedup",
     "dedup_components",
+    "decontam_overlap",
+    "quality_repetition",
+    "dedup_chunk",
+    "ann_ivf",
     # failed the r1/r2 gate, fixed since: must re-test
     "set_accumulate",
     "set_final",
@@ -81,6 +86,14 @@ _PRIORITY = (
 _DEPRIORITY = (
     "tpch_q1",  # re-verified every round by bench.py + local gate
     "mm_frame_sample",  # variant of in-window mm_features
+    # rotated out for the round-3 pipeline additions (all driver-green
+    # r1+r2 AND bench headliners, so still timed + locally gated every
+    # round); mm_features stays in-window — rows-only queries have no
+    # local-oracle mirror, the driver row is their only record.
+    "doc_fingerprint",
+    "ann_topk",
+    "ann_lsh_buckets",
+    "token_count",
     "alias_analysis",
     "flag_parse",
     "private_screen",

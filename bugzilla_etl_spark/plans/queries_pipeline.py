@@ -1,0 +1,241 @@
+"""Training-data pipeline extensions beyond the reference's own
+surface (same family as the dedup/text blocks): benchmark
+decontamination, repetition-based quality rules, substring-chunk
+boilerplate detection, and IVF approximate nearest neighbour —
+the four ops a 100 TB pre-training corpus pipeline runs between
+raw crawl and tokenizer that SURVEY §2 #26-#36 didn't already cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.functions.hashing import duckdb_hash64
+from bugzilla_etl_spark.operators import dedup as D
+from bugzilla_etl_spark.operators import similarity as SIM
+from bugzilla_etl_spark.operators import text as T
+from bugzilla_etl_spark.plans.catalog import register
+from bugzilla_etl_spark.plans.queries_dedup import (
+    DUCK_SHINGLES,
+    DUCK_TOKENS,
+)
+from bugzilla_etl_spark.sources import load_table
+
+# hashed shingle sets (mirrors dedup._hashed_shingled, order-free)
+_DUCK_SHH = "list_transform(sh, s -> " + duckdb_hash64("s") + ")"
+
+
+@register(
+    "decontam_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_SHH} AS shh
+        FROM (SELECT doc_id, {DUCK_SHINGLES} AS sh
+              FROM (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents))
+    ), ev AS (
+        SELECT DISTINCT unnest(shh) AS sh FROM t WHERE doc_id % 20 = 0
+    ), tr AS (
+        SELECT doc_id, unnest(shh) AS sh FROM t WHERE doc_id % 20 <> 0
+    ), hits AS (
+        SELECT doc_id, count(*) AS n_overlap
+        FROM tr JOIN ev USING (sh) GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+           CASE WHEN coalesce(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END
+               AS contaminated
+    FROM t LEFT JOIN hits h USING (doc_id)
+    WHERE t.doc_id % 20 <> 0
+    """,
+)
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th doc plays the held-out
+    eval set; training docs report how many distinct 3-gram shingles
+    they share with it.  Eval shingles broadcast (benchmarks are MB
+    against a 100 TB corpus), so the corpus never shuffles for the
+    probe — see operators.dedup.decontam_overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    tr = docs.where(F.col("doc_id") % 20 != 0)
+    return D.decontam_overlap(tr, ev)
+
+
+@register(
+    "quality_repetition",
+    oracle=f"""
+    WITH tkt AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
+    base AS (
+        SELECT doc_id, len(tk) AS n_tokens,
+               len(list_distinct(tk)) AS n_uniq
+        FROM tkt
+    ), grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                              i -> tk[i] || ' ' || tk[i+1])) AS gram
+        FROM tkt
+    ), gc AS (
+        SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+    ), gs AS (
+        SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams,
+               count(*) AS n_uniq_grams
+        FROM gc GROUP BY 1
+    )
+    SELECT b.doc_id,
+           round(n_uniq::DOUBLE / greatest(n_tokens, 1), 4)
+               AS uniq_token_ratio,
+           round(coalesce(top_c, 0)::DOUBLE
+                 / greatest(coalesce(n_grams, 0), 1), 4) AS top_bigram_frac,
+           round(1.0 - coalesce(n_uniq_grams, 0)::DOUBLE
+                 / greatest(coalesce(n_grams, 1), 1), 4) AS dup_bigram_frac,
+           CASE WHEN round(1.0 - coalesce(n_uniq_grams, 0)::DOUBLE
+                      / greatest(coalesce(n_grams, 1), 1), 4) <= 0.05
+                 AND round(n_uniq::DOUBLE / greatest(n_tokens, 1), 4) >= 0.35
+                THEN 1 ELSE 0 END AS repetition_keep
+    FROM base b LEFT JOIN gs USING (doc_id)
+    """,
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality rules (the Gopher-rule family):
+    distinct-token ratio, most-frequent-bigram mass, duplicated-
+    bigram mass, and a keep flag.  Per-doc base stats are pure array
+    expressions; bigram multiplicity stats go through explode + two
+    partial-aggregated groupBys (count shuffles only touch skinny
+    (doc_id, gram) rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = T.tokens("text")
+    base = docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_uniq"),
+    )
+    gc = (
+        docs.select("doc_id", F.explode(T.bigrams(tok)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gs = gc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_uniq_grams"),
+    )
+    uniq_ratio = F.round(
+        F.col("n_uniq") / F.greatest(F.col("n_tokens"), F.lit(1)), 4
+    )
+    top_frac = F.round(
+        F.coalesce(F.col("top_c"), F.lit(0))
+        / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)),
+        4,
+    )
+    dup_frac = F.round(
+        1.0
+        - F.coalesce(F.col("n_uniq_grams"), F.lit(0))
+        / F.greatest(F.coalesce(F.col("n_grams"), F.lit(1)), F.lit(1)),
+        4,
+    )
+    return base.join(gs, on="doc_id", how="left").select(
+        "doc_id",
+        uniq_ratio.alias("uniq_token_ratio"),
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        F.when((dup_frac <= 0.05) & (uniq_ratio >= 0.35), 1)
+        .otherwise(0)
+        .alias("repetition_keep"),
+    )
+
+
+# Exactly one chunk WIDTH of boilerplate so every 3rd doc shares its
+# chunk 0 (the license-header / nav-bar case chunk dedup exists for).
+_BOILER = (
+    "subscribe to our newsletter | copyright acme corp | all rights x"
+)
+assert len(_BOILER) == 64, len(_BOILER)
+_CHUNK_H = duckdb_hash64("substr(text, i*32+1, 64)")
+
+
+@register(
+    "dedup_chunk",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN '{_BOILER}' || text
+                    ELSE text END AS text
+        FROM documents
+    ), ch AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(0, (greatest(length(text) - 64, 0) // 32) + 1),
+                   i -> {_CHUNK_H}))) AS chash
+        FROM d
+    ), df AS (SELECT chash, count(*) AS df FROM ch GROUP BY 1)
+    SELECT doc_id, count(*) AS n_chunks,
+           count(CASE WHEN df >= 2 THEN 1 END) AS n_shared,
+           round(count(CASE WHEN df >= 2 THEN 1 END)::DOUBLE / count(*), 4)
+               AS shared_frac
+    FROM ch JOIN df USING (chash)
+    GROUP BY doc_id
+    """,
+)
+def dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-chunk boilerplate detection (64-char window, stride
+    32): per doc, the fraction of its distinct chunks appearing in
+    >= 2 documents.  Every 3rd doc gets a one-chunk boilerplate
+    header prepended (same expression both engines) so the operator
+    has passage-level sharing to find on top of the corpus's planted
+    whole-doc dups.  See operators.dedup.chunk_shared_stats for the
+    count-don't-enumerate scale shape."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BOILER), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return D.chunk_shared_stats(docs, width=64, stride=32, min_df=2)
+
+
+_DUCK_VCOS = (
+    "round(list_dot_product({a}.v, {b}.v) / greatest({a}.nr * {b}.nr,"
+    " 1e-12), 4)"
+)
+
+
+@register(
+    "ann_ivf",
+    oracle=f"""
+    WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nr FROM t),
+    c AS (SELECT vec_id AS cid, v, nr FROM n WHERE vec_id % 25 = 0),
+    scored AS (
+        SELECT n.vec_id, c.cid, {_DUCK_VCOS.format(a='n', b='c')} AS cos
+        FROM n CROSS JOIN c
+    ), asg AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos DESC, cid ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), cand AS (
+        SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+               {_DUCK_VCOS.format(a='nq', b='na')} AS cos
+        FROM asg q
+        JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+        JOIN n nq ON nq.vec_id = q.vec_id
+        JOIN n na ON na.vec_id = a.vec_id
+        WHERE q.vec_id % 50 = 0
+    )
+    SELECT query_id, cand_id, cos, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM cand
+    ) WHERE rank <= 3
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: every 25th vector is a centroid (the k-means step is
+    a training-time concern; any centroid table slots in), assignment
+    is a map-only broadcast fold (no corpus shuffle — see
+    operators.similarity.ivf_assign), search ranks exact cosine
+    within the query's cell only (nprobe=1).  Complements ann_topk
+    (exact baseline) and ann_lsh_buckets (hyperplane path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") % 25 == 0)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return SIM.ivf_search_topk(emb, cents, queries, k=3)

@@ -287,3 +287,115 @@ def test_neardup_components_singletons(spark):
         for r in D.neardup_components(pairs, members=members).collect()
     }
     assert out == {1: 1, 2: 1, 9: 9}
+
+
+# ---- round-3 pipeline extensions -----------------------------------
+
+
+def test_bigrams_preserve_multiplicity(spark):
+    from bugzilla_etl_spark.operators.text import bigrams, tokens
+
+    df = spark.createDataFrame([("a b a b a",)], "text string")
+    [row] = df.select(bigrams(tokens("text")).alias("g")).collect()
+    assert row.g == ["a b", "b a", "a b", "b a"]
+
+
+def test_decontam_flags_planted_leak(spark):
+    """A train doc that quotes an eval doc verbatim must be flagged;
+    an unrelated doc must not."""
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "intro words alpha beta gamma delta closing words"),
+            (2, "qq ww ee rr tt yy uu ii"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.decontam_overlap(tr, ev).collect()}
+    assert out[1].contaminated == 1 and out[1].n_overlap >= 2
+    assert out[2].contaminated == 0 and out[2].n_overlap == 0
+
+
+def test_chunk_stats_finds_shared_passage(spark):
+    """Two docs sharing ONLY an aligned 64-char header must each
+    report exactly one shared chunk; a third unrelated doc none."""
+    header = "H" * 64
+    docs = spark.createDataFrame(
+        [
+            (1, header + "x" * 100),
+            (2, header + "y" * 100),
+            (3, "z" * 200),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in D.chunk_shared_stats(docs, width=64, stride=32).collect()
+    }
+    assert out[1].n_shared == 1 and out[2].n_shared == 1
+    assert out[3].n_shared == 0
+    assert all(0.0 <= out[i].shared_frac <= 1.0 for i in out)
+
+
+def test_ivf_assign_matches_windowed_argmax(spark, sf_dir):
+    """The map-only fold must pick the identical cell the
+    crossJoin+window formulation picks for every vector."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") % 25 == 0)
+    fold = {
+        r.vid: r.cell for r in SIM.ivf_assign(emb, cents).collect()
+    }
+
+    t = emb.select(
+        F.col("vec_id").alias("vid"),
+        SIM._dvec("embedding").alias("v"),
+    ).select("vid", "v", SIM.norm(F.col("v")).alias("vn"))
+    c = cents.select(
+        F.col("vec_id").alias("cid"), SIM._dvec("embedding").alias("cv")
+    ).select("cid", "cv", SIM.norm(F.col("cv")).alias("cn"))
+    w = Window.partitionBy("vid").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    ref = {
+        r.vid: r.cid
+        for r in t.crossJoin(F.broadcast(c))
+        .withColumn(
+            "cos",
+            F.round(
+                SIM.pair_cosine(
+                    F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")
+                ),
+                4,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert fold == ref
+
+
+def test_ivf_candidates_stay_in_cell(spark, sf_dir):
+    """Every reported neighbour must share the query's cell, ranks
+    dense from 1, cosine non-increasing per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") % 25 == 0)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    cell = {r.vid: r.cell for r in SIM.ivf_assign(emb, cents).collect()}
+    rows = SIM.ivf_search_topk(emb, cents, queries, k=3).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        assert cell[r.cand_id] == cell[r.query_id]
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(
+            rs[i].cos >= rs[i + 1].cos for i in range(len(rs) - 1)
+        )
