@@ -64,6 +64,12 @@ HEADLINE = [
     "quality_repetition",
     "dedup_chunk",
     "ann_ivf",
+    # corpus-curation block (round 3, cont.)
+    "quota_sample",
+    "seq_packing",
+    "shuffle_shards",
+    "mix_weights",
+    "pii_scrub",
     # rotated past the driver's 50-row gate cap -> timed here instead
     "token_count",
     "ann_lsh_buckets",

@@ -1,0 +1,168 @@
+"""Corpus-curation operators: deterministic sampling, domain quotas,
+sequence packing, shard shuffling, and mixture planning — the steps
+between a deduped corpus and a tokenizer in a training-data pipeline.
+
+Everything here is driven by the portable key hash
+(functions.hashing.hash64) instead of ``rand()``: selections are
+reproducible across engines, runs, and *incremental extensions* of
+the corpus — a doc's sample/shard/pack position never flips when new
+data arrives, which is what makes ablations and resumable jobs
+possible at 100 TB.
+
+Scale shapes:
+- ``quota_sample``     — one shuffle on the group key (the window);
+                         output bounded by quota x |groups|.
+- ``pack_sequences``   — one shuffle on the stream key; the running
+                         token sum is a single window cumsum, no
+                         driver loop, no second pass.
+- ``shuffle_shards``   — one shuffle on the computed shard id (which
+                         IS the training-data write partitioning, so
+                         the sort feeds the sink for free).
+- ``mix_weights``      — two skinny aggregations (domain partials,
+                         then a broadcast-size total); never touches
+                         text after the token count.
+
+reference scope note: the reference ETL has no corpus-curation stage
+(it ships documents 1:1 to ES); these extend SURVEY §2's
+LLM-data-pipeline block (#26-#42).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.functions.hashing import hash64
+
+
+def _keyed(col: Column | str, salt: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return hash64(F.concat(F.lit(salt), c.cast("string")))
+
+
+def quota_sample(
+    df: DataFrame,
+    group: str,
+    key: str,
+    quota: int,
+    salt: str = "q:",
+) -> DataFrame:
+    """Cap each group at ``quota`` rows, chosen by the portable hash
+    of ``key`` (a deterministic uniform sample within the group).
+
+    Unlike fractional sampling (sample_stratified), a quota bounds
+    the CONTRIBUTION of any one domain — the over-represented-crawl
+    guard in data-mixing recipes.  One shuffle (window on group);
+    ties broken by key so the result is total-ordered and stable.
+    Output: input columns + ``rk`` (1-based rank within the group).
+    """
+    w = Window.partitionBy(group).orderBy(
+        _keyed(key, salt).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= quota)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    stream: str,
+    key: str,
+    n_tokens: str,
+    budget: int,
+    salt: str = "p:",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each ``stream``,
+    docs are laid end-to-end in hash-of-``key`` order and cut into
+    fixed ``budget``-token training sequences; a doc may span a
+    boundary (the GPT-style packing that wastes zero pad tokens).
+
+    The layout is one window cumsum: a doc's start offset is the
+    running token total before it, so
+        seq_id        = start_offset div budget
+        offset_in_seq = start_offset mod budget
+    Deterministic (hash order), resumable (appending new docs only
+    extends each stream's tail), and one shuffle on ``stream``.
+    Output: input columns + seq_id, offset_in_seq.
+    """
+    w = (
+        Window.partitionBy(stream)
+        .orderBy(_keyed(key, salt).asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(n_tokens).over(w) - F.col(n_tokens)).cast("long")
+    return df.select(
+        "*",
+        (start / budget).cast("long").alias("seq_id"),
+        (start % budget).alias("offset_in_seq"),
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    shard_salt: str = "s:",
+    order_salt: str = "o:",
+) -> DataFrame:
+    """Deterministic global shuffle for training-order: each row gets
+    a shard (hash mod n_shards) and a position within the shard
+    (rank by an INDEPENDENT hash, so shard assignment and intra-shard
+    order are uncorrelated).  This is the write-path op that turns a
+    curated corpus into shuffled training shards without ``rand()``
+    — rerunning produces byte-identical shards, and the shard id is
+    the sink partitioning (partitionBy('shard')), so the single
+    shuffle here is the one the write needs anyway.
+    Output: input columns + shard, pos (1-based within shard).
+    """
+    shard = _keyed(key, shard_salt) % n_shards
+    w = Window.partitionBy(shard).orderBy(
+        _keyed(key, order_salt).asc(), F.col(key).asc()
+    )
+    return df.select(
+        "*", shard.alias("shard"), F.row_number().over(w).alias("pos")
+    )
+
+
+def mix_weights(
+    df: DataFrame,
+    domain: str,
+    n_tokens: str,
+    target_frac: dict[str, float] | None = None,
+) -> DataFrame:
+    """Mixture planning: per-domain token mass -> natural share ->
+    repeat factor needed to hit the target share (uniform across
+    domains unless ``target_frac`` overrides).  ``repeat_factor`` > 1
+    means the domain is up-sampled (epochs over it), < 1 down-sampled
+    — the knob data-mixing recipes tune.  Two skinny aggregations;
+    the per-domain table is broadcast-size by construction.
+    Output: domain, n_docs, n_tokens, natural_frac, target, repeat_factor.
+    """
+    per = df.groupBy(domain).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).cast("long").alias("n_tokens"),
+    )
+    # corpus totals as a broadcast 1-row join, not a global window —
+    # same value, but no single-partition WindowExec in the plan
+    totals = per.agg(
+        F.sum("n_tokens").alias("_tot_tokens"),
+        F.count(F.lit(1)).alias("_n_domains"),
+    )
+    per = per.crossJoin(F.broadcast(totals))
+    natural = F.col("n_tokens") / F.col("_tot_tokens")
+    if target_frac is None:
+        target = F.lit(1.0) / F.col("_n_domains")
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target_frac.items() for x in kv]
+        )
+        target = mapping[F.col(domain)]
+    return per.select(
+        domain,
+        "n_docs",
+        "n_tokens",
+        F.round(natural, 6).alias("natural_frac"),
+        F.round(target, 6).alias("target"),
+        F.round(target / natural, 4).alias("repeat_factor"),
+    )

@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "bugzilla_etl_spark.plans.queries_engine",
     "bugzilla_etl_spark.plans.queries_history",
     "bugzilla_etl_spark.plans.queries_pipeline",
+    "bugzilla_etl_spark.plans.queries_sampling",
 )
 
 _loaded = False
@@ -71,6 +72,13 @@ _PRIORITY = (
     "quality_repetition",
     "dedup_chunk",
     "ann_ivf",
+    "quota_sample",
+    "seq_packing",
+    "shuffle_shards",
+    "mix_weights",
+    "pii_scrub",
+    # rows-only: the driver row is its only value record, keep in-window
+    "mm_features",
     # failed the r1/r2 gate, fixed since: must re-test
     "set_accumulate",
     "set_final",
@@ -109,6 +117,15 @@ _DEPRIORITY = (
     "topk_per_group",
     "events_sessionize_native",
     "sample_stratified",
+    # rotated out for the round-3 sampling/PII additions: all
+    # driver-green r1+r2, unchanged since, pure single-shuffle or
+    # map-only plans re-verified by the local gate every round
+    "lang_id",
+    "text_quality",
+    "tfidf_top_terms",
+    "key_skew_stats",
+    "snapshot_asof",
+    "dedup_latest",
 )
 
 

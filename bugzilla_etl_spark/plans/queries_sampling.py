@@ -1,0 +1,227 @@
+"""Corpus-curation queries — the sampling/packing/mixing/PII stage of
+a training-data pipeline (between dedup and the tokenizer), over the
+``documents`` table.  All selection is portable-hash-driven (never
+``rand()``) so every result is reproducible across engines, runs, and
+incremental corpus extensions — see operators/sampling.py for the
+scale shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.functions.hashing import duckdb_hash64
+from bugzilla_etl_spark.operators import sampling as S
+from bugzilla_etl_spark.operators import text as T
+from bugzilla_etl_spark.plans.catalog import register
+from bugzilla_etl_spark.plans.queries_dedup import DUCK_TOKENS
+from bugzilla_etl_spark.sources import load_table
+
+_H_QUOTA = duckdb_hash64("('q:' || CAST(doc_id AS VARCHAR))")
+_H_PACK = duckdb_hash64("('p:' || CAST(doc_id AS VARCHAR))")
+_H_SHARD = duckdb_hash64("('s:' || CAST(doc_id AS VARCHAR))")
+_H_ORDER = duckdb_hash64("('o:' || CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "quota_sample",
+    oracle=f"""
+    SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {_H_QUOTA} ASC, doc_id ASC) AS rk
+        FROM documents
+    ) WHERE rk <= 30
+    """,
+)
+def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: at most 30 docs per language, chosen by the
+    portable doc_id hash — the over-represented-domain cap of a data
+    mixing recipe.  One window shuffle on lang; deterministic and
+    stable under corpus growth (a kept doc is only ever displaced by
+    a lower-hash newcomer, never reshuffled at random)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return S.quota_sample(docs, group="lang", key="doc_id", quota=30).select(
+        "doc_id", "lang", "rk"
+    )
+
+
+@register(
+    "seq_packing",
+    oracle=f"""
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % 256 AS BIGINT) AS offset_in_seq
+    FROM (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY {_H_PACK} ASC, doc_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+        FROM (SELECT doc_id, source, len({DUCK_TOKENS}) AS n_tokens
+              FROM documents)
+    )
+    """,
+)
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: docs of each source stream
+    laid end-to-end in hash order and cut into 256-token training
+    sequences (a doc may span a boundary — zero pad waste).  The
+    whole layout is ONE window cumsum per stream; appending docs only
+    extends stream tails, so packing is incrementally resumable."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(T.tokens("text")).alias("n_tokens")
+    )
+    out = S.pack_sequences(
+        docs, stream="source", key="doc_id", n_tokens="n_tokens", budget=256
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "seq_id",
+        F.col("offset_in_seq").cast("long").alias("offset_in_seq"),
+    )
+
+
+@register(
+    "shuffle_shards",
+    oracle=f"""
+    SELECT doc_id,
+           {_H_SHARD} % 8 AS shard,
+           row_number() OVER (PARTITION BY {_H_SHARD} % 8
+                              ORDER BY {_H_ORDER} ASC, doc_id ASC) AS pos
+    FROM documents
+    """,
+)
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards: shard =
+    one hash, intra-shard order = an independent hash — the write-path
+    op that produces byte-identical shuffled shards on every rerun.
+    The single shuffle on shard is the partitioning the shard writer
+    needs anyway (partitionBy('shard'))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return S.shuffle_shards(docs, key="doc_id", n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@register(
+    "mix_weights",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM (SELECT lang, len({DUCK_TOKENS}) AS n_tokens FROM documents)
+        GROUP BY lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(n_tokens / sum(n_tokens) OVER (), 6) AS natural_frac,
+           round(1.0 / count(*) OVER (), 6) AS target,
+           round((1.0 / count(*) OVER ())
+                 / (n_tokens / sum(n_tokens) OVER ()), 4) AS repeat_factor
+    FROM per
+    """,
+)
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: per-language token mass -> natural share ->
+    repeat factor to hit a uniform target share.  repeat_factor > 1
+    up-samples (multiple epochs over the domain), < 1 down-samples —
+    the data-mixing knob.  Two skinny aggregations; text is dropped
+    after the token count so nothing wide shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.size(T.tokens("text")).alias("n_tokens")
+    )
+    return S.mix_weights(docs, domain="lang", n_tokens="n_tokens")
+
+
+# ---- PII scrub ------------------------------------------------------
+# Patterns restricted to the Java-regex ∩ RE2 common subset so both
+# engines match identically.  The synthetic corpus has no natural PII,
+# so plant it deterministically (same CASE on both engines): every 4th
+# doc an email, every 6th a phone, every 5th an IPv4.
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_PHONE = r"\d{3}-\d{4}(-\d+)?"
+_RE_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PLANT_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 4 = 0 THEN"
+    "  concat(' contact u', CAST(doc_id AS STRING), '@example.com') "
+    "  ELSE '' END,"
+    " CASE WHEN doc_id % 6 = 0 THEN"
+    "  concat(' call 555-01', CAST(doc_id % 90 + 10 AS STRING)) "
+    "  ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN"
+    "  concat(' host 10.0.', CAST(doc_id % 256 AS STRING), '.7') "
+    "  ELSE '' END)"
+)
+_PLANT_DUCK = (
+    "text ||"
+    " CASE WHEN doc_id % 4 = 0 THEN"
+    "  ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    "  ELSE '' END ||"
+    " CASE WHEN doc_id % 6 = 0 THEN"
+    "  ' call 555-01' || CAST(doc_id % 90 + 10 AS VARCHAR)"
+    "  ELSE '' END ||"
+    " CASE WHEN doc_id % 5 = 0 THEN"
+    "  ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    "  ELSE '' END"
+)
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_PLANT_DUCK} AS text FROM documents),
+    red AS (
+        SELECT doc_id, text,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                   '{_RE_IP}', '<IP>', 'g'),
+                   '{_RE_PHONE}', '<PHONE>', 'g') AS redacted
+        FROM d
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_RE_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{_RE_PHONE}')) AS n_phones,
+           len(regexp_extract_all(text, '{_RE_IP}')) AS n_ips,
+           length(redacted) AS red_len,
+           substr(md5(redacted), 1, 8) AS red_sig
+    FROM red
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and mask emails / phone-like
+    runs / IPv4s with engine-portable regexes.  Pure codegen map
+    (regexp_extract_all + chained regexp_replace) — zero shuffles,
+    zero Python; at 100 TB this is the shape you want for a scrub
+    pass (scan-bound, pushdown-friendly, trivially parallel).
+    Redaction order (email, ip, phone) is identical on both engines
+    so red_sig proves byte-equal output."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.expr(_PLANT_SPARK)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _RE_EMAIL, "<EMAIL>"),
+            _RE_IP,
+            "<IP>",
+        ),
+        _RE_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text, F.lit(_RE_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(text, F.lit(_RE_PHONE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.size(F.regexp_extract_all(text, F.lit(_RE_IP), F.lit(0))).alias(
+            "n_ips"
+        ),
+        F.length(redacted).alias("red_len"),
+        F.substring(F.md5(redacted), 1, 8).alias("red_sig"),
+    )
