@@ -132,7 +132,41 @@ def flag_states_per_version(
     flags_deleted — the sets serialized sorted + '|'-joined so the
     driver's canonicalizer can hash them.
     """
-    i, v = intervals.alias("i"), versions.alias("v")
+    # Render each interval's display strings ONCE, pre-join: the
+    # version join fans out |versions| x |live intervals| per entity
+    # (that fan-out IS the output content, so it can't shrink), but
+    # string building should not be repeated on every fanned-out row
+    active = F.col("cur_status").isNotNull() & (F.col("cur_status") != "d")
+    deleted = F.col("cur_status") == "d"
+    # Reference flag VALUE string: name + status + '(requestee)' (:1052)
+    active_str = F.concat(
+        F.col("flag_name"),
+        F.col("cur_status"),
+        F.when(
+            (F.col("cur_status") == "?") & F.col("requestee").isNotNull(),
+            F.concat(F.lit("("), F.col("requestee"), F.lit(")")),
+        ).otherwise(F.lit("")),
+    )
+    # Deleted marker carries previous_status + age (duration_ms :680)
+    deleted_str = F.concat(
+        F.col("flag_name"),
+        F.lit(":d:prev="),
+        F.coalesce(F.col("previous_status"), F.lit("")),
+        F.lit(":age="),
+        F.coalesce(
+            (F.col("valid_from") - F.col("prev_add_ts")).cast("string"),
+            F.lit("-1"),
+        ),
+    )
+    rendered = intervals.select(
+        F.col(entity),
+        "valid_from",
+        "valid_to",
+        F.when(active, active_str).alias("astr"),
+        F.when(deleted, deleted_str).alias("dstr"),
+    )
+
+    i, v = rendered.alias("i"), versions.alias("v")
     joined = v.join(
         i,
         (F.col(f"i.{entity}") == F.col(f"v.{entity}"))
@@ -144,41 +178,16 @@ def flag_states_per_version(
         "left",
     )
 
-    active = F.col("i.cur_status").isNotNull() & (
-        F.col("i.cur_status") != "d"
-    )
-    deleted = F.col("i.cur_status") == "d"
-    # Reference flag VALUE string: name + status + '(requestee)' (:1052)
-    active_str = F.concat(
-        F.col("i.flag_name"),
-        F.col("i.cur_status"),
-        F.when(
-            (F.col("i.cur_status") == "?") & F.col("i.requestee").isNotNull(),
-            F.concat(F.lit("("), F.col("i.requestee"), F.lit(")")),
-        ).otherwise(F.lit("")),
-    )
-    # Deleted marker carries previous_status + age (duration_ms :680)
-    deleted_str = F.concat(
-        F.col("i.flag_name"),
-        F.lit(":d:prev="),
-        F.coalesce(F.col("i.previous_status"), F.lit("")),
-        F.lit(":age="),
-        F.coalesce(
-            (F.col("i.valid_from") - F.col("i.prev_add_ts")).cast("string"),
-            F.lit("-1"),
-        ),
-    )
-
     return joined.groupBy(
         F.col(f"v.{entity}").alias(entity),
         F.col(f"v.{version_ts}").alias(version_ts),
     ).agg(
-        F.count(F.when(active, F.lit(1))).alias("n_active"),
-        F.count(F.when(deleted, F.lit(1))).alias("n_deleted"),
+        F.count("i.astr").alias("n_active"),
+        F.count("i.dstr").alias("n_deleted"),
         F.concat_ws(
-            "|", F.sort_array(F.collect_list(F.when(active, active_str)))
+            "|", F.sort_array(F.collect_list("i.astr"))
         ).alias("flags_active"),
         F.concat_ws(
-            "|", F.sort_array(F.collect_list(F.when(deleted, deleted_str)))
+            "|", F.sort_array(F.collect_list("i.dstr"))
         ).alias("flags_deleted"),
     )

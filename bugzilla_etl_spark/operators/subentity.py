@@ -89,7 +89,20 @@ def nest_per_version(
     sorted, '|'-joined — strings so the driver canonicalizer hashes
     them.
     """
-    i, v = intervals.alias("i"), versions.alias("v")
+    # Render each interval's "field=value" string ONCE, pre-join —
+    # the version join repeats every live interval per version, so
+    # per-row expression work multiplies by the fan-out if left here
+    rendered = intervals.select(
+        F.col(entity),
+        F.col(sub),
+        "created_ts",
+        "valid_from",
+        "valid_to",
+        F.concat(
+            F.col(field), F.lit("="), F.col(value).cast("string")
+        ).alias("fv"),
+    )
+    i, v = rendered.alias("i"), versions.alias("v")
     joined = v.join(
         i,
         (F.col(f"i.{entity}") == F.col(f"v.{entity}"))
@@ -109,16 +122,7 @@ def nest_per_version(
     ).agg(
         F.min("i.created_ts").alias("_created"),
         F.concat_ws(
-            ",",
-            F.sort_array(
-                F.collect_list(
-                    F.concat(
-                        F.col(f"i.{field}"),
-                        F.lit("="),
-                        F.col(f"i.{value}").cast("string"),
-                    )
-                )
-            ),
+            ",", F.sort_array(F.collect_list("i.fv"))
         ).alias("_fields"),
     )
 
