@@ -67,6 +67,7 @@ _PRIORITY = (
     "alias_minimize",
     "stream_snapshot",
     "stream_dedup",
+    "stream_rollup",
     "dedup_components",
     "decontam_overlap",
     "quality_repetition",

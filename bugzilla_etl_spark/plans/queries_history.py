@@ -471,3 +471,75 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+@register(
+    "stream_rollup",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked continuous aggregation as a REAL streaming run:
+    hourly (bucket x type) rollup under availableNow, update mode to
+    a memory sink, then the final state per bucket — the streaming
+    form of batch time_rollup, so the oracle is the exact batch
+    GROUP BY.  The 2h watermark is what bounds a forever-running
+    job's state (hour buckets older than the horizon finalize and
+    evict); correctness of late-data handling beyond the horizon is
+    the batch-equivalence test's job (test_scale_semantics).
+    reference: bz_etl.py:172 incremental loop (the reference
+    recomputes aggregates per poll; streaming keeps them hot)."""
+    import os
+    import tempfile
+    import uuid
+
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        stream_time_rollup,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(path)
+    srcdir = tempfile.mkdtemp(prefix="bes_sroll_")
+    os.symlink(path, os.path.join(srcdir, "events.parquet"))
+    src = spark.readStream.schema(static.schema).parquet(srcdir)
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_time_rollup(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bes_sr_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    from pyspark.sql import Window
+
+    # update mode re-emits a bucket per micro-batch it changes in;
+    # the final state is the emission with the largest count (count
+    # is strictly monotone per key across updates)
+    w = Window.partitionBy("hour", "event_type").orderBy(
+        F.col("n_events").desc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.unix_micros("hour").alias("hour_us"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+    )
