@@ -68,6 +68,7 @@ _PRIORITY = (
     "stream_snapshot",
     "stream_dedup",
     "stream_rollup",
+    "bug_version_full",
     "dedup_components",
     "decontam_overlap",
     "quality_repetition",
@@ -80,6 +81,8 @@ _PRIORITY = (
     "pii_scrub",
     # rows-only: the driver row is its only value record, keep in-window
     "mm_features",
+    # changed this round (cell-skew guard): must re-test
+    "embedding_neardup",
     # failed the r1/r2 gate, fixed since: must re-test
     "set_accumulate",
     "set_final",
@@ -127,6 +130,7 @@ _DEPRIORITY = (
     "key_skew_stats",
     "snapshot_asof",
     "dedup_latest",
+    "interval_asof_join",
 )
 
 

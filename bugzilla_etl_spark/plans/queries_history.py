@@ -543,3 +543,229 @@ def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sum_value", 4).alias("sum_value"),
         )
     )
+
+
+_FULL_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tsl, event_type, value
+      FROM events
+    ),
+    versioned AS (
+      SELECT user_id, event_id, tsl, event_type, value,
+             row_number() OVER w AS version,
+             lead(tsl) OVER w AS expires_on,
+             last(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY tsl, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_purchase_value,
+             list_sort(list(DISTINCT event_type) OVER (
+                 PARTITION BY user_id ORDER BY tsl, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )) AS seen_types
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsl, event_id)
+    ),
+    verx AS (
+      SELECT * FROM versioned
+      WHERE expires_on IS NULL OR expires_on <> tsl
+    ),
+    fch AS (
+      SELECT user_id, event_id, tsl,
+             {_NAME} AS name, {_STATUS} AS status,
+             {_REQ_DUCK} AS requestee, {_ACTION} AS action
+      FROM (SELECT user_id, event_id, epoch_us(ts) AS tsl, event_type
+            FROM events)
+    ),
+    fkeyed AS (
+      SELECT *,
+             lower(replace(name, chr(8209), '-')) AS flag_name,
+             lower(replace(name, chr(8209), '-')) || '/' ||
+               CASE WHEN status = '?' THEN coalesce(requestee, '')
+                    ELSE '*setter*' END AS match_key
+      FROM fch
+    ),
+    fiv AS (
+      SELECT user_id, match_key, flag_name, requestee,
+             CASE WHEN action = 'remove' THEN 'd' ELSE status END
+                 AS cur_status,
+             CASE WHEN action = 'remove' THEN status END AS previous_status,
+             last_value(CASE WHEN action = 'add' THEN tsl END IGNORE NULLS)
+                 OVER (PARTITION BY user_id, match_key ORDER BY tsl, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_add_ts,
+             tsl AS valid_from,
+             lead(tsl) OVER (PARTITION BY user_id, match_key
+                             ORDER BY tsl, event_id) AS valid_to
+      FROM fkeyed
+    ),
+    flg AS (
+      SELECT v.user_id, v.version_ts,
+             count(CASE WHEN i.cur_status IS NOT NULL AND i.cur_status <> 'd'
+                        THEN 1 END) AS n_active,
+             count(CASE WHEN i.cur_status = 'd' THEN 1 END) AS n_deleted,
+             coalesce(array_to_string(list_sort(list(
+                 i.flag_name || i.cur_status ||
+                 CASE WHEN i.cur_status = '?' AND i.requestee IS NOT NULL
+                      THEN '(' || i.requestee || ')' ELSE '' END
+             ) FILTER (WHERE i.cur_status IS NOT NULL
+                         AND i.cur_status <> 'd')), '|'), '') AS flags_active,
+             coalesce(array_to_string(list_sort(list(
+                 i.flag_name || ':d:prev=' || coalesce(i.previous_status, '')
+                 || ':age=' || coalesce(CAST(i.valid_from - i.prev_add_ts
+                                             AS VARCHAR), '-1')
+             ) FILTER (WHERE i.cur_status = 'd')), '|'), '') AS flags_deleted
+      FROM (SELECT user_id, tsl AS version_ts FROM verx) v
+      LEFT JOIN fiv i
+        ON i.user_id = v.user_id
+       AND i.valid_from <= v.version_ts
+       AND (i.valid_to IS NULL OR v.version_ts < i.valid_to)
+      GROUP BY v.user_id, v.version_ts
+    ),
+    ach AS (
+      SELECT user_id, event_id, tsl,
+             1 + (event_id % 5) AS attach_id,
+             event_type AS field,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM ev WHERE event_id % 2 = 0
+    ),
+    aiv AS (
+      SELECT user_id, attach_id, field, cents,
+             min(tsl) OVER (PARTITION BY user_id, attach_id
+                            ORDER BY tsl, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS created_ts,
+             tsl AS valid_from,
+             lead(tsl) OVER (PARTITION BY user_id, attach_id, field
+                             ORDER BY tsl, event_id) AS valid_to
+      FROM ach
+    ),
+    per_sub AS (
+      SELECT v.user_id, v.version_ts, i.attach_id AS sub_id,
+             min(i.created_ts) AS created,
+             array_to_string(list_sort(list(
+                 i.field || '=' || CAST(i.cents AS VARCHAR))), ',') AS fields
+      FROM (SELECT user_id, tsl AS version_ts FROM verx) v
+      LEFT JOIN aiv i
+        ON i.user_id = v.user_id
+       AND i.valid_from <= v.version_ts
+       AND (i.valid_to IS NULL OR v.version_ts < i.valid_to)
+      GROUP BY v.user_id, v.version_ts, i.attach_id
+    ),
+    att AS (
+      SELECT user_id, version_ts,
+             count(sub_id) AS n_subs,
+             coalesce(array_to_string(list_sort(list(
+                 'a' || CAST(sub_id AS VARCHAR) || ':c' ||
+                 CAST(created AS VARCHAR) || ':' || fields
+             ) FILTER (WHERE sub_id IS NOT NULL)), '|'), '') AS subs
+      FROM per_sub
+      GROUP BY user_id, version_ts
+    )
+    SELECT CAST(v.user_id AS VARCHAR) || '_' ||
+               CAST(v.tsl // 1000 AS VARCHAR) AS _id,
+           v.user_id, v.tsl AS version_ts, v.version,
+           v.expires_on, v.event_type, v.value, v.last_purchase_value,
+           array_to_string(v.seen_types, '|') AS seen_types,
+           f.n_active, f.flags_active, f.n_deleted, f.flags_deleted,
+           a.n_subs, a.subs
+    FROM verx v
+    LEFT JOIN flg f ON f.user_id = v.user_id AND f.version_ts = v.tsl
+    LEFT JOIN att a ON a.user_id = v.user_id AND a.version_ts = v.tsl
+"""
+
+
+@register("bug_version_full", oracle=_FULL_ORACLE)
+def bug_version_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE reference ES document: versioned snapshot state
+    (interval bounds, rolled-forward scalar, accumulated set) PLUS
+    the per-version flag set PLUS the re-nested attachment
+    sub-entities — everything parse_bug_history.py assembles into one
+    bug_version doc (resources/schema/bug_version.json), in one plan.
+
+    Composition shape: the version spine is ONE entity-windowed pass;
+    flags and attachments aggregate on (entity, version_ts) and join
+    back to the spine on exactly that key, so both joins reuse the
+    aggregation partitioning (big-big SMJ on the co-partitioned key —
+    the correct plan; neither side is broadcastable at 100 TB).
+    reference: parse_bug_history.py (whole), transform_bugzilla.py
+    normalize(), bz_etl.py ES doc assembly."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tsl"),
+        "event_type",
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("tsl", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versioned = base.select(
+        "user_id",
+        "event_id",
+        "tsl",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("version"),
+        F.lead("tsl").over(w).alias("expires_on"),
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        ).over(wcum).alias("last_purchase_value"),
+        F.sort_array(F.collect_set("event_type").over(wcum)).alias(
+            "seen_types"
+        ),
+    )
+    verx = versioned.where(
+        F.col("expires_on").isNull() | (F.col("expires_on") != F.col("tsl"))
+    )
+
+    fch = base.select(
+        "user_id",
+        "event_id",
+        "tsl",
+        F.expr(_NAME).alias("name"),
+        F.expr(_STATUS).alias("status"),
+        F.expr(_REQ_SPARK).alias("requestee"),
+        F.expr(_ACTION).alias("action"),
+    )
+    fiv = FL.flag_state_intervals(fch, entity="user_id", ts="tsl")
+    ver2 = verx.select("user_id", F.col("tsl").alias("version_ts"))
+    flg = FL.flag_states_per_version(fiv, ver2)
+
+    ach = base.where(F.col("event_id") % 2 == 0).select(
+        "user_id",
+        "event_id",
+        "tsl",
+        (F.lit(1) + F.col("event_id") % 5).alias("attach_id"),
+        F.col("event_type").alias("field"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    aiv = SUB.subentity_state_intervals(
+        ach, entity="user_id", sub="attach_id", field="field",
+        value="cents", ts="tsl",
+    )
+    att = SUB.nest_per_version(
+        aiv, ver2, entity="user_id", sub="attach_id", field="field",
+        value="cents",
+    )
+
+    spine = verx.select(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("_"),
+            F.expr("tsl div 1000").cast("string"),
+        ).alias("_id"),
+        "user_id",
+        F.col("tsl").alias("version_ts"),
+        "version",
+        "expires_on",
+        "event_type",
+        "value",
+        "last_purchase_value",
+        F.concat_ws("|", "seen_types").alias("seen_types"),
+    )
+    return spine.join(flg, ["user_id", "version_ts"], "left").join(
+        att, ["user_id", "version_ts"], "left"
+    )
