@@ -18,11 +18,12 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the end-to-end bug-version pipeline — change log ->
-    versioned snapshots (intervals, rolled-forward state, accumulated
-    sets) -> ES documents, in one single-shuffle plan."""
+    """Flagship: the COMPLETE end-to-end bug-version pipeline —
+    change log -> versioned snapshots (intervals, rolled-forward
+    state, accumulated sets) -> per-version flag-set replay +
+    re-nested attachment sub-entities -> full ES documents."""
     catalog.load_all()
-    return catalog.QUERIES["bug_version_docs"](spark, SF0001)
+    return catalog.QUERIES["bug_version_full"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
