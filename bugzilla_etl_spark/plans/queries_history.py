@@ -186,16 +186,15 @@ def attachment_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("field"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    iv = SUB.subentity_state_intervals(
+    cp = SUB.subentity_changepoints(
         ch, entity="user_id", sub="attach_id", field="field",
         value="cents", ts="tsl",
     )
     ver = ev.select(
         "user_id", F.unix_micros("ts").alias("version_ts")
     ).distinct()
-    out = SUB.nest_per_version(
-        iv, ver, entity="user_id", sub="attach_id", field="field",
-        value="cents",
+    out = SUB.nest_changepoints_per_version(
+        cp, ver, entity="user_id", sub="attach_id",
     )
     return out.select("user_id", "version_ts", "n_subs", "subs")
 
@@ -742,13 +741,12 @@ def bug_version_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("field"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    aiv = SUB.subentity_state_intervals(
+    acp = SUB.subentity_changepoints(
         ach, entity="user_id", sub="attach_id", field="field",
         value="cents", ts="tsl",
     )
-    att = SUB.nest_per_version(
-        aiv, ver2, entity="user_id", sub="attach_id", field="field",
-        value="cents",
+    att = SUB.nest_changepoints_per_version(
+        acp, ver2, entity="user_id", sub="attach_id",
     )
 
     spine = verx.select(

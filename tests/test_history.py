@@ -162,3 +162,58 @@ def test_subentity_single_exchange_for_both_windows(spark):
     )
     plan = iv._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_changepoint_path_matches_interval_path(spark):
+    # The scale-path (per-change-point rendered states, as-of join)
+    # must produce byte-identical version documents to the per-field
+    # interval join, including same-ts tiebreaks and empty versions.
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for _ in range(40):
+            eid += 1
+            rows.append(
+                (
+                    u,
+                    eid,
+                    rng.choice([100, 200, 200, 300, 400, 500]),
+                    rng.randint(1, 3),
+                    rng.choice(["status", "size", "mime", "flag"]),
+                    rng.randint(0, 9),
+                )
+            )
+    ch = _sub_rows(spark, rows)
+    ver = _versions(
+        spark, [(u, t) for u in (1, 2) for t in (50, 150, 250, 350, 600)]
+    )
+
+    iv = SUB.subentity_state_intervals(
+        ch, sub="attach_id", field="field", value="cents", ts="tsl"
+    )
+    a = SUB.nest_per_version(
+        iv, ver, sub="attach_id", field="field", value="cents"
+    )
+    cp = SUB.subentity_changepoints(
+        ch, sub="attach_id", field="field", value="cents", ts="tsl"
+    )
+    b = SUB.nest_changepoints_per_version(cp, ver, sub="attach_id")
+
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb
+
+
+def test_changepoint_single_exchange(spark):
+    # Change-point rendering keeps the one-exchange shape: both the
+    # cumulative-history window and the lead() window cluster on
+    # (entity, sub).
+    ch = _sub_rows(spark, [(1, 1, 100, 1, "status", 10)])
+    cp = SUB.subentity_changepoints(
+        ch, sub="attach_id", field="field", value="cents", ts="tsl"
+    )
+    plan = cp._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
