@@ -54,6 +54,7 @@ HEADLINE = [
     "rolling_distinct_users",
     # history replay + iterative ops (round 3; streaming queries are
     # excluded — availableNow trigger startup dominates their wall)
+    "bug_version_full",
     "flag_state_versions",
     "attachment_versions",
     "diff_rollback",

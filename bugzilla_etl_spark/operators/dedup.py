@@ -66,19 +66,22 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _hashed_shingled(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _hashed_shingled(
+    docs: DataFrame, text_col: str, id_col: str, sort: bool = True
+) -> DataFrame:
     """Shingle sets as sorted LONG arrays (portable hash of each
     shingle).  Pair-generating joins carry these instead of string
     arrays: ~4x less shuffle volume and long-vs-long intersects.
     Jaccard over hashed sets equals Jaccard over the strings
-    (collision odds ~1e-7 at 10^6 shingles on 60-bit hashes)."""
+    (collision odds ~1e-7 at 10^6 shingles on 60-bit hashes).
+    ``sort=False`` skips the per-array sort for consumers that only
+    explode or aggregate the hashes (element order irrelevant)."""
     t = _shingled(docs, text_col, id_col)
+    hashed = F.transform(F.col("sh"), lambda s: hash64(s))
     return t.select(
         "doc_id",
         "tok",
-        F.sort_array(
-            F.transform(F.col("sh"), lambda s: hash64(s))
-        ).alias("shh"),
+        (F.sort_array(hashed) if sort else hashed).alias("shh"),
     )
 
 
@@ -610,11 +613,11 @@ def decontam_overlap(
     reference scope: beyond Bugzilla-ETL — training-data pipeline
     extension (same family as dedup_*)."""
     ev = (
-        _hashed_shingled(eval_docs, text_col, id_col)
+        _hashed_shingled(eval_docs, text_col, id_col, sort=False)
         .select(F.explode("shh").alias("sh"))
         .distinct()
     )
-    tr = _hashed_shingled(docs, text_col, id_col)
+    tr = _hashed_shingled(docs, text_col, id_col, sort=False)
     hits = (
         tr.select("doc_id", F.explode("shh").alias("sh"))
         .join(F.broadcast(ev), on="sh")
