@@ -65,6 +65,7 @@ HEADLINE = [
     "quality_repetition",
     "dedup_chunk",
     "ann_ivf",
+    "ann_pq",
     # corpus-curation block (round 3, cont.)
     "quota_sample",
     "seq_packing",

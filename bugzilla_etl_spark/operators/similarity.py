@@ -329,3 +329,185 @@ def ivf_search_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vid").alias("cand_id"), "cos", "rank")
     )
+
+
+def pq_codebook(
+    spark,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    sub_dim: int = 8,
+):
+    """Deterministic product-quantization codebook: component d of
+    centroid (m, c) = (hash64('pq:m:c:d') % 1000) / 1000 - 0.5 — the
+    same no-RNG-to-ship construction as the LSH pseudo-planes, so
+    every executor AND the DuckDB oracle derive bit-identical
+    centroids.  (Real deployments drop in k-means centroids; the
+    operator is agnostic to where the codebook came from.)
+
+    Derived through Spark expressions (not Python) so the float
+    values are exactly the engine's own md5/conv arithmetic, then
+    materialized driver-side: n_sub x n_codes x sub_dim doubles is
+    the whole index — kilobytes.
+
+    Returns a numpy array of shape (n_sub, n_codes, sub_dim).
+    """
+    import numpy as np
+
+    mk = spark.range(n_sub * n_codes).select(
+        (F.col("id") / n_codes).cast("int").alias("m"),
+        (F.col("id") % n_codes).cast("int").alias("c"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(sub_dim - 1)),
+            lambda d: (
+                hash64(
+                    F.concat(
+                        F.lit("pq:"),
+                        (F.col("id") / n_codes).cast("int").cast("string"),
+                        F.lit(":"),
+                        (F.col("id") % n_codes).cast("int").cast("string"),
+                        F.lit(":"),
+                        d.cast("string"),
+                    )
+                )
+                % 1000
+            ).cast("double")
+            / 1000.0
+            - 0.5,
+        ).alias("comp"),
+    )
+    C = np.zeros((n_sub, n_codes, sub_dim), dtype=np.float64)
+    for r in mk.collect():
+        C[r.m, r.c] = r.comp
+    return C
+
+
+def _pq_subdists(V, C):
+    """Scaled integer sub-distances floor(||v_m - c_mk||^2 * 1e4 + .5)
+    for a batch: (n, n_sub, n_codes) int64.  The d-accumulation is a
+    SEQUENTIAL loop mirroring the oracle's list_sum fold order, and
+    the floor(x*1e4 + 0.5) integerization (not banker's rounding)
+    matches DuckDB's floor() exactly — every downstream comparison
+    and sum is then integer, i.e. bit-portable."""
+    import numpy as np
+
+    n_sub, n_codes, sub_dim = C.shape
+    n = V.shape[0]
+    out = np.empty((n, n_sub, n_codes), dtype=np.int64)
+    for m in range(n_sub):
+        Vm = V[:, m * sub_dim : (m + 1) * sub_dim]
+        acc = np.zeros((n, n_codes), dtype=np.float64)
+        for d in range(sub_dim):
+            diff = Vm[:, d, None] - C[m, :, d][None, :]
+            acc = acc + diff * diff
+        out[:, m, :] = np.floor(acc * 10000.0 + 0.5).astype(np.int64)
+    return out
+
+
+def pq_encode(
+    emb: DataFrame,
+    C,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Compress each vector to n_sub uint8-sized code indices (its
+    nearest codebook entry per subspace, ties to the smallest code).
+    This is the 100 TB memory story: 64 float32 dims -> 8 bytes per
+    vector, a 32x reduction, with search running in the compressed
+    domain.  Map-only (Arrow-batched numpy, one matmul-shaped kernel
+    per batch); the output IS the persistable ANN index."""
+    import numpy as np
+    import pandas as pd
+
+    t = emb.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            ds = _pq_subdists(V, C)
+            codes = ds.argmin(axis=2).astype(np.int32)  # first-min = smallest code
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    return t.mapInPandas(enc, schema="vec_id long, codes array<int>")
+
+
+def pq_search_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    C,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query,
+    a (n_sub x n_codes) integer lookup table of sub-distances; each
+    candidate's approximate distance is n_sub table lookups summed —
+    no float math in the scan.
+
+    Scale shape: queries are bounded (the LUT set is kilobytes,
+    shipped inside the task closure); the corpus pass is map-only
+    over the COMPRESSED codes with a per-batch per-query top-k
+    prune, so the shuffle into the final exact ranking window
+    carries at most n_queries x k rows per batch, never the corpus.
+
+    Output: query_id, cand_id, adist (squared-L2 in 1e-4 units,
+    BIGINT), rank — deterministic via (adist, cand_id) ordering.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = sorted(
+        queries.select(
+            F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv")
+        ).collect(),
+        key=lambda r: r.qid,
+    )
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+    lut = _pq_subdists(Q, C)  # (nq, n_sub, n_codes) int64
+
+    codes = pq_encode(emb, C, vec_col, id_col)
+
+    def search(batches):
+        n_sub = lut.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            cand = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # D[i, q] = sum_m lut[q, m, B[i, m]] — pure int gathers
+            D = np.zeros((len(cand), len(qids)), dtype=np.int64)
+            for m in range(n_sub):
+                D += lut[:, m, B[:, m]].T
+            out_q, out_c, out_d = [], [], []
+            for qi in range(len(qids)):
+                mask = cand != qids[qi]
+                ids, dist = cand[mask], D[mask, qi]
+                order = np.lexsort((ids, dist))[:k]  # (adist, cand_id)
+                out_q.append(np.full(len(order), qids[qi]))
+                out_c.append(ids[order])
+                out_d.append(dist[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "adist": np.concatenate(out_d),
+                }
+            )
+
+    pruned = codes.mapInPandas(
+        search, schema="query_id long, cand_id long, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", "rank")
+    )

@@ -74,6 +74,7 @@ _PRIORITY = (
     "quality_repetition",
     "dedup_chunk",
     "ann_ivf",
+    "ann_pq",
     "quota_sample",
     "seq_packing",
     "shuffle_shards",
@@ -98,6 +99,9 @@ _PRIORITY = (
 _DEPRIORITY = (
     "tpch_q1",  # re-verified every round by bench.py + local gate
     "mm_frame_sample",  # variant of in-window mm_features
+    # rotated out for ann_pq: pair-enumerating variant of in-window
+    # dedup_simhash, driver-green r1+r2, locally gated every round
+    "dedup_simhash_pairs",
     # rotated out for the round-3 pipeline additions (all driver-green
     # r1+r2 AND bench headliners, so still timed + locally gated every
     # round); mm_features stays in-window — rows-only queries have no

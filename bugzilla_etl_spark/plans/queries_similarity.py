@@ -74,3 +74,67 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = SIM.lsh_buckets(emb, n_planes=8, dim=64)
     return out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+def _duck_pq_centroid() -> str:
+    """DuckDB expression for PQ centroid (m, k) — mirrors
+    similarity.pq_codebook's hash-derived components bit-for-bit."""
+    from bugzilla_etl_spark.functions.hashing import duckdb_hash64
+
+    h = duckdb_hash64(
+        "('pq:' || CAST(m AS VARCHAR) || ':' || CAST(k AS VARCHAR)"
+        " || ':' || CAST(d AS VARCHAR))"
+    )
+    return f"list_transform(range(0, 8), d -> (({h} % 1000) / 1000.0 - 0.5))"
+
+
+@register(
+    "ann_pq",
+    oracle=f"""
+    WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+        SELECT m, k, {_duck_pq_centroid()} AS c
+        FROM range(0, 8) tm(m) CROSS JOIN range(0, 16) tk(k)
+    ),
+    subd AS (
+        SELECT t.vec_id, cb.m, cb.k,
+               CAST(floor(list_sum(list_transform(range(0, 8), d ->
+                   (v[cb.m*8 + d + 1] - c[d + 1]) ^ 2)) * 10000 + 0.5)
+                   AS BIGINT) AS ds
+        FROM t CROSS JOIN cb
+    ),
+    codes AS (
+        SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY ds ASC, k ASC) AS rn
+            FROM subd) WHERE rn = 1
+    ),
+    adc AS (
+        SELECT s.vec_id AS query_id, c.vec_id AS cand_id,
+               CAST(sum(s.ds) AS BIGINT) AS adist
+        FROM codes c
+        JOIN subd s ON s.m = c.m AND s.k = c.code
+        WHERE s.vec_id % 50 = 0 AND c.vec_id <> s.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, adist, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY adist ASC, cand_id ASC) AS INT) AS rank
+        FROM adc) WHERE rank <= 3
+    """,
+)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 64-dim float vectors compressed to 8
+    one-byte codes (32x), asymmetric-distance top-3 for every 50th
+    vector as query.  The codebook is hash-derived (deterministic on
+    every engine — k-means would slot in unchanged); ALL distances
+    are integer-scaled (floor(d^2 * 1e4 + 0.5)) so encode argmins and
+    ADC sums compare bit-identically across engines.  Completes the
+    ANN ladder: ann_topk (exact) / ann_ivf (cell-pruned exact) /
+    ann_lsh_buckets (bucketed) / ann_pq (compressed-domain).
+    reference scope: training-data pipeline extension."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = SIM.pq_codebook(spark, n_sub=8, n_codes=16, sub_dim=8)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return SIM.pq_search_topk(emb, queries, C, k=3)

@@ -399,3 +399,67 @@ def test_ivf_candidates_stay_in_cell(spark, sf_dir):
         assert all(
             rs[i].cos >= rs[i + 1].cos for i in range(len(rs) - 1)
         )
+
+
+def test_pq_adc_matches_exhaustive_compressed_distance(spark, sf_dir):
+    """The batched LUT-gather + per-batch prune must return exactly
+    the top-k an exhaustive compressed-domain ranking returns:
+    re-derive every candidate's ADC distance from (codes, LUT) in
+    Python and compare pairs AND distances."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = SIM.pq_codebook(spark, n_sub=8, n_codes=16, sub_dim=8)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+
+    codes = {
+        r.vec_id: np.asarray(r.codes, dtype=np.int64)
+        for r in SIM.pq_encode(emb, C).collect()
+    }
+    qrows = sorted(
+        queries.select("vec_id", SIM._dvec("embedding").alias("v")).collect(),
+        key=lambda r: r.vec_id,
+    )
+    Q = np.stack([np.asarray(r.v, dtype=np.float64) for r in qrows])
+    lut = SIM._pq_subdists(Q, C)
+
+    expected = {}
+    for qi, qr in enumerate(qrows):
+        dists = sorted(
+            (int(lut[qi, np.arange(8), cd].sum()), cid)
+            for cid, cd in codes.items()
+            if cid != qr.vec_id
+        )
+        expected[qr.vec_id] = [(c, d) for d, c in dists[:3]]
+
+    got: dict = {}
+    for r in SIM.pq_search_topk(emb, queries, C, k=3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.cand_id, r.adist))
+    assert set(got) == set(expected)
+    for q, rs in got.items():
+        rs.sort()
+        assert [(c, d) for _, c, d in rs] == expected[q]
+
+
+def test_pq_codes_are_within_codebook_range(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = SIM.pq_codebook(spark, n_sub=8, n_codes=16, sub_dim=8)
+    rows = SIM.pq_encode(emb, C).collect()
+    assert rows
+    for r in rows:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_pq_search_no_corpus_shuffle(spark, sf_dir):
+    """The corpus side must stay map-only (two chained mapInPandas);
+    the only exchange is the final tiny ranking window over the
+    per-batch-pruned candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = SIM.pq_codebook(spark, n_sub=8, n_codes=16, sub_dim=8)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    plan = (
+        SIM.pq_search_topk(emb, queries, C, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
