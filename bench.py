@@ -72,6 +72,7 @@ HEADLINE = [
     "shuffle_shards",
     "mix_weights",
     "pii_scrub",
+    "curate_corpus",
     # rotated past the driver's 50-row gate cap -> timed here instead
     "token_count",
     "ann_lsh_buckets",

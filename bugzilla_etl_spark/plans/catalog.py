@@ -80,6 +80,7 @@ _PRIORITY = (
     "shuffle_shards",
     "mix_weights",
     "pii_scrub",
+    "curate_corpus",
     # rows-only: the driver row is its only value record, keep in-window
     "mm_features",
     # changed this round (cell-skew guard): must re-test
@@ -102,6 +103,9 @@ _DEPRIORITY = (
     # rotated out for ann_pq: pair-enumerating variant of in-window
     # dedup_simhash, driver-green r1+r2, locally gated every round
     "dedup_simhash_pairs",
+    # rotated out for curate_corpus: driver-green r1+r2, benched
+    # every round, and its single-window plan is re-proven locally
+    "snapshot_versions",
     # rotated out for the round-3 pipeline additions (all driver-green
     # r1+r2 AND bench headliners, so still timed + locally gated every
     # round); mm_features stays in-window — rows-only queries have no

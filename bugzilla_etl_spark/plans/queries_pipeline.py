@@ -239,3 +239,133 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.where(F.col("vec_id") % 25 == 0)
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return SIM.ivf_search_topk(emb, cents, queries, k=3)
+
+
+# ---- end-to-end corpus curation ---------------------------------------------
+
+_DUCK_NORM_HASH = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_PHONE = r"\d{3}-\d{4}(-\d+)?"
+_RE_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_H_CURATE = duckdb_hash64("('q:' || CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "curate_corpus",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, {_DUCK_NORM_HASH} AS h FROM documents
+    ), canon AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+               count(*) OVER (PARTITION BY h) AS group_size
+        FROM keyed
+    ), kept1 AS (
+        SELECT d.doc_id, d.text, d.lang, d.source, c.group_size
+        FROM documents d JOIN canon c USING (doc_id)
+        WHERE c.doc_id = c.canonical_id
+    ), tkt AS (
+        SELECT doc_id, {DUCK_TOKENS} AS tk FROM kept1
+    ), base AS (
+        SELECT doc_id, len(tk) AS n_tokens,
+               len(list_distinct(tk)) AS n_uniq
+        FROM tkt
+    ), grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                              i -> tk[i] || ' ' || tk[i+1])) AS gram
+        FROM tkt
+    ), gc AS (
+        SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+    ), gs AS (
+        SELECT doc_id, count(*) AS n_uniq_grams, sum(c) AS n_grams
+        FROM gc GROUP BY 1
+    ), qual AS (
+        SELECT b.doc_id,
+               round(n_uniq::DOUBLE / greatest(n_tokens, 1), 4)
+                   AS uniq_token_ratio,
+               CASE WHEN round(1.0 - coalesce(n_uniq_grams, 0)::DOUBLE
+                          / greatest(coalesce(n_grams, 1), 1), 4) <= 0.05
+                     AND round(n_uniq::DOUBLE / greatest(n_tokens, 1), 4)
+                          >= 0.35
+                    THEN 1 ELSE 0 END AS keep
+        FROM base b LEFT JOIN gs USING (doc_id)
+    ), pii AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_RE_EMAIL}'))
+               + len(regexp_extract_all(text, '{_RE_PHONE}'))
+               + len(regexp_extract_all(text, '{_RE_IP}')) AS n_pii,
+               length(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                   '{_RE_IP}', '<IP>', 'g'),
+                   '{_RE_PHONE}', '<PHONE>', 'g')) AS red_len
+        FROM kept1
+    )
+    SELECT doc_id, source, lang, group_size, uniq_token_ratio,
+           n_pii, red_len, rk
+    FROM (
+        SELECT k.doc_id, k.source, k.lang, k.group_size,
+               q.uniq_token_ratio, p.n_pii, p.red_len,
+               row_number() OVER (PARTITION BY k.source
+                                  ORDER BY {_H_CURATE} ASC, doc_id ASC)
+                   AS rk
+        FROM kept1 k JOIN qual q USING (doc_id) JOIN pii p USING (doc_id)
+        WHERE q.keep = 1
+    ) WHERE rk <= 15
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed plan: exact dedup
+    (keep each normalized-text group's min-id doc) -> repetition-
+    quality gate -> PII count + redacted length -> per-source quota.
+    Every stage is an existing operator (exact_groups,
+    quality_repetition's rule, pii regexes, quota_sample) — the point
+    is that they COMPOSE into a single Catalyst plan: dedup's window
+    and the quality join share the scan, the quota window is the
+    only extra shuffle, and nothing materializes between stages.
+    This is the pass a 100 TB pretraining corpus takes before
+    packing/sharding (seq_packing / shuffle_shards downstream)."""
+    from bugzilla_etl_spark.operators import sampling as S
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    g = D.exact_groups(docs)
+    kept = docs.join(
+        g.where(F.col("doc_id") == F.col("canonical_id")).select(
+            "doc_id", "group_size"
+        ),
+        on="doc_id",
+    )
+
+    qm = quality_repetition(spark, sf_dir).select(
+        "doc_id", "uniq_token_ratio", "repetition_keep"
+    )
+    kept = kept.join(qm, on="doc_id").where(F.col("repetition_keep") == 1)
+
+    text = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _RE_EMAIL, "<EMAIL>"),
+            _RE_IP,
+            "<IP>",
+        ),
+        _RE_PHONE,
+        "<PHONE>",
+    )
+    n_pii = (
+        F.size(F.regexp_extract_all(text, F.lit(_RE_EMAIL), F.lit(0)))
+        + F.size(F.regexp_extract_all(text, F.lit(_RE_PHONE), F.lit(0)))
+        + F.size(F.regexp_extract_all(text, F.lit(_RE_IP), F.lit(0)))
+    )
+    kept = kept.select(
+        "doc_id",
+        "source",
+        "lang",
+        "group_size",
+        "uniq_token_ratio",
+        n_pii.alias("n_pii"),
+        F.length(redacted).alias("red_len"),
+    )
+
+    return S.quota_sample(kept, group="source", key="doc_id", quota=15).select(
+        "doc_id", "source", "lang", "group_size", "uniq_token_ratio",
+        "n_pii", "red_len", "rk",
+    )
