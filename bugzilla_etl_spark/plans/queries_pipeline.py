@@ -318,11 +318,16 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate -> PII count + redacted length -> per-source quota.
     Every stage is an existing operator (exact_groups,
     quality_repetition's rule, pii regexes, quota_sample) — the point
-    is that they COMPOSE into a single Catalyst plan: dedup's window
-    and the quality join share the scan, the quota window is the
-    only extra shuffle, and nothing materializes between stages.
-    This is the pass a 100 TB pretraining corpus takes before
-    packing/sharding (seq_packing / shuffle_shards downstream)."""
+    is that they COMPOSE into a single Catalyst plan with nothing
+    materialized between stages.  Plan shape (asserted in
+    tests/test_plan_shape.py): four column-pruned scans of
+    (doc_id, text) — one per stage branch; per-doc stages join back
+    on doc_id (broadcast at test SF, hash co-partitioned at scale);
+    beyond the quality rule's own two bigram aggregations, the
+    composition adds exactly ONE shuffle (the per-source quota
+    window) on the already-filtered survivor set.  This is the pass
+    a 100 TB pretraining corpus takes before packing/sharding
+    (seq_packing / shuffle_shards downstream)."""
     from bugzilla_etl_spark.operators import sampling as S
 
     docs = load_table(spark, sf_dir, "documents")

@@ -145,3 +145,21 @@ def test_sampling_ops_single_exchange(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         n = len(re.findall(r"\(\d+\) Exchange", plan))
         assert n == 1, (fn.__name__, n, plan)
+
+
+def test_curate_corpus_composition_shape(spark, sf_dir):
+    """The composed curation pipeline must stay one declarative plan:
+    four column-pruned scans (one per stage branch — dedup hash,
+    token stats, bigram stats, pii/text), and no more exchanges than
+    the stages themselves require (2 bigram aggs + dedup-hash window
+    + quota window); doc_id joins broadcast at this SF."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    plan = (
+        catalog.QUERIES["curate_corpus"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") <= 4, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "CartesianProduct" not in plan
