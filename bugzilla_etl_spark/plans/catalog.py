@@ -68,6 +68,7 @@ _PRIORITY = (
     "stream_snapshot",
     "stream_dedup",
     "stream_rollup",
+    "stream_sessionize",
     "bug_version_full",
     "dedup_components",
     "decontam_overlap",
@@ -103,9 +104,11 @@ _DEPRIORITY = (
     # rotated out for ann_pq: pair-enumerating variant of in-window
     # dedup_simhash, driver-green r1+r2, locally gated every round
     "dedup_simhash_pairs",
-    # rotated out for curate_corpus: driver-green r1+r2, benched
-    # every round, and its single-window plan is re-proven locally
+    # rotated out for curate_corpus / stream_sessionize: driver-green
+    # r1+r2, benched every round, single-window plans re-proven by
+    # the local gate each run
     "snapshot_versions",
+    "state_rollforward",
     # rotated out for the round-3 pipeline additions (all driver-green
     # r1+r2 AND bench headliners, so still timed + locally gated every
     # round); mm_features stays in-window — rows-only queries have no

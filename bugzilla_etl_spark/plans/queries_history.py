@@ -767,3 +767,88 @@ def bug_version_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(flg, ["user_id", "version_ts"], "left").join(
         att, ["user_id", "version_ts"], "left"
     )
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN floor(epoch(ts))::BIGINT
+                         - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, event_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(floor(epoch(ts))::BIGINT) AS session_start,
+           max(floor(epoch(ts))::BIGINT) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization as an ACTUAL stateful streaming run
+    (applyInPandasWithState under availableNow): per-entity state
+    carries (closed count, open session); sessions re-emit in update
+    mode under stable ordinals as they grow, so latest-per-
+    (entity, session) in the sink IS the final sessionization.  The
+    oracle is the batch events_sessionize equivalence — streaming
+    must converge to exactly the batch result.  Custom stateful
+    template for semantics the built-in session_window can't hold
+    (stable ordinals, growing-extent re-emit).
+    reference: the same incremental==full guarantee as
+    stream_snapshot (bz_etl.py:172)."""
+    import os
+    import tempfile
+    import uuid
+
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        stream_sessionize as _op,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(path)
+    srcdir = tempfile.mkdtemp(prefix="bes_sess_")
+    os.symlink(path, os.path.join(srcdir, "events.parquet"))
+    src = spark.readStream.schema(static.schema).parquet(srcdir)
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    src = src.select(
+        "user_id", F.col("ts").cast("long").alias("tsl"), "event_id"
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        _op(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bes_sq_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("n_events").desc(), F.col("session_end").desc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id", "session_id", "n_events",
+            "session_start", "session_end",
+        )
+    )

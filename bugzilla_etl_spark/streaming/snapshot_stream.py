@@ -228,3 +228,100 @@ def stream_upsert_foreachbatch(
         .outputMode("update")
         .trigger(availableNow=True)
     )
+
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("n_closed", LongType()),
+        StructField("open_start", LongType()),
+        StructField("open_end", LongType()),
+        StructField("open_n", LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_start", LongType()),
+        StructField("session_end", LongType()),
+    ]
+)
+
+SESSION_GAP_S = 1800
+
+
+def _sessionize_state(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Gap-based session windows as explicit state: per entity, the
+    state is (sessions closed so far, the one open session); each
+    micro-batch merges its events (vectorized gap/cumsum over the
+    sorted batch — loops only over the handful of SESSIONS, never
+    rows) and re-emits every session it touched.  Update-mode
+    semantics: an open session is re-emitted with a grown extent
+    under its STABLE ordinal until a later event closes it, so the
+    sink's latest row per (entity, session_id) is always the final
+    extent.  State is one tuple per entity — bounded by entity
+    cardinality like stream_current_state, not by stream length."""
+    import numpy as np
+
+    frames = [pdf[["tsl", "event_id"]] for pdf in pdfs if len(pdf)]
+    if not frames:
+        return
+    df = pd.concat(frames).sort_values(["tsl", "event_id"])
+    tsl = df["tsl"].to_numpy(dtype=np.int64)
+
+    if state.exists:
+        n_closed, o_start, o_end, o_n = state.get
+    else:
+        n_closed, o_start, o_end, o_n = 0, None, None, 0
+
+    cont = o_end is not None and (tsl[0] - o_end) <= SESSION_GAP_S
+    if o_end is not None and not cont:
+        n_closed += 1  # idle open session closes with its last extent
+
+    prev = np.empty_like(tsl)
+    prev[0] = tsl[0]
+    prev[1:] = tsl[:-1]
+    sid = np.cumsum((tsl - prev) > SESSION_GAP_S)
+    counts = np.bincount(sid).astype(np.int64)
+    starts = tsl[np.unique(sid, return_index=True)[1]]
+    bounds = np.concatenate((np.nonzero(np.diff(sid))[0], [len(sid) - 1]))
+    ends = tsl[bounds]
+    if cont:
+        counts[0] += o_n
+        starts[0] = o_start
+
+    ordinals = n_closed + 1 + np.arange(len(counts), dtype=np.int64)
+    state.update(
+        (int(n_closed + len(counts) - 1), int(starts[-1]), int(ends[-1]),
+         int(counts[-1]))
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(len(counts), key[0], dtype=np.int64),
+            "session_id": ordinals,
+            "n_events": counts,
+            "session_start": starts,
+            "session_end": ends,
+        }
+    )
+
+
+def stream_sessionize(events_stream: DataFrame) -> DataFrame:
+    """Stateful gap sessionization (30 min) — the custom-stateful-
+    operator template for semantics Spark's built-in session window
+    can't express (stable per-entity ordinals, update-mode re-emit
+    of growing sessions).  Input needs columns user_id, tsl (epoch
+    seconds), event_id."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_state,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -275,3 +275,88 @@ def test_stream_stateful_current_state(spark, sf_dir, tmp_path):
         for r in dedup_latest(load_table(spark, sf_dir, "events")).collect()
     }
     assert got == want
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the handler directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _run_sessionize(batches, state):
+    import pandas as pd
+
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        _sessionize_state,
+    )
+
+    out = []
+    for rows in batches:
+        pdf = pd.DataFrame(rows, columns=["tsl", "event_id"])
+        out.extend(
+            pd.concat(list(_sessionize_state((1,), [pdf], state)))
+            .to_dict("records")
+        )
+    return out
+
+
+def test_stream_sessionize_continuation_across_batches():
+    """An open session must keep its ordinal and extend when the next
+    batch continues it within the gap."""
+    state = _FakeState()
+    out = _run_sessionize(
+        [[(100, 1), (200, 2)], [(1900, 3), (5000, 4)]], state
+    )
+    # batch 1: one open session (#1); batch 2: event at 1900 continues
+    # it (gap 1700 <= 1800), event at 5000 opens session #2
+    final = {}
+    for r in out:
+        final[r["session_id"]] = r
+    assert final[1]["session_start"] == 100
+    assert final[1]["session_end"] == 1900
+    assert final[1]["n_events"] == 3
+    assert final[2]["session_start"] == 5000
+    assert final[2]["n_events"] == 1
+    assert state.get[0] == 1  # one closed session
+
+
+def test_stream_sessionize_idle_open_session_closes_silently():
+    """A batch starting beyond the gap closes the prior open session
+    at its last-emitted extent (no re-emit needed) and numbers new
+    sessions after it."""
+    state = _FakeState()
+    out1 = _run_sessionize([[(100, 1)]], state)
+    assert out1[0]["session_id"] == 1
+    out2 = _run_sessionize([[(10_000, 2), (20_000, 3)]], state)
+    ids = sorted(r["session_id"] for r in out2)
+    assert ids == [2, 3]
+    assert state.get[0] == 2  # sessions 1 and 2 closed, 3 open
+
+
+def test_stream_sessionize_matches_batch_sessionize(spark, sf_dir):
+    """The streaming run's final (latest-per-session) rows must equal
+    the batch sessionize query exactly."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    got = sorted(
+        map(tuple, catalog.QUERIES["stream_sessionize"](
+            spark, sf_dir).collect())
+    )
+    want = sorted(
+        map(tuple, catalog.QUERIES["events_sessionize"](
+            spark, sf_dir).collect())
+    )
+    assert got == want
