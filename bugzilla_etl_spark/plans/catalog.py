@@ -82,7 +82,7 @@ _PRIORITY = (
     "mix_weights",
     "pii_scrub",
     "curate_corpus",
-    # rows-only: the driver row is its only value record, keep in-window
+    # upgraded rows-only -> full oracle this round: must re-test
     "mm_features",
     # changed this round (cell-skew guard): must re-test
     "embedding_neardup",

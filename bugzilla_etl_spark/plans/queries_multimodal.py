@@ -1,9 +1,15 @@
 """Multimodal queries (SURVEY §2 #37): binary media columns.
 
-``mm_features`` exercises the Arrow-batched mapInPandas decode path —
-not SQL-expressible, so the driver records the rows-only check; the
-schema/values are unit-tested in tests/test_multimodal.py instead.
-``mm_frame_sample`` is pure column logic and fully oracle-checked.
+``mm_features`` exercises the Arrow-batched mapInPandas decode path.
+A REAL codec is not SQL-expressible — but the deterministic stub is
+pure modular arithmetic over the payload bytes, so the oracle
+recomputes it from ``hex(encode(text))`` with a literal 31^i mod 997
+power table: the driver gets a full value-hash check of the decode
+plumbing (batch shapes, byte truncation, lane layout), not just a
+row count.  ``register_codec`` of a real decoder would flip this
+entry back to rows-only — the honest boundary is the codec body,
+not the plan.  ``mm_frame_sample`` is pure column logic and fully
+oracle-checked.
 """
 
 from __future__ import annotations
@@ -15,15 +21,69 @@ from bugzilla_etl_spark.operators import multimodal as M
 from bugzilla_etl_spark.plans.catalog import register
 from bugzilla_etl_spark.sources import load_table
 
+# 31^i mod 997 for i < 512 (max lane length of the 4096-byte window)
+# — mirrors multimodal._POW31; embedded as a literal so the oracle is
+# self-contained SQL.
+_POW31 = []
+_v = 1
+for _ in range(512):
+    _POW31.append(_v)
+    _v = (_v * 31) % 997
+_POW31_SQL = "[" + ",".join(map(str, _POW31)) + "]"
 
-@register("mm_features", oracle=None)
+# lane k of the stub codec, as SQL: bytes k, k+8, ... of the first
+# 4096 payload bytes, folded as Σ b_j·31^(m-1-j) mod 997 (the same
+# vectorized identity the numpy codec uses).  1-based power index =
+# m - j with m = (nb-k+7)//8.
+_LANE = (
+    "CASE WHEN nb > k THEN "
+    "list_sum(list_transform(range(0, (nb - k + 7) // 8), j -> "
+    "(('0x' || substr(hx, 2*(k + 8*j) + 1, 2))::UBIGINT::BIGINT) "
+    f"* ({_POW31_SQL}[(nb - k + 7) // 8 - j]))) % 997 "
+    "ELSE 0 END"
+)
+
+
+@register(
+    "mm_features",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime,
+               hex(encode(text)) AS hx,
+               least(octet_length(encode(text)), 4096) AS nb,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    )
+    SELECT media_id, mime, n_bytes, CAST(8 AS INT) AS dim,
+           array_to_string(list_transform(range(0, 8), k ->
+               CAST({_LANE} AS VARCHAR)), '|') AS feat_sig
+    FROM d
+    """,
+)
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode+featurize media payloads (deterministic stub codec —
-    the 100 TB plan shape is real: Arrow batches through mapInPandas)."""
+    the 100 TB plan shape is real: Arrow batches through mapInPandas).
+    feat_sig re-integerizes the 8 lane features (k/997 -> k) so the
+    oracle checks the decoded VALUES byte-for-byte."""
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_media(docs)
     out = M.extract_features(media)
-    return out.select("media_id", "mime", "n_bytes", F.size("feature").alias("dim"))
+    return out.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.size("feature").alias("dim"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.col("feature"),
+                lambda x: F.round(x * 997).cast("long").cast("string"),
+            ),
+        ).alias("feat_sig"),
+    )
 
 
 @register(
