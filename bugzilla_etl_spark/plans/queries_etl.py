@@ -359,13 +359,27 @@ def nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("diff_apply", oracle=None)
+@register(
+    "diff_apply",
+    oracle="""
+    SELECT doc_id AS user_id, 1704067200 AS ts,
+           length(text) AS value_len
+    FROM documents
+    UNION ALL
+    SELECT doc_id AS user_id, 1704153600 AS ts,
+           length(text) + 7 AS value_len
+    FROM documents
+    """,
+)
 def diff_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIFF_FIELDS reconstruction as a runnable query: build a
     deterministic 2-version diff chain per document (v1 = the text,
     v2 = a unified diff editing line 1) and rebuild the value
-    timeline with applyInPandas.  Not SQL-expressible (text patching)
-    -> rows-only check; exactness is covered by the difflib
+    timeline with applyInPandas.  General text patching is not
+    SQL-expressible, but the deterministic chain's OBSERVABLE
+    timeline is (v1 = len(text), v2 = len('EDITED ' + text)), so the
+    oracle value-checks the distributed patch application end-to-end
+    — byte-exactness of arbitrary diffs is covered by the difflib
     round-trip property test.
     reference: transform_bugzilla.py:25 DIFF_FIELDS,
     parse_bug_history.py:1104 ApplyDiff."""
@@ -394,7 +408,9 @@ def diff_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain = base_rows.unionByName(diff_rows)
     out = apply_diff_chain(chain)
     return out.select(
-        "user_id", "ts", F.length("value_text").alias("value_len")
+        "user_id",
+        F.col("ts").cast("long").alias("ts"),
+        F.length("value_text").alias("value_len"),
     )
 
 
