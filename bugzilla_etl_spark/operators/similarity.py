@@ -203,17 +203,63 @@ def lsh_buckets(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Assign each vector its hyperplane-sign bucket (the ANN scale
-    path: top-k search then probes only matching/nearby buckets)."""
-    v = _dvec(vec_col)
-    # bucket id from explicit per-plane bits (unrolled: n_planes is a
-    # small constant, so the expression stays compact)
-    bits = [hyperplane_bit(v, p, dim) for p in range(n_planes)]
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket * 2 + b
-    return emb.select(
-        F.col(id_col).alias("vec_id"), bucket.cast("long").alias("bucket")
-    )
+    path: top-k search then probes only matching/nearby buckets).
+
+    The pseudo-planes are derived ONCE through engine expressions
+    (n_planes x dim values — the same md5 arithmetic
+    ``hyperplane_bit`` inlines) and the per-vector work is a single
+    numpy sign-of-matmul per Arrow batch.  The inline-expression
+    form recomputed the md5-derived plane components inside the HOF
+    lambda for EVERY vector (no CSE in lambdas: |corpus| x n_planes
+    x dim md5 calls) and ran the fold on the interpreted HOF path —
+    measured ~4x slower at sf0.1 and growing with the corpus, since
+    plane derivation belongs to the INDEX, not the scan."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    # plane component (p, d) = (hash64('p:d') % 1000)/1000 - 0.5,
+    # computed BY the engine so values match hyperplane_bit (and the
+    # DuckDB oracle) bit-for-bit
+    prows = spark.range(n_planes * dim).select(
+        (F.col("id") / dim).cast("int").alias("p"),
+        (F.col("id") % dim).cast("int").alias("d"),
+        (
+            (
+                hash64(
+                    F.concat(
+                        (F.col("id") / dim).cast("int").cast("string"),
+                        F.lit(":"),
+                        (F.col("id") % dim).cast("int").cast("string"),
+                    )
+                )
+                % 1000
+            ).cast("double")
+            / 1000.0
+            - 0.5
+        ).alias("c"),
+    ).collect()
+    P = np.zeros((n_planes, dim), dtype=np.float64)
+    for r in prows:
+        P[r.p, r.d] = r.c
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    t = emb.select(F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v"))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            bits = (V @ P.T) >= 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "bucket": (bits.astype(np.int64) * weights).sum(axis=1),
+                }
+            )
+
+    return t.mapInPandas(assign, schema="vec_id long, bucket long")
 
 
 def ivf_assign(
