@@ -121,22 +121,16 @@ def label_blocked_neardup(
     Results are identical to the unguarded plan (oracle unchanged);
     replication factor per row is nsplit+1, bounded and chosen by the
     cell's own size via a broadcast 1-row-per-cell dim."""
+    import numpy as np
+    import pandas as pd
+
     t = emb.select(
         F.col(id_col).alias("vid"), F.col(label_col).alias("cell"),
         _dvec(vec_col).alias("v"),
-    ).select("vid", "cell", "v", norm(F.col("v")).alias("nrm"))
+    )
 
     if max_cell is None:
-        a = t.select(
-            F.col("vid").alias("id_a"), F.col("v").alias("v_a"),
-            F.col("nrm").alias("n_a"), "cell",
-        )
-        b = t.select(
-            F.col("vid").alias("id_b"), F.col("v").alias("v_b"),
-            F.col("nrm").alias("n_b"), "cell",
-        )
-        pairs = a.join(b, on="cell").where(F.col("id_a") < F.col("id_b"))
-        ida, idb = F.col("id_a"), F.col("id_b")
+        s = t.withColumn("nsplit", F.lit(1)).withColumn("s", F.lit(0))
     else:
         cells = t.groupBy("cell").agg(
             F.ceil(F.count(F.lit(1)) / max_cell).cast("int").alias("nsplit")
@@ -145,33 +139,59 @@ def label_blocked_neardup(
             "s", F.pmod(hash64(F.col("vid").cast("string")),
                         F.col("nsplit")).cast("int")
         )
-        a = s.select(
-            F.col("vid").alias("id_a"), F.col("v").alias("v_a"),
-            F.col("nrm").alias("n_a"), "cell",
-            F.col("s").alias("i"),
-            F.explode(
-                F.sequence(F.col("s"), F.col("nsplit") - 1)
-            ).alias("j"),
-        )
-        b = s.select(
-            F.col("vid").alias("id_b"), F.col("v").alias("v_b"),
-            F.col("nrm").alias("n_b"), "cell",
-            F.explode(F.sequence(F.lit(0), F.col("s"))).alias("i"),
-            F.col("s").alias("j"),
-        )
-        pairs = a.join(b, on=["cell", "i", "j"]).where(
-            (F.col("i") < F.col("j")) | (F.col("id_a") < F.col("id_b"))
-        )
-        ida = F.least(F.col("id_a"), F.col("id_b"))
-        idb = F.greatest(F.col("id_a"), F.col("id_b"))
-
-    cos4 = F.round(
-        pair_cosine(F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")), 4
+    a = s.select(
+        "cell", F.col("s").alias("i"),
+        F.explode(F.sequence(F.col("s"), F.col("nsplit") - 1)).alias("j"),
+        F.lit(0).alias("side"), "vid", "v",
     )
-    return (
-        pairs.withColumn("cos", cos4)
-        .where(F.col("cos") >= threshold)
-        .select(ida.alias("id_a"), idb.alias("id_b"), "cos")
+    b = s.select(
+        "cell", F.explode(F.sequence(F.lit(0), F.col("s"))).alias("i"),
+        F.col("s").alias("j"),
+        F.lit(1).alias("side"), "vid", "v",
+    )
+    u = a.unionByName(b)
+
+    # One gram matmul per (cell, i, j) bucket: the n² happens inside
+    # numpy over <= ~max_cell rows per side, and only SURVIVING pairs
+    # leave the task — the candidate product is never materialized as
+    # rows (the join+interpreted-fold form shipped every candidate
+    # through a per-pair HOF dot: ~3x slower at sf0.1 and pure
+    # overhead at corpus scale).
+    def score(key, pdf):
+        i, j = int(key[1]), int(key[2])
+        A = pdf[pdf["side"] == 0]
+        B = pdf[pdf["side"] == 1]
+        if not len(A) or not len(B):
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cos": pd.Series(dtype="float64"),
+                }
+            )
+        VA = np.stack([np.asarray(v, dtype=np.float64) for v in A["v"]])
+        VB = np.stack([np.asarray(v, dtype=np.float64) for v in B["v"]])
+        na = np.sqrt((VA * VA).sum(axis=1))
+        nb = np.sqrt((VB * VB).sum(axis=1))
+        S = np.round(
+            (VA @ VB.T) / np.maximum(np.outer(na, nb), 1e-12), 4
+        )
+        avid = A["vid"].to_numpy(dtype=np.int64)
+        bvid = B["vid"].to_numpy(dtype=np.int64)
+        mask = S >= threshold
+        if i == j:
+            mask &= avid[:, None] < bvid[None, :]
+        r, c = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(avid[r], bvid[c]),
+                "id_b": np.maximum(avid[r], bvid[c]),
+                "cos": S[r, c],
+            }
+        )
+
+    return u.groupBy("cell", "i", "j").applyInPandas(
+        score, schema="id_a long, id_b long, cos double"
     )
 
 
