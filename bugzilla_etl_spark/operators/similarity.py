@@ -67,31 +67,61 @@ def brute_force_topk(
     The query side is small and broadcast; the corpus is scanned once.
     Rank key = (cosine rounded to 4, candidate id): rounding absorbs
     float summation ulps so rankings are stable across engines."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _dvec(vec_col).alias("qv"),
-    ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
-    c = emb.select(
-        F.col(id_col).alias("cand_id"), _dvec(vec_col).alias("cv")
-    ).select("cand_id", "cv", norm(F.col("cv")).alias("cn"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("cand_id"))
-        .withColumn(
-            "cos",
-            F.round(
-                pair_cosine(
-                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-                ),
-                4,
-            ),
-        )
+    import numpy as np
+    import pandas as pd
+
+    qrows = sorted(
+        queries.select(
+            F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv")
+        ).collect(),
+        key=lambda r: r.qid,
+    )
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+
+    t = emb.select(F.col(id_col).alias("cand_id"), _dvec(vec_col).alias("v"))
+
+    # One corpus-batch x query-set matmul per Arrow batch with a
+    # per-batch per-query top-k prune: the ranking shuffle carries
+    # <= |queries| x k rows per batch, and the scan does one BLAS
+    # kernel instead of |corpus| x |queries| interpreted HOF dots
+    # (the crossJoin form: measured ~2x slower at sf0.1, linearly
+    # worse with corpus size).
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            vn = np.sqrt((V * V).sum(axis=1))
+            cand = pdf["cand_id"].to_numpy(dtype=np.int64)
+            S = np.round(
+                (V @ Q.T) / np.maximum(np.outer(vn, qn), 1e-12), 4
+            )
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(qids)):
+                mask = cand != qids[qi]
+                ids, cos = cand[mask], S[mask, qi]
+                order = np.lexsort((ids, -cos))[:k]
+                out_q.append(np.full(len(order), qids[qi]))
+                out_c.append(ids[order])
+                out_s.append(cos[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "cos": np.concatenate(out_s),
+                }
+            )
+
+    pruned = t.mapInPandas(
+        score, schema="query_id long, cand_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cand_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos", "rank")
     )
