@@ -84,6 +84,9 @@ _PRIORITY = (
     "curate_corpus",
     # upgraded rows-only -> full oracle this round: must re-test
     "mm_features",
+    # re-planned this round (numpy kernels): must re-test
+    "ann_topk",
+    "ann_lsh_buckets",
     # changed this round (cell-skew guard): must re-test
     "embedding_neardup",
     # failed the r1/r2 gate, fixed since: must re-test
@@ -104,6 +107,11 @@ _DEPRIORITY = (
     # rotated out for ann_pq: pair-enumerating variant of in-window
     # dedup_simhash, driver-green r1+r2, locally gated every round
     "dedup_simhash_pairs",
+    # rotated out for the re-planned ann_topk/ann_lsh_buckets (both
+    # changed this session, must re-test): driver-green r1+r2,
+    # unchanged, benched every round
+    "incremental_touched",
+    "es_docs",
     # rotated out for curate_corpus / stream_sessionize: driver-green
     # r1+r2, benched every round, single-window plans re-proven by
     # the local gate each run
@@ -111,11 +119,8 @@ _DEPRIORITY = (
     "state_rollforward",
     # rotated out for the round-3 pipeline additions (all driver-green
     # r1+r2 AND bench headliners, so still timed + locally gated every
-    # round); mm_features stays in-window — rows-only queries have no
-    # local-oracle mirror, the driver row is their only record.
+    # round)
     "doc_fingerprint",
-    "ann_topk",
-    "ann_lsh_buckets",
     "token_count",
     "alias_analysis",
     "flag_parse",
