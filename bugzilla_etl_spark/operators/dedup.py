@@ -606,34 +606,59 @@ def decontam_overlap(
     drops documents leaking evaluation data.
 
     Scale shape (100 TB corpus, MB-scale benchmark): the eval shingle
-    set is hashed to longs and BROADCAST — the corpus-side explode
-    joins map-side with zero shuffle of training data, then one
-    partial-agg count per doc.  Hash collisions (60-bit) only ever
-    ADD a false hit, i.e. decontamination stays conservative.
+    set is hashed to longs, sorted, and shipped in the task closure
+    (benchmarks are MB against a 100 TB corpus — the set IS the
+    index); the corpus pass is then MAP-ONLY: one vectorized
+    searchsorted membership count per Arrow batch, zero shuffles
+    anywhere.  The earlier explode -> broadcast-join -> re-agg form
+    shuffled |corpus shingles| skinny rows just to count them back
+    down per doc.  Hash collisions (60-bit) only ever ADD a false
+    hit, i.e. decontamination stays conservative.
     reference scope: beyond Bugzilla-ETL — training-data pipeline
     extension (same family as dedup_*)."""
-    ev = (
+    import numpy as np
+    import pandas as pd
+
+    ev_rows = (
         _hashed_shingled(eval_docs, text_col, id_col, sort=False)
         .select(F.explode("shh").alias("sh"))
         .distinct()
+        .collect()
     )
-    tr = _hashed_shingled(docs, text_col, id_col, sort=False)
-    hits = (
-        tr.select("doc_id", F.explode("shh").alias("sh"))
-        .join(F.broadcast(ev), on="sh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    E = np.sort(np.array([r.sh for r in ev_rows], dtype=np.int64))
+
+    tr = _hashed_shingled(docs, text_col, id_col, sort=False).select(
+        "doc_id", "shh"
     )
-    return (
-        tr.select("doc_id")
-        .join(hits, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            F.when(F.coalesce("n_overlap", F.lit(0)) > 0, 1)
-            .otherwise(0)
-            .alias("contaminated"),
-        )
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["shh"]]
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            if lens.sum() == 0 or len(E) == 0:
+                n = np.zeros(len(pdf), dtype=np.int64)
+            else:
+                flat = np.concatenate(arrs)
+                idx = np.searchsorted(E, flat)
+                hit = (idx < len(E)) & (
+                    E[np.minimum(idx, len(E) - 1)] == flat
+                )
+                offsets = np.zeros(len(arrs) + 1, dtype=np.int64)
+                np.cumsum(lens, out=offsets[1:])
+                csum = np.concatenate(([0], np.cumsum(hit)))
+                n = csum[offsets[1:]] - csum[offsets[:-1]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_overlap": n,
+                    "contaminated": (n > 0).astype(np.int32),
+                }
+            )
+
+    return tr.mapInPandas(
+        probe, schema="doc_id long, n_overlap long, contaminated int"
     )
 
 
