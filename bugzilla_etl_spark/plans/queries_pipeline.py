@@ -51,9 +51,10 @@ _DUCK_SHH = "list_transform(sh, s -> " + duckdb_hash64("s") + ")"
 def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 20th doc plays the held-out
     eval set; training docs report how many distinct 3-gram shingles
-    they share with it.  Eval shingles broadcast (benchmarks are MB
-    against a 100 TB corpus), so the corpus never shuffles for the
-    probe — see operators.dedup.decontam_overlap."""
+    they share with it.  The eval shingle set ships sorted in the
+    task closure (benchmarks are MB against a 100 TB corpus), so the
+    corpus probe is map-only with zero shuffles — see
+    operators.dedup.decontam_overlap."""
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.where(F.col("doc_id") % 20 == 0)
     tr = docs.where(F.col("doc_id") % 20 != 0)
