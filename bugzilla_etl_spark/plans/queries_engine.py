@@ -21,7 +21,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     "pivot_event_counts",
     oracle=f"""
     SELECT user_id,
-           {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in EVENT_TYPES)}
+           {", ".join(f"(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END))::BIGINT AS n_{t}" for t in EVENT_TYPES)}
     FROM events GROUP BY user_id
     """,
 )

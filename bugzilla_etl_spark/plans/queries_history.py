@@ -23,6 +23,7 @@ from bugzilla_etl_spark.operators import flags as FL
 from bugzilla_etl_spark.operators import subentity as SUB
 from bugzilla_etl_spark.plans.catalog import register
 from bugzilla_etl_spark.sources import load_table
+from bugzilla_etl_spark.sources.tables import normalize_events_ts
 
 # ---- deterministic flag-change synthesis (same CASEs both engines) --
 # name: every 5th event uses the UPPER-cased type, exercising
@@ -381,11 +382,9 @@ def stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     srcdir = tempfile.mkdtemp(prefix="bes_ssrc_")
     os.symlink(path, os.path.join(srcdir, "events.parquet"))
-    src = spark.readStream.schema(static.schema).parquet(srcdir)
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    src = normalize_events_ts(
+        spark.readStream.schema(static.schema).parquet(srcdir)
+    )
     name = f"stream_snap_{uuid.uuid4().hex[:8]}"
     q = (
         stream_current_state(src)
@@ -447,11 +446,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcdir = tempfile.mkdtemp(prefix="bes_sdup_")
     os.symlink(path, os.path.join(srcdir, "events_a.parquet"))
     os.symlink(path, os.path.join(srcdir, "events_b.parquet"))
-    src = spark.readStream.schema(static.schema).parquet(srcdir)
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    src = normalize_events_ts(
+        spark.readStream.schema(static.schema).parquet(srcdir)
+    )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     q = (
         stream_dedup_events(src)
@@ -507,11 +504,9 @@ def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     static = spark.read.parquet(path)
     srcdir = tempfile.mkdtemp(prefix="bes_sroll_")
     os.symlink(path, os.path.join(srcdir, "events.parquet"))
-    src = spark.readStream.schema(static.schema).parquet(srcdir)
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    src = normalize_events_ts(
+        spark.readStream.schema(static.schema).parquet(srcdir)
+    )
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
     q = (
         stream_time_rollup(src)
@@ -782,9 +777,9 @@ def bug_version_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, event_id, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) AS session_id
+               (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW))::BIGINT AS session_id
         FROM marked
     )
     SELECT user_id, session_id,
@@ -819,11 +814,9 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     static = spark.read.parquet(path)
     srcdir = tempfile.mkdtemp(prefix="bes_sess_")
     os.symlink(path, os.path.join(srcdir, "events.parquet"))
-    src = spark.readStream.schema(static.schema).parquet(srcdir)
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    src = normalize_events_ts(
+        spark.readStream.schema(static.schema).parquet(srcdir)
+    )
     src = src.select(
         "user_id", F.col("ts").cast("long").alias("tsl"), "event_id"
     )

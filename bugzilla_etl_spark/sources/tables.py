@@ -29,6 +29,20 @@ TABLES = (
 )
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TimestampType regardless
+    of how the parquet shipped it: TIMESTAMP(NANOS) read as long under
+    nanosAsLong, or TIMESTAMP(MICROS) isAdjustedToUTC=false read as
+    TIMESTAMP_NTZ.  Works on static AND streaming frames (pure column
+    expressions).  Session tz is pinned UTC, so ntz->tz is exact."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table.  Column pruning / filter pushdown happen
     automatically from the downstream plan — do NOT .cache() here, it
@@ -36,13 +50,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader refuses.  Read nanos as long (legacy conf, runtime-settable)
-        # and rebuild a TimestampType with INTEGER division — `ts/1000`
-        # would route through double and lose precision above 2^53.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader refuses — read nanos as long and rebuild with
+        # INTEGER division; `ts/1000` would route through double and lose
+        # precision above 2^53) and as TIMESTAMP(MICROS) isAdjustedToUTC=
+        # false (which Spark reads as TIMESTAMP_NTZ — not castable to
+        # long).  Normalize BOTH to TimestampType; the session tz is
+        # pinned UTC so the ntz->tz cast is value-identical.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_events_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

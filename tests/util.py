@@ -17,11 +17,16 @@ def canon(v):
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
+        # Type-distinct like the driver: float 1.0 must NOT canonicalize
+        # to the same string as int 1 (see tools/verify_local.py).
         if math.isnan(v):
             return "nan"
         if v == 0:
-            return "0"
-        return f"{v:.6g}"
+            return "0.0"
+        s = f"{v:.6g}"
+        if "." not in s and "e" not in s and "n" not in s:
+            s += ".0"
+        return s
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
     if isinstance(v, (list, tuple)):

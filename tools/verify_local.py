@@ -41,12 +41,20 @@ def _canon_cell(v):
     if isinstance(v, (bool, np.bool_)):
         return str(int(v))
     if isinstance(v, (float, np.floating)):
+        # Type-distinct on purpose: the driver's canonicalizer hashes a
+        # float64 1.0 differently from an int64 1 (this is how the
+        # DuckDB-HUGEINT-sum -> pandas-float64 bug slipped through three
+        # rounds: %.6g mapped both to "1").  Keep a decimal marker so
+        # float cells NEVER collapse to integer strings.
         v = float(v)
         if math.isnan(v):
             return "nan"
         if v == 0:
-            return "0"
-        return f"{v:.6g}"
+            return "0.0"
+        s = f"{v:.6g}"
+        if "." not in s and "e" not in s and "n" not in s:
+            s += ".0"
+        return s
     if isinstance(v, (int, np.integer)):
         return str(int(v))
     if isinstance(v, pd.Timestamp):
