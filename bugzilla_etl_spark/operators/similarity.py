@@ -242,7 +242,11 @@ def hyperplane_bit(vec: Column, plane: int, dim: int) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+    # round before the sign so a projection within an ulp of zero
+    # can't flip the bit between this sequential fold, the BLAS
+    # matmul in lsh_buckets, and the DuckDB oracle (all three round
+    # to 9 decimals — well above ulp noise, well below plane scale)
+    return F.when(F.round(proj, 9) >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
 def lsh_buckets(
@@ -301,7 +305,11 @@ def lsh_buckets(
             if not len(pdf):
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            bits = (V @ P.T) >= 0
+            # same 9-decimal pre-sign rounding as hyperplane_bit and
+            # the oracle: BLAS sums in a different order than their
+            # sequential folds, so an ulp-of-zero projection could
+            # otherwise land in a different bucket
+            bits = np.round(V @ P.T, 9) >= 0
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],

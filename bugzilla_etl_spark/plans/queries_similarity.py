@@ -49,8 +49,12 @@ def _duck_plane(p: int) -> str:
     return f"list_transform(range(0,64), d -> (({h} % 1000) / 1000.0 - 0.5))"
 
 
+# round(_, 9) before the sign on BOTH sides (see lsh_buckets /
+# hyperplane_bit): DuckDB folds the dot product sequentially while
+# Spark's path is a BLAS matmul, so without the round an
+# ulp-of-zero projection could bucket differently per engine.
 _DUCK_BUCKET = " + ".join(
-    f"(CASE WHEN list_dot_product(v, {_duck_plane(p)}) >= 0 "
+    f"(CASE WHEN round(list_dot_product(v, {_duck_plane(p)}), 9) >= 0 "
     f"THEN {1 << (7 - p)} ELSE 0 END)"
     for p in range(8)
 )

@@ -58,6 +58,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # long).  Normalize BOTH to TimestampType; the session tz is
         # pinned UTC so the ntz->tz cast is value-identical.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The ntz->tz cast in normalize_events_ts is value-identical
+        # ONLY under a UTC session tz; session.py pins it, but a
+        # caller-supplied session (the verify driver's, a notebook's)
+        # may not — pin it here, next to the reader conf it pairs with
+        # (both are runtime-settable).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         return normalize_events_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

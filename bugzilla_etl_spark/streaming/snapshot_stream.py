@@ -146,6 +146,37 @@ def stream_time_rollup(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def restore_orphaned_buckets(state_dir: str) -> None:
+    """Crash-recovery sweep for the bucketed-swap sink.
+
+    The swap in ``stream_upsert_foreachbatch`` is two renames:
+    ``bucket=N -> .old_<batch>_<N>`` then ``.swap/bucket=N ->
+    bucket=N``.  A crash between them leaves the bucket dir absent
+    and its contents stranded in the dot-prefixed retired dir, which
+    Spark's path filter (and the merge's ``os.path.isdir`` probe)
+    would never see — every entity in that bucket not present in the
+    replayed batch would silently drop from state.  This sweep runs
+    at the top of every batch (and may be called at startup): any
+    ``.old_*`` dir whose bucket is missing is renamed back; any whose
+    bucket exists is a completed swap's leftover and is removed."""
+    import os
+    import re
+    import shutil
+
+    if not os.path.isdir(state_dir):
+        return
+    for name in os.listdir(state_dir):
+        m = re.fullmatch(r"\.old_\d+_(\d+)", name)
+        if not m:
+            continue
+        retired = f"{state_dir}/{name}"
+        dst = f"{state_dir}/bucket={m.group(1)}"
+        if os.path.isdir(dst):
+            shutil.rmtree(retired, ignore_errors=True)
+        else:
+            os.rename(retired, dst)
+
+
 def stream_upsert_foreachbatch(
     events_stream: DataFrame,
     state_dir: str,
@@ -167,13 +198,17 @@ def stream_upsert_foreachbatch(
          readers — Spark's path filter skips dot/underscore paths),
          then swap each touched bucket dir into place by rename.
 
-    A crash mid-swap leaves every bucket individually consistent
-    (old or new, never partial) and the streaming checkpoint replays
-    the batch, which converges because the merge is idempotent.  At
-    lakehouse scale the same shape is MERGE INTO on a table
-    partitioned/bucketed by entity — only matching file groups
-    rewrite.  Untouched bucket files are byte-identical across
-    batches (asserted in tests)."""
+    A crash mid-swap leaves every bucket individually consistent:
+    the swap retires the old dir to ``.old_<batch>_<bucket>`` before
+    renaming the new one in, and every batch begins by RESTORING any
+    orphaned ``.old_*`` dir whose bucket is missing (crash landed
+    between the two renames).  The streaming checkpoint then replays
+    the interrupted batch, which converges because the merge is
+    idempotent — so state is always old-or-new, never partial and
+    never silently dropped.  At lakehouse scale the same shape is
+    MERGE INTO on a table partitioned/bucketed by entity — only
+    matching file groups rewrite.  Untouched bucket files are
+    byte-identical across batches (asserted in tests)."""
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         import os
@@ -181,6 +216,7 @@ def stream_upsert_foreachbatch(
 
         from pyspark.sql import Window
 
+        restore_orphaned_buckets(state_dir)
         spark = batch.sparkSession
         batch = batch.withColumn(
             "bucket", F.pmod(F.hash("user_id"), F.lit(n_buckets))
@@ -294,7 +330,15 @@ def _sessionize_state(
     ends = tsl[bounds]
     if cont:
         counts[0] += o_n
-        starts[0] = o_start
+        # min/max merges, not overwrites: a late-arriving batch whose
+        # events predate the stored open-session extent must widen the
+        # session, never regress it.  (Exact gap semantics under
+        # arbitrary reordering would require re-splitting history; the
+        # contract here is in-order-per-entity delivery with graceful
+        # extent-merge degradation for stragglers inside the open
+        # session's horizon.)
+        starts[0] = min(int(o_start), int(starts[0]))
+        ends[0] = max(int(o_end), int(ends[0]))
 
     ordinals = n_closed + 1 + np.arange(len(counts), dtype=np.int64)
     state.update(

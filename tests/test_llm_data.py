@@ -83,6 +83,48 @@ def test_exact_groups_full_hash_width(spark, sf_dir):
     assert rows and all(len(r.text_hash) == 32 for r in rows)
 
 
+def test_lsh_near_zero_projection_bit_is_stable(spark):
+    """A projection within an ulp of zero must land on the SAME side
+    of the hyperplane on every path (expression fold, BLAS matmul,
+    oracle) — the 9-decimal pre-sign round absorbs summation-order
+    ulps, so a -1e-13 projection reads as zero -> bit 1 everywhere."""
+    from bugzilla_etl_spark.functions.hashing import hash64
+
+    comps = {
+        r.d: r.c
+        for r in spark.range(64)
+        .select(
+            F.col("id").alias("d"),
+            (
+                (
+                    hash64(
+                        F.concat(F.lit("0:"), F.col("id").cast("string"))
+                    )
+                    % 1000
+                ).cast("double")
+                / 1000.0
+                - 0.5
+            ).alias("c"),
+        )
+        .collect()
+    }
+    free_d = next(d for d in range(2, 64) if comps[d] != 0.0)
+    # <v, plane0> = c0*c1 - c1*c0 + c_free * (-1e-13/c_free) = -1e-13
+    v = [0.0] * 64
+    v[0] = comps[1]
+    v[1] = -comps[0]
+    v[free_d] = -1e-13 / comps[free_d]
+    df = spark.createDataFrame([(1, v)], "vec_id long, embedding array<double>")
+
+    bit = df.select(
+        SIM.hyperplane_bit(F.col("embedding"), 0, 64).alias("b")
+    ).first().b
+    assert bit == 1  # -1e-13 rounds to zero -> non-negative side
+
+    bucket = SIM.lsh_buckets(df, n_planes=8, dim=64).first().bucket
+    assert (bucket >> 7) & 1 == 1  # numpy path agrees on plane 0's bit
+
+
 def test_lsh_bucket_recall_against_brute_force(spark, sf_dir):
     """Scale-path sanity: vectors in the same LSH bucket should be
     substantially more similar than random pairs (bucketing carries

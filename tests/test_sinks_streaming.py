@@ -225,6 +225,91 @@ def test_stream_upsert_prunes_untouched_buckets(spark, tmp_path):
     assert got[7] == 1000 and got[0] == 0 and len(got) == 64
 
 
+def test_stream_upsert_recovers_from_crash_between_renames(
+    spark, tmp_path
+):
+    """Kill-between-the-two-renames simulation: a bucket retired to
+    ``.old_*`` but never replaced must be restored by the next batch,
+    not silently dropped from state."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        restore_orphaned_buckets,
+        stream_upsert_foreachbatch,
+    )
+
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i, t0, i, "signup", float(i)) for i in range(64)], schema
+    ).coalesce(1).write.parquet(f"{src}/slice=0")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{src}/slice=0").schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = stream_upsert_foreachbatch(
+            stream, state, str(tmp_path / ckpt)
+        ).start()
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    assert spark.read.parquet(state).count() == 64
+
+    # Simulate the crash window: bucket retired, replacement never
+    # landed.  Pick the bucket of entity 7 (same arithmetic as the
+    # operator).
+    tb = (
+        spark.createDataFrame([(7,)], "user_id long")
+        .select(F.pmod(F.hash("user_id"), F.lit(16)).alias("b"))
+        .collect()[0]
+        .b
+    )
+    os.rename(f"{state}/bucket={tb}", f"{state}/.old_99_{tb}")
+
+    # Next batch touches a DIFFERENT entity (different bucket): the
+    # merge must still see the crashed bucket's entities afterwards.
+    other = next(
+        u
+        for u in range(64)
+        if spark.createDataFrame([(u,)], "user_id long")
+        .select(F.pmod(F.hash("user_id"), F.lit(16)).alias("b"))
+        .collect()[0]
+        .b
+        != tb
+    )
+    spark.createDataFrame(
+        [(1000, t0 + dt.timedelta(days=1), other, "purchase", 1.0)],
+        schema,
+    ).coalesce(1).write.parquet(f"{src}/slice=1")
+    run("ckpt1")
+
+    got = {r.user_id for r in spark.read.parquet(state).collect()}
+    assert got == set(range(64))  # no entity lost
+    assert not any(
+        n.startswith(".old_") for n in os.listdir(state)
+    )  # orphan cleaned up
+
+    # completed-swap leftover (.old_* alongside a live bucket) is
+    # garbage-collected, not restored over the newer state
+    shutil.copytree(f"{state}/bucket={tb}", f"{state}/.old_42_{tb}")
+    restore_orphaned_buckets(state)
+    assert os.path.isdir(f"{state}/bucket={tb}")
+    assert not os.path.isdir(f"{state}/.old_42_{tb}")
+
+
 def test_stream_dedup_state_uses_within_watermark():
     """Regression: dropDuplicates keyed on event_id alone never evicts
     state (the watermark applies only when the event-time column is in
@@ -343,6 +428,23 @@ def test_stream_sessionize_idle_open_session_closes_silently():
     ids = sorted(r["session_id"] for r in out2)
     assert ids == [2, 3]
     assert state.get[0] == 2  # sessions 1 and 2 closed, 3 open
+
+
+def test_stream_sessionize_late_arrival_widens_not_regresses():
+    """A straggler older than the stored open-session extent must
+    widen the session (min start / max end), never shrink it or
+    regress the stored end."""
+    state = _FakeState((0, 1000, 2000, 2))  # open session [1000, 2000]
+    out = _run_sessionize([[(500, 9)]], state)
+    # 500 is within the gap horizon of end=2000 -> continues the open
+    # session; start merges to min(1000, 500), end stays max(2000, 500)
+    assert len(out) == 1
+    assert out[0]["session_id"] == 1
+    assert out[0]["session_start"] == 500
+    assert out[0]["session_end"] == 2000
+    assert out[0]["n_events"] == 3
+    n_closed, o_start, o_end, o_n = state.get
+    assert (n_closed, o_start, o_end, o_n) == (0, 500, 2000, 3)
 
 
 def test_stream_sessionize_matches_batch_sessionize(spark, sf_dir):

@@ -31,6 +31,10 @@ def test_float_int_cells_are_distinct():
     assert _canon_cell(1.5) == "1.5"
     assert _canon_cell(1e30) == "1e+30"
     assert _canon_cell(float("nan")) == "nan"
+    assert _canon_cell(float("inf")) == "inf"
+    assert _canon_cell(float("-inf")) == "-inf"
+    assert util.canon(float("inf")) == "inf"
+    assert util.canon(float("-inf")) == "-inf"
 
 
 def test_util_canon_matches_verify_local_policy():
@@ -46,7 +50,10 @@ def test_hugeint_oracle_fails_against_int_spark_result():
     dpdf = con.execute(
         "SELECT sum(x) AS s FROM (VALUES (1), (2)) t(x)"
     ).df()
-    assert dpdf["s"].dtype == np.float64  # HUGEINT -> pandas float64
+    # HUGEINT must not arrive as an integer dtype (DuckDB versions map
+    # it to float64 today; object/decimal would equally fail the
+    # compare, which is the property that matters)
+    assert not np.issubdtype(dpdf["s"].dtype, np.integer)
     spdf = pd.DataFrame({"s": np.array([3], dtype=np.int64)})
     assert canon_frame(spdf) != canon_frame(dpdf)
     # and the ::BIGINT cast is exactly what makes it match

@@ -49,10 +49,12 @@ def _canon_cell(v):
         v = float(v)
         if math.isnan(v):
             return "nan"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
         if v == 0:
             return "0.0"
         s = f"{v:.6g}"
-        if "." not in s and "e" not in s and "n" not in s:
+        if "." not in s and "e" not in s:
             s += ".0"
         return s
     if isinstance(v, (int, np.integer)):
