@@ -244,6 +244,127 @@ def activity_invert(
     )
 
 
+def previous_values(
+    log: DataFrame,
+    fields: Sequence[str],
+    entity: str = "user_id",
+    ts: str = "ts",
+    field_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Per-field previous-value tracking carried on every version —
+    the reference's ``previous_values`` struct (parse_bug_history.py:783
+    ``setPrevious``, called from :599 on every real single-value field
+    change, consumed at :519 by carrying ``currBugState`` forward).
+
+    For each version (log row) and each tracked field, the output
+    carries the field's most recent REAL change at or before that
+    version:
+
+    * ``{f}_prev_value``     — the value the field held before it
+    * ``{f}_change_to_l``    — when the field took that previous value
+      (the change-before-last's ts; entity creation ts for the field's
+      first change — setPrevious's caField->ctField chain)
+    * ``{f}_change_away_l``  — when the field changed away (the ts of
+      the change itself)
+    * ``{f}_duration_days``  — floor days the previous value was held
+
+    A change entry whose new value equals the field's prior value is
+    skipped, mirroring :528 (old==new entries are nulled) and the :599
+    ``!=`` guard — it neither emits nor disturbs the carried struct.
+
+    Plan: ONE shuffle on the entity key; everything else is stacked
+    WindowExecs over the same (entity x (ts, tiebreak)) sort —
+    prior-value lookback, real-change detection, previous-change-ts
+    lookback, and the carry are all frames of that one window.  No
+    per-field shuffle, no self-join, no explode; at 100 TB this costs
+    exactly what snapshot_versions costs plus O(len(fields)) column
+    work per row.  NULL field values cannot be distinguished from
+    "field never changed" by the ignore-nulls carry — the reference
+    has the same blind spot (a None in previous_values's dict)."""
+    tsl = F.col(ts).cast("long")
+    wp = _ordered_window(entity, "_tsl", tiebreak)
+    wprev = wp.rowsBetween(Window.unboundedPreceding, -1)
+    wcur = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    base = log.select(
+        entity, *tiebreak, F.col(field_col).alias("_f"),
+        F.col(value_col).alias("_v"), tsl.alias("_tsl"),
+    )
+    # pass 1: per field, last value/ts of that field strictly before
+    # this row, plus the entity creation ts (first row of the window)
+    s1 = base.select(
+        "*",
+        F.first("_tsl").over(wcur).alias("_created_l"),
+        *[
+            F.last(F.when(F.col("_f") == f, F.col("_v")), ignorenulls=True)
+            .over(wprev)
+            .alias(f"_prior_{f}")
+            for f in fields
+        ],
+    )
+    # pass 2 (no window): is this row a REAL change of field f?
+    s2 = s1.select(
+        "*",
+        *[
+            (
+                (F.col("_f") == f)
+                & ~F.col("_v").eqNullSafe(F.col(f"_prior_{f}"))
+            ).alias(f"_chg_{f}")
+            for f in fields
+        ],
+    )
+    # pass 3: ts of the previous REAL change of f (setPrevious's
+    # caField -> ctField hand-off)
+    s3 = s2.select(
+        "*",
+        *[
+            F.last(F.when(F.col(f"_chg_{f}"), F.col("_tsl")), ignorenulls=True)
+            .over(wprev)
+            .alias(f"_pcts_{f}")
+            for f in fields
+        ],
+    )
+    # pass 4 (no window): the pv record emitted AT a change row
+    def _pv(f: str) -> Column:
+        ct = F.coalesce(F.col(f"_pcts_{f}"), F.col("_created_l"))
+        return F.when(
+            F.col(f"_chg_{f}"),
+            F.struct(
+                F.col(f"_prior_{f}").alias("pv"),
+                ct.alias("ct"),
+                F.col("_tsl").alias("ca"),
+                F.floor((F.col("_tsl") - ct) / F.lit(86400.0))
+                .cast("long")
+                .alias("dd"),
+            ),
+        )
+
+    s4 = s3.select("*", *[_pv(f).alias(f"_pv_{f}") for f in fields])
+    # pass 5: carry the latest record per field onto every version
+    s5 = s4.select(
+        entity, *tiebreak, F.col("_tsl").alias("version_tsl"),
+        *[
+            F.last(f"_pv_{f}", ignorenulls=True).over(wcur).alias(f"_c_{f}")
+            for f in fields
+        ],
+    )
+    return s5.select(
+        entity, *tiebreak, "version_tsl",
+        *[
+            c
+            for f in fields
+            for c in (
+                F.col(f"_c_{f}.pv").alias(f"{f}_prev_value"),
+                F.col(f"_c_{f}.ct").alias(f"{f}_change_to_l"),
+                F.col(f"_c_{f}.ca").alias(f"{f}_change_away_l"),
+                F.col(f"_c_{f}.dd").alias(f"{f}_duration_days"),
+            )
+        ],
+    )
+
+
 def incremental_touched(
     log: DataFrame,
     since_epoch_s: int,

@@ -845,3 +845,101 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_start", "session_end",
         )
     )
+
+
+# ---- previous_values: per-field duration tracking --------------------
+
+_PV_FIELDS = ("click", "error", "purchase", "signup", "view")
+
+
+def _pv_oracle() -> str:
+    """DuckDB mirror of operators/snapshot.previous_values — same five
+    stacked window passes over (user_id ORDER BY tsl, event_id)."""
+    prior = ",\n           ".join(
+        f"last_value(CASE WHEN event_type = '{f}' THEN value END "
+        f"IGNORE NULLS) OVER wprev AS prior_{f}"
+        for f in _PV_FIELDS
+    )
+    chg = ",\n           ".join(
+        f"(event_type = '{f}' AND value IS DISTINCT FROM prior_{f}) "
+        f"AS chg_{f}"
+        for f in _PV_FIELDS
+    )
+    pcts = ",\n           ".join(
+        f"last_value(CASE WHEN chg_{f} THEN tsl END IGNORE NULLS) "
+        f"OVER wprev AS pcts_{f}"
+        for f in _PV_FIELDS
+    )
+    pv = ",\n           ".join(
+        f"CASE WHEN chg_{f} THEN struct_pack("
+        f"pv := prior_{f}, "
+        f"ct := coalesce(pcts_{f}, created_l), "
+        f"ca := tsl, "
+        f"dd := CAST(floor((tsl - coalesce(pcts_{f}, created_l)) "
+        f"/ 86400.0) AS BIGINT)) END AS pv_{f}"
+        for f in _PV_FIELDS
+    )
+    carry = ",\n           ".join(
+        f"last_value(pv_{f} IGNORE NULLS) OVER wcur AS c_{f}"
+        for f in _PV_FIELDS
+    )
+    flat = ",\n           ".join(
+        f"c_{f}.pv AS {f}_prev_value,\n           "
+        f"c_{f}.ct AS {f}_change_to_l,\n           "
+        f"c_{f}.ca AS {f}_change_away_l,\n           "
+        f"c_{f}.dd AS {f}_duration_days"
+        for f in _PV_FIELDS
+    )
+    wprev = (
+        "(PARTITION BY user_id ORDER BY tsl, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    wcur = (
+        "(PARTITION BY user_id ORDER BY tsl, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS tsl,
+             event_type, value
+      FROM events
+    ),
+    s1 AS (
+      SELECT *,
+           first_value(tsl) OVER wcur AS created_l,
+           {prior}
+      FROM e
+      WINDOW wprev AS {wprev}, wcur AS {wcur}
+    ),
+    s2 AS (SELECT *,
+           {chg}
+           FROM s1),
+    s3 AS (SELECT *,
+           {pcts}
+           FROM s2
+           WINDOW wprev AS {wprev}),
+    s4 AS (SELECT *,
+           {pv}
+           FROM s3),
+    s5 AS (SELECT user_id, event_id, tsl AS version_tsl,
+           {carry}
+           FROM s4
+           WINDOW wcur AS {wcur})
+    SELECT user_id, event_id, version_tsl,
+           {flat}
+    FROM s5
+    """
+
+
+@register("previous_values", oracle=_pv_oracle())
+def previous_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field (previous value, change-to ts, change-away ts,
+    duration) carried on every version — the reference's
+    ``previous_values`` struct on each bug_version doc
+    (parse_bug_history.py:783 setPrevious; ctField takes the prior
+    caField, creation ts for a field's first change; :599 skips
+    no-op changes).  Each of the five event_type "fields" is tracked
+    independently; one entity-keyed shuffle, stacked windows."""
+    from bugzilla_etl_spark.operators.snapshot import previous_values as _op
+
+    return _op(load_table(spark, sf_dir, "events"), fields=_PV_FIELDS)

@@ -217,3 +217,70 @@ def test_changepoint_single_exchange(spark):
     )
     plan = cp._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_previous_values_tracks_real_changes_only(spark):
+    """setPrevious parity: first change uses creation ts as change_to,
+    later changes chain prior change-away -> change_to; a no-op entry
+    (same value again) neither emits nor disturbs the carried record.
+    reference: parse_bug_history.py:783 setPrevious, :599 != guard,
+    :528 old==new entries nulled."""
+    import datetime as dt
+
+    from bugzilla_etl_spark.operators.snapshot import previous_values
+
+    def t(s):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, 1, t(0), "a", 1.0),
+        (1, 2, t(86400), "a", 2.0),
+        (1, 3, t(100000), "a", 2.0),  # no-op: value unchanged
+        (1, 4, t(200000), "a", 3.0),
+        (1, 5, t(250000), "b", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    out = {
+        r.event_id: r
+        for r in previous_values(df, fields=("a", "b")).collect()
+    }
+    assert len(out) == 5
+
+    # first change of 'a': prev NULL, change_to = creation ts (= 0)
+    r1 = out[1]
+    assert r1.a_prev_value is None
+    assert r1.a_change_to_l == 0 and r1.a_change_away_l == 0
+    assert r1.a_duration_days == 0
+    assert r1.b_prev_value is None and r1.b_change_away_l is None
+
+    # second change: prev=1.0, change_to = prior change-away (0)
+    r2 = out[2]
+    assert r2.a_prev_value == 1.0
+    assert r2.a_change_to_l == 0 and r2.a_change_away_l == 86400
+    assert r2.a_duration_days == 1
+
+    # no-op row carries the SAME record, does not re-emit
+    r3 = out[3]
+    assert (
+        r3.a_prev_value, r3.a_change_to_l, r3.a_change_away_l,
+        r3.a_duration_days,
+    ) == (r2.a_prev_value, r2.a_change_to_l, r2.a_change_away_l,
+          r2.a_duration_days)
+
+    # third real change: prev=2.0, change_to = 86400 (NOT the no-op ts)
+    r4 = out[4]
+    assert r4.a_prev_value == 2.0
+    assert r4.a_change_to_l == 86400 and r4.a_change_away_l == 200000
+    assert r4.a_duration_days == (200000 - 86400) // 86400
+
+    # b's first change on the last row: change_to = entity creation (0)
+    r5 = out[5]
+    assert r5.b_prev_value is None
+    assert r5.b_change_to_l == 0 and r5.b_change_away_l == 250000
+    assert r5.b_duration_days == 250000 // 86400
+    # a's record still carried forward unchanged
+    assert r5.a_change_away_l == 200000
