@@ -191,6 +191,71 @@ def alias_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "alias_compact",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id AS id FROM events),
+    m AS (
+        SELECT 'u' || CAST(id AS VARCHAR) || '@example.com' AS alias,
+               CASE
+                 WHEN id % 2 = 1 AND (id - 1) % 4 = 2
+                   THEN 'u' || CAST(id - 3 AS VARCHAR) || '@example.com'
+                 WHEN id % 2 = 1
+                   THEN 'u' || CAST(id - 1 AS VARCHAR) || '@example.com'
+                 ELSE 'u' || CAST(id - 2 AS VARCHAR) || '@example.com'
+               END AS canonical
+        FROM u WHERE id % 2 = 1 OR id % 4 = 2
+    )
+    SELECT alias, canonical FROM m WHERE alias <> canonical
+    """,
+)
+def alias_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias persistence round-trip + compaction + chain remap — the
+    reference's cross-run alias file lifecycle (alias_analysis.py:232
+    load_aliases, :306 save_aliases, :322 compact, :225 reassign).
+
+    A stored mapping (odd users -> their predecessor, plus identity
+    rows that compaction must drop) is SAVED to a parquet store,
+    LOADED back, and merged with a fresh round (users ≡2 mod 4 ->
+    two back).  The merge collapses the resulting chains
+    (u{4k+3} -> u{4k+2} -> u{4k}), so the oracle's closed-form CASE is
+    exactly the chain-followed mapping.  The store write/read is the
+    point of the query; the oracle checks the surviving values."""
+    import tempfile
+
+    from bugzilla_etl_spark.sinks.alias_store import (
+        load_aliases,
+        merge_aliases,
+        save_aliases,
+    )
+
+    def em(c):
+        return F.concat(F.lit("u"), c.cast("string"), F.lit("@example.com"))
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    stored = (
+        users.where(F.col("user_id") % 2 == 1)
+        .select(
+            em(F.col("user_id")).alias("alias"),
+            em(F.col("user_id") - 1).alias("canonical"),
+        )
+        .unionByName(
+            users.where(F.col("user_id") % 4 == 0).select(
+                em(F.col("user_id")).alias("alias"),
+                em(F.col("user_id")).alias("canonical"),
+            )
+        )
+    )
+    fresh = users.where(F.col("user_id") % 4 == 2).select(
+        em(F.col("user_id")).alias("alias"),
+        em(F.col("user_id") - 2).alias("canonical"),
+    )
+    path = tempfile.mkdtemp(prefix="bes_alias_") + "/store"
+    save_aliases(stored, path)
+    loaded, _ = load_aliases(spark, path)
+    return merge_aliases(loaded, fresh)
+
+
+@register(
     "private_screen",
     oracle="""
     SELECT event_id, user_id, event_type

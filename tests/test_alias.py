@@ -97,3 +97,56 @@ def test_minimize_aliases_skips_indistinct(spark):
         rows, "bug_id long, email string, cnt long"
     )
     assert minimize_aliases(counts, min_diff=4).isEmpty()
+
+
+def test_alias_store_round_trip_and_compaction(spark, tmp_path):
+    """save -> load returns the same mapping minus identity rows;
+    not_aliases ride alongside under the ignore flag.
+    reference: alias_analysis.py:306 save_aliases / :322 compact."""
+    from bugzilla_etl_spark.sinks import alias_store as S
+
+    mapping = spark.createDataFrame(
+        [("a@x", "b@x"), ("c@x", "c@x"), ("d@x", "b@x")],
+        "alias string, canonical string",
+    )
+    nots = spark.createDataFrame(
+        [("e@x", "b@x")], "alias string, canonical string"
+    )
+    path = str(tmp_path / "store")
+    S.save_aliases(mapping, path, not_aliases=nots)
+    aliases, not_aliases = S.load_aliases(spark, path)
+    assert sorted(map(tuple, aliases.collect())) == [
+        ("a@x", "b@x"),
+        ("d@x", "b@x"),
+    ]  # identity row compacted away
+    assert [tuple(r) for r in not_aliases.collect()] == [("e@x", "b@x")]
+
+
+def test_alias_store_missing_path_is_empty(spark, tmp_path):
+    from bugzilla_etl_spark.sinks import alias_store as S
+
+    aliases, nots = S.load_aliases(spark, str(tmp_path / "nope"))
+    assert aliases.count() == 0 and nots.count() == 0
+    assert aliases.columns == ["alias", "canonical"]
+
+
+def test_merge_aliases_fresh_wins_and_chains_collapse(spark):
+    """Per-alias precedence (fresh overwrites stored) plus the
+    ALIAS REMAPPED collapse: stored k->old + fresh old->new folds to
+    k->new.  reference: alias_analysis.py:225 reassign loop."""
+    from bugzilla_etl_spark.sinks import alias_store as S
+
+    stored = spark.createDataFrame(
+        [("k@x", "old@x"), ("p@x", "q@x")],
+        "alias string, canonical string",
+    )
+    fresh = spark.createDataFrame(
+        [("old@x", "new@x"), ("p@x", "r@x")],
+        "alias string, canonical string",
+    )
+    got = sorted(map(tuple, S.merge_aliases(stored, fresh).collect()))
+    assert got == [
+        ("k@x", "new@x"),    # chain followed through the re-alias
+        ("old@x", "new@x"),
+        ("p@x", "r@x"),      # fresh row won over stored p->q
+    ]
