@@ -387,26 +387,96 @@ def ivf_assign(
     )
 
 
+def ivf_assign_probes(
+    emb: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-``nprobe`` cell assignment — the multi-probe side of IVF
+    search.  Same driver-materialized centroid index and map-only
+    Arrow pass as ``ivf_assign``, but emits one row per (vector,
+    probed cell) with a 1-based ``probe`` rank, ordered by rounded
+    cosine (centroid-id tiebreak, engine-portable).  Intended for the
+    BOUNDED query side: nprobe multiplies the broadcast row count,
+    not the corpus scan."""
+    import numpy as np
+    import pandas as pd
+
+    c = centroids.select(
+        F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv")
+    ).select("cid", "cv", norm(F.col("cv")).alias("cn"))
+    crows = sorted(c.collect(), key=lambda r: r.cid)
+    cids = np.array([r.cid for r in crows], dtype=np.int64)
+    C = np.stack([np.asarray(r.cv, dtype=np.float64) for r in crows])
+    cn = np.array([r.cn for r in crows], dtype=np.float64)
+    npb = min(nprobe, len(cids))
+
+    t = emb.select(
+        F.col(id_col).alias("vid"), _dvec(vec_col).alias("v")
+    ).select("vid", "v", norm(F.col("v")).alias("vn"))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            vn = pdf["vn"].to_numpy(dtype=np.float64)
+            S = np.round(
+                (V @ C.T) / np.maximum(np.outer(vn, cn), 1e-12), 4
+            )
+            rows = []
+            for i in range(len(pdf)):
+                # order by (-cos, cid): lexsort sorts by the LAST key
+                # first, so cids breaks cosine ties ascending
+                order = np.lexsort((cids, -S[i]))[:npb]
+                for p, j in enumerate(order, start=1):
+                    rows.append(
+                        (
+                            pdf["vid"].iloc[i],
+                            int(cids[j]),
+                            float(S[i, j]),
+                            int(p),
+                            pdf["v"].iloc[i],
+                            float(vn[i]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["vid", "cell", "cell_cos", "probe", "v", "vn"],
+            )
+
+    return t.mapInPandas(
+        assign,
+        schema="vid long, cell long, cell_cos double, probe int, "
+        "v array<double>, vn double",
+    )
+
+
 def ivf_search_topk(
     emb: DataFrame,
     centroids: DataFrame,
     queries: DataFrame,
     k: int = 3,
+    nprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF top-k: exact cosine ranking restricted to each query's own
-    cell (nprobe=1).  The bounded query set (with its cell
-    assignments) broadcasts; the corpus side is partitioned by cell,
-    so per-task candidate volume is bounded by cell size — the same
+    """IVF top-k: exact cosine ranking restricted to each query's
+    ``nprobe`` nearest cells.  The bounded query set (with its cell
+    probes) broadcasts; the corpus side is partitioned by cell, so
+    per-task candidate volume is bounded by cell size — the same
     inventory brute_force_topk scans in full.  Recall vs the exact
-    baseline is a measured property (see tests), traded for an
-    n_cells-fold scan reduction."""
+    baseline is a measured property (see tests and SCALING.md),
+    traded for an (n_cells/nprobe)-fold scan reduction; each corpus
+    vector lives in exactly one cell, so multi-probe never produces
+    duplicate candidate pairs."""
     asg = ivf_assign(emb, centroids, vec_col, id_col)
     # assign the BOUNDED query set directly instead of filtering the
     # full corpus assignment — otherwise the corpus-wide assign pass
     # (the expensive map at 100 TB) executes twice, once per consumer
-    q = ivf_assign(queries, centroids, vec_col, id_col).select(
+    q = ivf_assign_probes(queries, centroids, nprobe, vec_col, id_col).select(
         F.col("vid").alias("query_id"),
         F.col("cell").alias("qcell"),
         F.col("v").alias("qv"),

@@ -242,6 +242,54 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_search_topk(emb, cents, queries, k=3)
 
 
+@register(
+    "ann_ivf_nprobe",
+    oracle=f"""
+    WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nr FROM t),
+    c AS (SELECT vec_id AS cid, v, nr FROM n WHERE vec_id % 25 = 0),
+    scored AS (
+        SELECT n.vec_id, c.cid, {_DUCK_VCOS.format(a='n', b='c')} AS cos
+        FROM n CROSS JOIN c
+    ), asg AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos DESC, cid ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), qp AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos DESC, cid ASC) AS rn
+            FROM scored WHERE vec_id % 50 = 0
+        ) WHERE rn <= 2
+    ), cand AS (
+        SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+               {_DUCK_VCOS.format(a='nq', b='na')} AS cos
+        FROM qp q
+        JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+        JOIN n nq ON nq.vec_id = q.vec_id
+        JOIN n na ON na.vec_id = a.vec_id
+    )
+    SELECT query_id, cand_id, cos, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM cand
+    ) WHERE rank <= 3
+    """,
+)
+def ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-probe (nprobe=2): each query searches its
+    TWO nearest cells, recovering neighbors that fell on the far side
+    of a cell boundary — the standard recall knob (recall matrix in
+    SCALING.md).  Corpus-side cost is unchanged (one cell per corpus
+    vector); only the broadcast query fan-out doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") % 25 == 0)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return SIM.ivf_search_topk(emb, cents, queries, k=3, nprobe=2)
+
+
 # ---- end-to-end corpus curation ---------------------------------------------
 
 _DUCK_NORM_HASH = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
