@@ -668,22 +668,13 @@ _FULL_ORACLE = f"""
 """
 
 
-@register("bug_version_full", oracle=_FULL_ORACLE)
-def bug_version_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE reference ES document: versioned snapshot state
-    (interval bounds, rolled-forward scalar, accumulated set) PLUS
-    the per-version flag set PLUS the re-nested attachment
-    sub-entities — everything parse_bug_history.py assembles into one
-    bug_version doc (resources/schema/bug_version.json), in one plan.
-
-    Composition shape: the version spine is ONE entity-windowed pass;
-    flags and attachments aggregate on (entity, version_ts) and join
-    back to the spine on exactly that key, so both joins reuse the
-    aggregation partitioning (big-big SMJ on the co-partitioned key —
-    the correct plan; neither side is broadcastable at 100 TB).
-    reference: parse_bug_history.py (whole), transform_bugzilla.py
-    normalize(), bz_etl.py ES doc assembly."""
-    ev = load_table(spark, sf_dir, "events")
+def build_full_docs(ev: DataFrame) -> DataFrame:
+    """Assemble the complete bug_version document set from an events
+    frame (see ``bug_version_full``).  Factored out so the streaming
+    incremental rebuild (streaming/incremental_versions.py) runs the
+    IDENTICAL pipeline over a touched-entity subset — the reference
+    re-uses one parse path for full and incremental ETL the same way
+    (bz_etl.py:172 incremental_etl calls the same etl())."""
     from pyspark.sql import Window
 
     base = ev.select(
@@ -762,6 +753,24 @@ def bug_version_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(flg, ["user_id", "version_ts"], "left").join(
         att, ["user_id", "version_ts"], "left"
     )
+
+
+@register("bug_version_full", oracle=_FULL_ORACLE)
+def bug_version_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE reference ES document: versioned snapshot state
+    (interval bounds, rolled-forward scalar, accumulated set) PLUS
+    the per-version flag set PLUS the re-nested attachment
+    sub-entities — everything parse_bug_history.py assembles into one
+    bug_version doc (resources/schema/bug_version.json), in one plan.
+
+    Composition shape: the version spine is ONE entity-windowed pass;
+    flags and attachments aggregate on (entity, version_ts) and join
+    back to the spine on exactly that key, so both joins reuse the
+    aggregation partitioning (big-big SMJ on the co-partitioned key —
+    the correct plan; neither side is broadcastable at 100 TB).
+    reference: parse_bug_history.py (whole), transform_bugzilla.py
+    normalize(), bz_etl.py ES doc assembly."""
+    return build_full_docs(load_table(spark, sf_dir, "events"))
 
 
 @register(
@@ -845,6 +854,53 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_start", "session_end",
         )
     )
+
+
+@register("stream_bug_versions", oracle=_FULL_ORACLE)
+def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's incremental ETL loop as a REAL streaming run:
+    events arrive in three micro-batches; each batch re-builds every
+    touched entity's COMPLETE document set from the accumulated
+    archive through the IDENTICAL pipeline as the batch
+    ``bug_version_full`` (shared ``build_full_docs``), and swaps the
+    rebuilt docs into a bucketed store.  The oracle is the full batch
+    rebuild over all events — the incremental==full equivalence that
+    defines the reference's incremental mode (bz_etl.py:172; any bug
+    touched since the watermark is fully re-built and overwritten)."""
+    import tempfile
+
+    from bugzilla_etl_spark.streaming.incremental_versions import (
+        stream_full_rebuild,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="bes_incv_")
+    src = f"{work}/src"
+    # three time-ordered slices = three incremental deliveries
+    lo_hi = ev.approxQuantile("event_id", [1 / 3, 2 / 3], 0.0)
+    lo = None
+    for i, hi in enumerate([*lo_hi, None]):
+        sl = ev
+        if lo is not None:
+            sl = sl.where(F.col("event_id") > lo)
+        if hi is not None:
+            sl = sl.where(F.col("event_id") <= hi)
+        sl.coalesce(1).write.mode("overwrite").parquet(f"{src}/slice={i}")
+        lo = hi
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream_full_rebuild(
+        stream,
+        archive_dir=f"{work}/archive",
+        docs_dir=f"{work}/docs",
+        checkpoint_dir=f"{work}/ckpt",
+        build_fn=build_full_docs,
+    ).start()
+    q.awaitTermination()
+    return spark.read.parquet(f"{work}/docs").drop("bucket")
 
 
 # ---- previous_values: per-field duration tracking --------------------

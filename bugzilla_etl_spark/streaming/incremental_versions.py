@@ -1,0 +1,105 @@
+"""Streaming incremental FULL-document rebuild.
+
+The reference's incremental loop does not patch documents — any bug
+touched since the watermark is re-built IN FULL from its complete
+history and overwritten in ES (reference: bz_etl.py:172
+incremental_etl; the same etl() serves full and incremental runs).
+Streaming-first, that loop is a foreachBatch over the change stream:
+
+  1. append the micro-batch to an entity-bucketed EVENTS ARCHIVE
+     (the accumulated history — at lakehouse scale, the ingest table
+     bucketed by entity);
+  2. read the archive back for ONLY the touched buckets (partition
+     pruning by path), semi-join the touched entities, dedup replayed
+     events by their id;
+  3. run the IDENTICAL batch document pipeline (``build_fn``) over
+     that touched-entity subset;
+  4. swap the rebuilt entities' documents into the bucketed document
+     store — replacing every version of a touched entity, exactly
+     like ES overwrite-by-_id across the doc's whole version set.
+
+Crash safety: the archive append is idempotent-after-dedup (a
+replayed batch appends duplicate rows; step 2 drops them by event
+id), and the document swap reuses the retire/rename/restore protocol
+of snapshot_stream (old-or-new per bucket, orphans healed on the
+next batch).  Re-running a batch therefore converges to the same
+store — the incremental==full equivalence is the oracle.
+
+Scale: per batch, work is proportional to the touched entities'
+history (the reference's own cost model), not the corpus; untouched
+buckets are never read, written, or listed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.streaming.snapshot_stream import (
+    restore_orphaned_buckets,
+    swap_buckets,
+)
+
+
+def stream_full_rebuild(
+    events_stream: DataFrame,
+    archive_dir: str,
+    docs_dir: str,
+    checkpoint_dir: str,
+    build_fn: Callable[[DataFrame], DataFrame],
+    entity: str = "user_id",
+    event_id: str = "event_id",
+    n_buckets: int = 16,
+):
+    """foreachBatch writer: touched-entity full rebuild through
+    ``build_fn`` (events subset -> document rows; must include the
+    entity column) into a bucketed parquet document store."""
+
+    def rebuild(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        restore_orphaned_buckets(docs_dir)
+        spark = batch.sparkSession
+        bucket = F.pmod(F.hash(entity), F.lit(n_buckets))
+        b = batch.withColumn("bucket", bucket)
+        touched_b = sorted(
+            r.bucket for r in b.select("bucket").distinct().collect()
+        )
+        if not touched_b:
+            return
+        b.write.mode("append").partitionBy("bucket").parquet(archive_dir)
+
+        touched = b.select(entity).distinct()
+        hist = (
+            spark.read.option("basePath", archive_dir)
+            .parquet(*[f"{archive_dir}/bucket={k}" for k in touched_b])
+            .dropDuplicates([event_id])
+            .join(F.broadcast(touched), on=entity, how="left_semi")
+            .drop("bucket")
+        )
+        docs = build_fn(hist).withColumn("bucket", bucket)
+
+        existing = [
+            k
+            for k in touched_b
+            if os.path.isdir(f"{docs_dir}/bucket={k}")
+        ]
+        if existing:
+            prev = (
+                spark.read.option("basePath", docs_dir)
+                .parquet(*[f"{docs_dir}/bucket={k}" for k in existing])
+                .join(F.broadcast(touched), on=entity, how="left_anti")
+            )
+            docs = docs.unionByName(prev)
+        tmp = f"{docs_dir}/.swap_{batch_id}"
+        docs.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        swap_buckets(docs_dir, tmp, touched_b, batch_id)
+
+    return (
+        events_stream.writeStream.foreachBatch(rebuild)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )

@@ -177,6 +177,29 @@ def restore_orphaned_buckets(state_dir: str) -> None:
             os.rename(retired, dst)
 
 
+def swap_buckets(
+    state_dir: str, tmp: str, touched: list, batch_id: int
+) -> None:
+    """Rename each touched ``bucket=N`` dir from ``tmp`` into
+    ``state_dir``: retire old -> ``.old_<batch>_<N>``, rename new in,
+    remove retired.  Crash anywhere leaves each bucket old-or-new
+    (never partial); a crash between the two renames is healed by
+    ``restore_orphaned_buckets`` at the top of the next batch."""
+    import os
+    import shutil
+
+    for b in touched:
+        src, dst = f"{tmp}/bucket={b}", f"{state_dir}/bucket={b}"
+        if not os.path.isdir(src):
+            continue
+        retired = f"{state_dir}/.old_{batch_id}_{b}"
+        if os.path.isdir(dst):
+            os.rename(dst, retired)
+        os.rename(src, dst)
+        shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def stream_upsert_foreachbatch(
     events_stream: DataFrame,
     state_dir: str,
@@ -212,7 +235,6 @@ def stream_upsert_foreachbatch(
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         import os
-        import shutil
 
         from pyspark.sql import Window
 
@@ -247,16 +269,7 @@ def stream_upsert_foreachbatch(
         )
         tmp = f"{state_dir}/.swap_{batch_id}"
         latest.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-        for b in touched:
-            src, dst = f"{tmp}/bucket={b}", f"{state_dir}/bucket={b}"
-            if not os.path.isdir(src):
-                continue
-            retired = f"{state_dir}/.old_{batch_id}_{b}"
-            if os.path.isdir(dst):
-                os.rename(dst, retired)
-            os.rename(src, dst)
-            shutil.rmtree(retired, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        swap_buckets(state_dir, tmp, touched, batch_id)
 
     return (
         events_stream.writeStream.foreachBatch(upsert)

@@ -462,3 +462,59 @@ def test_stream_sessionize_matches_batch_sessionize(spark, sf_dir):
             spark, sf_dir).collect())
     )
     assert got == want
+
+
+def test_stream_full_rebuild_replay_converges(spark, sf_dir, tmp_path):
+    """Incremental full-document rebuild == batch build, and a FULL
+    REPLAY of every delivery (fresh checkpoint, duplicate archive
+    appends) converges to the identical store — the dedup-on-read +
+    overwrite-by-entity idempotency the reference gets from ES
+    overwrite-by-_id."""
+    from bugzilla_etl_spark.plans.queries_history import build_full_docs
+    from bugzilla_etl_spark.streaming.incremental_versions import (
+        stream_full_rebuild,
+    )
+
+    src = str(tmp_path / "src")
+    schema = _write_event_slices(spark, sf_dir, src)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = stream_full_rebuild(
+            stream,
+            archive_dir=str(tmp_path / "archive"),
+            docs_dir=str(tmp_path / "docs"),
+            checkpoint_dir=str(tmp_path / ckpt),
+            build_fn=build_full_docs,
+        ).start()
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    want = sorted(
+        map(tuple, build_full_docs(load_table(spark, sf_dir, "events"))
+            .collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(tmp_path / "docs"))
+            .drop("bucket").collect(),
+        )
+    )
+    assert got == want
+
+    # replay everything: fresh checkpoint re-delivers all slices;
+    # the archive now holds every event twice
+    run("ckpt2")
+    got2 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(tmp_path / "docs"))
+            .drop("bucket").collect(),
+        )
+    )
+    assert got2 == want
