@@ -76,6 +76,11 @@ HEADLINE = [
     # rotated past the driver's 50-row gate cap -> timed here instead
     "token_count",
     "ann_lsh_buckets",
+    # round-5 additions (stream_bug_versions excluded like the other
+    # streaming queries: availableNow startup dominates wall time)
+    "previous_values",
+    "alias_compact",
+    "ann_ivf_nprobe",
 ]
 
 

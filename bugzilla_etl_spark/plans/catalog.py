@@ -49,77 +49,30 @@ _loaded = False
 # the entries pushed past #50 are all twice-green in the driver's
 # CORRECTNESS_r01/r02 records AND covered by tools/verify_local.py.
 _PRIORITY = (
-    # never driver-tested: engine surface (r1-r2 positions 51-60)
-    "bug_version_docs",
-    "pivot_event_counts",
-    "unpivot_measures",
-    "rollup_returns",
-    "cube_order_stats",
-    "value_percentiles",
-    "moving_average",
-    "orders_fulfillment",
-    "docs_json_roundtrip",
-    "rolling_distinct_users",
-    # new this round
-    "flag_state_versions",
-    "attachment_versions",
-    "diff_rollback",
-    "alias_minimize",
-    "stream_snapshot",
-    "stream_dedup",
-    "stream_rollup",
-    "stream_sessionize",
-    "bug_version_full",
-    "dedup_components",
-    "decontam_overlap",
-    "quality_repetition",
-    "dedup_chunk",
-    "ann_ivf",
-    "ann_pq",
-    "quota_sample",
-    "seq_packing",
-    "shuffle_shards",
-    "mix_weights",
-    "pii_scrub",
-    "curate_corpus",
-    # upgraded rows-only -> full oracle this round: must re-test
-    "mm_features",
-    # re-planned this round (numpy kernels): must re-test
-    "ann_topk",
+    # round-5 additions: never driver-tested
+    "previous_values",
+    "alias_compact",
+    "ann_ivf_nprobe",
+    "stream_bug_versions",
+    # code changed in round 5: must re-test (minhash numpy kernel,
+    # LSH pre-sign rounding, IVF nprobe refactor, build_full_docs
+    # factor-out, sessionize state merge, swap crash recovery)
+    "dedup_minhash_lsh",
     "ann_lsh_buckets",
-    # changed this round (cell-skew guard): must re-test
-    "embedding_neardup",
-    # failed the r1/r2 gate, fixed since: must re-test
-    "set_accumulate",
-    "set_final",
-    "set_final_salted",
-    "nested_docs",
-    "events_sessionize",
-    "events_funnel",
-)
-
-# Rotated past position 50 when the catalog exceeds the cap: driver-
-# green in BOTH r1 and r2, each either a variant of an in-window
-# sibling or a single-shuffle transform locally re-verified per run.
-_DEPRIORITY = (
-    "tpch_q1",  # re-verified every round by bench.py + local gate
-    "mm_frame_sample",  # variant of in-window mm_features
-    # rotated out for ann_pq: pair-enumerating variant of in-window
-    # dedup_simhash, driver-green r1+r2, locally gated every round
+    "ann_ivf",
+    "bug_version_full",
+    "stream_sessionize",
+    "stream_snapshot",
+    # the 31 queries whose newest driver rows were r2 (rotated out in
+    # r3/r4) — rotated BACK IN so every catalog query has a row from
+    # r4 or r5 (round-4 verdict item 1)
+    "tpch_q1",
+    "mm_frame_sample",
     "dedup_simhash_pairs",
-    # rotated out for the re-planned ann_topk/ann_lsh_buckets (both
-    # changed this session, must re-test): driver-green r1+r2,
-    # unchanged, benched every round
     "incremental_touched",
     "es_docs",
-    # rotated out for curate_corpus / stream_sessionize: driver-green
-    # r1+r2, benched every round, single-window plans re-proven by
-    # the local gate each run
     "snapshot_versions",
     "state_rollforward",
-    # rotated out for the round-3 pipeline additions (all driver-green
-    # r1+r2 AND bench headliners, so still timed + locally gated every
-    # round)
     "doc_fingerprint",
     "token_count",
     "alias_analysis",
@@ -137,9 +90,6 @@ _DEPRIORITY = (
     "topk_per_group",
     "events_sessionize_native",
     "sample_stratified",
-    # rotated out for the round-3 sampling/PII additions: all
-    # driver-green r1+r2, unchanged since, pure single-shuffle or
-    # map-only plans re-verified by the local gate every round
     "lang_id",
     "text_quality",
     "tfidf_top_terms",
@@ -147,6 +97,60 @@ _DEPRIORITY = (
     "snapshot_asof",
     "dedup_latest",
     "interval_asof_join",
+    # window filler up to 50: previously-red-then-fixed families and
+    # the remaining streaming queries, freshest-green but cheap to
+    # keep re-confirmed
+    "events_sessionize",
+    "set_accumulate",
+    "set_final",
+    "set_final_salted",
+    "nested_docs",
+    "events_funnel",
+    "pivot_event_counts",
+    "stream_dedup",
+    "stream_rollup",
+)
+
+# Rotated past position 50 when the catalog exceeds the cap: every
+# entry here has a GREEN r4 driver row (CORRECTNESS_r04 50/50),
+# is unchanged this round, and is re-verified by the local gate
+# (tools/verify_local.py, driver-strict canonicalizer) every run.
+_DEPRIORITY = (
+    "bug_version_docs",
+    "unpivot_measures",
+    "rollup_returns",
+    "cube_order_stats",
+    "value_percentiles",
+    "moving_average",
+    "orders_fulfillment",
+    "docs_json_roundtrip",
+    "rolling_distinct_users",
+    "flag_state_versions",
+    "attachment_versions",
+    "diff_rollback",
+    "alias_minimize",
+    "dedup_components",
+    "decontam_overlap",
+    "quality_repetition",
+    "dedup_chunk",
+    "ann_pq",
+    "quota_sample",
+    "seq_packing",
+    "shuffle_shards",
+    "mix_weights",
+    "pii_scrub",
+    "curate_corpus",
+    "mm_features",
+    "ann_topk",
+    "embedding_neardup",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_invindex",
+    "dedup_simhash",
+    "alias_resolve",
+    "diff_apply",
+    "tpch_q3",
+    "tpch_q5",
 )
 
 
