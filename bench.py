@@ -81,6 +81,7 @@ HEADLINE = [
     "previous_values",
     "alias_compact",
     "ann_ivf_nprobe",
+    "winnow_fingerprints",
 ]
 
 

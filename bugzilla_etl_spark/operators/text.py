@@ -113,3 +113,88 @@ def rolling_fingerprint(tok: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * FP_MULT + h) % FP_MOD,
     )
+
+
+def ordered_kgrams(tok: Column, k: int = 3) -> Column:
+    """ALL k-grams in document order, multiplicities preserved — the
+    winnowing input (shingles() dedups and sorts away positions).
+    Same zip_with/slice shape as shingles()/bigrams() (arguments
+    evaluate once per row; transform+element_at would be O(tokens²))."""
+    z = tok
+    for j in range(1, k):
+        shifted = F.slice(tok, j + 1, F.greatest(F.size(tok) - j, F.lit(0)))
+        z = F.zip_with(z, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(z, lambda x: x.isNotNull())
+
+
+def winnow_fingerprints(
+    docs,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): hash every k-gram, slide a w-window over the hash
+    sequence, keep the minimum of each window — guaranteeing any
+    shared substring of length >= w+k-1 contributes at least one
+    shared fingerprint, at ~2/(w+1) selection density.  Tie-break
+    divergence from the paper, documented: ties select the LEFTMOST
+    minimal position (a lexicographic (hash, pos) struct-min is a
+    deterministic single aggregate on both engines; the paper's
+    rightmost rule needs a second dependent pass).
+
+    Plan: one posexplode + ONE shuffle on doc_id; the window min is a
+    single stacked WindowExec, fingerprint distinct + per-doc aggs
+    reuse the doc_id partitioning; the cross-doc document-frequency
+    agg is skinny (distinct fingerprint hashes only).  Linear at
+    corpus scale — winnowing is the index-BUILD pass; matching reads
+    the inverted fingerprint index, never the corpus."""
+    from pyspark.sql import DataFrame  # noqa: F401  (doc type)
+
+    tok = tokens(text_col)
+    hs = F.transform(ordered_kgrams(tok, k), lambda g: hash64(g))
+    t = docs.select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
+    e = t.select("doc_id", F.posexplode("hs").alias("pos", "h"))
+
+    from pyspark.sql import Window
+
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    s1 = e.select(
+        "doc_id",
+        "pos",
+        F.min(F.struct("h", "pos")).over(wf).alias("m"),
+    )
+    fp = (
+        s1.where(F.col("pos") >= w - 1)
+        .select(
+            "doc_id",
+            F.col("m.h").alias("fp_hash"),
+            F.col("m.pos").alias("fp_pos"),
+        )
+        .distinct()
+    )
+    dsets = fp.select("doc_id", "fp_hash").distinct()
+    dfc = dsets.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("ndocs"))
+    per_pos = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    per_hash = (
+        dsets.join(dfc, on="fp_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hashes"),
+            F.count(F.when(F.col("ndocs") >= 2, 1)).alias("n_shared"),
+        )
+    )
+    return per_pos.join(per_hash, on="doc_id").select(
+        "doc_id",
+        "n_fp",
+        "n_hashes",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_hashes"), 4).alias(
+            "share_frac"
+        ),
+    )

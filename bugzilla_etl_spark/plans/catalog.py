@@ -108,7 +108,8 @@ _PRIORITY = (
     "events_funnel",
     "pivot_event_counts",
     "stream_dedup",
-    "stream_rollup",
+    # round-5 late addition: never driver-tested
+    "winnow_fingerprints",
 )
 
 # Rotated past position 50 when the catalog exceeds the cap: every
@@ -116,6 +117,8 @@ _PRIORITY = (
 # is unchanged this round, and is re-verified by the local gate
 # (tools/verify_local.py, driver-strict canonicalizer) every run.
 _DEPRIORITY = (
+    # r4-green; stream_time_rollup's codepath untouched in round 5
+    "stream_rollup",
     "bug_version_docs",
     "unpivot_measures",
     "rollup_returns",

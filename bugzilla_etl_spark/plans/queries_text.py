@@ -216,3 +216,55 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", T.rolling_fingerprint(T.tokens("text")).alias("fingerprint")
     )
+
+
+_WINNOW_KG_HASH = duckdb_hash64("array_to_string(list_slice(tk, i, i + 2), ' ')")
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
+    idx AS (
+        SELECT doc_id, tk,
+               unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i
+        FROM tk
+    ),
+    kg AS (
+        SELECT doc_id, i - 1 AS pos, {_WINNOW_KG_HASH} AS h FROM idx
+    ),
+    s1 AS (
+        SELECT doc_id, pos,
+               min(struct_pack(h := h, pos := pos)) OVER wf AS m
+        FROM kg
+        WINDOW wf AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, m.h AS fp_hash, m.pos AS fp_pos
+        FROM s1 WHERE pos >= 3
+    ),
+    dsets AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+    dfc AS (SELECT fp_hash, count(*) AS ndocs FROM dsets GROUP BY fp_hash),
+    per_pos AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+    per_hash AS (
+        SELECT d.doc_id, count(*) AS n_hashes,
+               count(CASE WHEN dfc.ndocs >= 2 THEN 1 END) AS n_shared
+        FROM dsets d JOIN dfc USING (fp_hash)
+        GROUP BY d.doc_id
+    )
+    SELECT p.doc_id, p.n_fp, h.n_hashes, h.n_shared,
+           round(h.n_shared::DOUBLE / h.n_hashes, 4) AS share_frac
+    FROM per_pos p JOIN per_hash h USING (doc_id)
+    """,
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection + cross-doc sharing stats —
+    the index-build pass of MOSS-style near-duplicate/plagiarism
+    detection (Schleimer et al. 2003; k=3, w=4: any shared token run
+    of length >= 6 is guaranteed a shared fingerprint).  Complements
+    doc_fingerprint (whole-doc order-sensitive hash) and dedup_chunk
+    (fixed-stride character chunks) with position-robust substring
+    fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.winnow_fingerprints(docs, k=3, w=4)

@@ -505,3 +505,23 @@ def test_pq_search_no_corpus_shuffle(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing's core property (Schleimer et al. 2003): two docs
+    sharing a token run of length >= w+k-1 (= 6 at k=3, w=4) must
+    share at least one fingerprint hash; disjoint docs share none."""
+    from bugzilla_etl_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 shared tokens
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight {shared} nine ten eleven twelve"),
+        (3, "completely different words with nothing in common here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in winnow_fingerprints(docs).collect()}
+    assert out[1].n_shared >= 1 and out[2].n_shared >= 1
+    assert out[3].n_shared == 0
+    # density sanity: selection keeps ~2/(w+1) of positions, never all
+    assert 0 < out[1].n_fp < 1 + out[1].n_hashes * 6
