@@ -82,6 +82,7 @@ HEADLINE = [
     "alias_compact",
     "ann_ivf_nprobe",
     "winnow_fingerprints",
+    "kmeans_embeddings",
 ]
 
 

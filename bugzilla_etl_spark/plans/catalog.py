@@ -106,10 +106,10 @@ _PRIORITY = (
     "set_final_salted",
     "nested_docs",
     "events_funnel",
-    "pivot_event_counts",
     "stream_dedup",
-    # round-5 late addition: never driver-tested
+    # round-5 late additions: never driver-tested
     "winnow_fingerprints",
+    "kmeans_embeddings",
 )
 
 # Rotated past position 50 when the catalog exceeds the cap: every
@@ -117,8 +117,9 @@ _PRIORITY = (
 # is unchanged this round, and is re-verified by the local gate
 # (tools/verify_local.py, driver-strict canonicalizer) every run.
 _DEPRIORITY = (
-    # r4-green; stream_time_rollup's codepath untouched in round 5
+    # r4-green; codepaths untouched in round 5
     "stream_rollup",
+    "pivot_event_counts",
     "bug_version_docs",
     "unpivot_measures",
     "rollup_returns",

@@ -423,3 +423,75 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "lang", "group_size", "uniq_token_ratio",
         "n_pii", "red_len", "rk",
     )
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB mirror of operators/clustering.kmeans_lloyd (2 Lloyd
+    iterations, seeds = every 25th vector): integer-quantized vectors,
+    exact-integer centroid sums, 1e4-grid distance rounding — the
+    determinism contract that makes an iterative float algorithm
+    hash-comparable across engines."""
+    q = (
+        "list_transform(embedding::DOUBLE[], "
+        "x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))"
+    )
+    d2 = (
+        "CAST(floor(list_sum(list_transform(range(1, 65), "
+        "d -> (CAST(t.iv[d] AS DOUBLE) - c.cv[d]) "
+        "* (CAST(t.iv[d] AS DOUBLE) - c.cv[d]))) / 10000.0 + 0.5) "
+        "AS BIGINT)"
+    )
+    return f"""
+    WITH t AS (SELECT vec_id, {q} AS iv FROM embeddings),
+    c0 AS (
+        SELECT vec_id AS cid,
+               list_transform(iv, x -> CAST(x AS DOUBLE)) AS cv
+        FROM t WHERE vec_id % 25 = 0
+    ),
+    d1 AS (
+        SELECT t.vec_id, c.cid, {d2} AS rd2
+        FROM t CROSS JOIN c0 c
+    ),
+    a1 AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY rd2 ASC, cid ASC) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    m1 AS (
+        SELECT a1.cluster, r.d,
+               CAST(sum(t.iv[r.d]) AS DOUBLE) / count(*) AS m
+        FROM t JOIN a1 USING (vec_id) CROSS JOIN range(1, 65) r(d)
+        GROUP BY a1.cluster, r.d
+    ),
+    c1 AS (
+        SELECT cluster AS cid, list(m ORDER BY d) AS cv
+        FROM m1 GROUP BY cluster
+    ),
+    d2f AS (
+        SELECT t.vec_id, c.cid, {d2} AS rd2
+        FROM t CROSS JOIN c1 c
+    )
+    SELECT vec_id, cid AS cluster, rd2 AS d2s FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY rd2 ASC, cid ASC) AS rn
+        FROM d2f
+    ) WHERE rn = 1
+    """
+
+
+@register("kmeans_embeddings", oracle=_kmeans_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (2 iterations,
+    deterministic seeds) — the clustering pass of corpus curation /
+    semantic sharding.  Per iteration: ONE map-only Arrow pass
+    emitting bounded per-batch partial sums; the centroid fold is
+    driver-side over k x n_batches rows (the model, like the IVF
+    index).  n_iter+1 linear scans, zero corpus shuffles.  See
+    operators/clustering.py for the integer-quantization determinism
+    contract that keeps an iterative float algorithm oracle-exact."""
+    from bugzilla_etl_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, seed_every=25, n_iter=2)

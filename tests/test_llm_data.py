@@ -525,3 +525,20 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     assert out[3].n_shared == 0
     # density sanity: selection keeps ~2/(w+1) of positions, never all
     assert 0 < out[1].n_fp < 1 + out[1].n_hashes * 6
+
+
+def test_kmeans_iterations_reduce_inertia(spark, sf_dir):
+    """Lloyd's guarantee: total within-cluster squared distance is
+    non-increasing across iterations, and assignments are
+    deterministic across runs."""
+    from bugzilla_etl_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    one = kmeans_lloyd(emb, seed_every=25, n_iter=1)
+    two = kmeans_lloyd(emb, seed_every=25, n_iter=2)
+    i1 = one.agg(F.sum("d2s")).first()[0]
+    i2 = two.agg(F.sum("d2s")).first()[0]
+    assert i2 <= i1
+    a = sorted(map(tuple, two.collect()))
+    b = sorted(map(tuple, kmeans_lloyd(emb, seed_every=25, n_iter=2).collect()))
+    assert a == b
