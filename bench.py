@@ -83,6 +83,8 @@ HEADLINE = [
     "ann_ivf_nprobe",
     "winnow_fingerprints",
     "kmeans_embeddings",
+    "tpch_q6",
+    "tpch_q10",
 ]
 
 

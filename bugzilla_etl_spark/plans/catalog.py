@@ -104,12 +104,12 @@ _PRIORITY = (
     "set_accumulate",
     "set_final",
     "set_final_salted",
-    "nested_docs",
-    "events_funnel",
     "stream_dedup",
     # round-5 late additions: never driver-tested
     "winnow_fingerprints",
     "kmeans_embeddings",
+    "tpch_q6",
+    "tpch_q10",
 )
 
 # Rotated past position 50 when the catalog exceeds the cap: every
@@ -120,6 +120,8 @@ _DEPRIORITY = (
     # r4-green; codepaths untouched in round 5
     "stream_rollup",
     "pivot_event_counts",
+    "nested_docs",
+    "events_funnel",
     "bug_version_docs",
     "unpivot_measures",
     "rollup_returns",

