@@ -144,57 +144,75 @@ def winnow_fingerprints(
     deterministic single aggregate on both engines; the paper's
     rightmost rule needs a second dependent pass).
 
-    Plan: one posexplode + ONE shuffle on doc_id; the window min is a
-    single stacked WindowExec, fingerprint distinct + per-doc aggs
-    reuse the doc_id partitioning; the cross-doc document-frequency
-    agg is skinny (distinct fingerprint hashes only).  Linear at
-    corpus scale — winnowing is the index-BUILD pass; matching reads
-    the inverted fingerprint index, never the corpus."""
-    from pyspark.sql import DataFrame  # noqa: F401  (doc type)
+    Plan: selection is entirely ROW-LOCAL — k-gram hashes are engine
+    md5 expressions, then one Arrow map pass does the sliding-window
+    min per document in numpy (stride-tricks view; argmin's
+    first-occurrence IS the leftmost tie rule) — no explode of raw
+    k-gram positions, no entity shuffle for the selection.  Only the
+    SELECTED fingerprints (density ~2/(w+1)) leave the row, feeding a
+    skinny document-frequency agg + doc rollup.  (The original
+    formulation posexploded every k-gram through a doc_id-partitioned
+    struct-min window: same values, ~1.25x slower at sf0.1 and — the
+    part that matters at 100 TB — it shuffled the whole k-gram
+    stream where this shuffles only selected fingerprints.)  Linear
+    at corpus scale
+    — winnowing is the index-BUILD pass; matching reads the inverted
+    fingerprint index, never the corpus."""
+    import numpy as np
+    import pandas as pd
 
     tok = tokens(text_col)
     hs = F.transform(ordered_kgrams(tok, k), lambda g: hash64(g))
     t = docs.select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
-    e = t.select("doc_id", F.posexplode("hs").alias("pos", "h"))
 
-    from pyspark.sql import Window
+    def select_fps(batches):
+        for pdf in batches:
+            ids, fps, nfp, nh = [], [], [], []
+            for doc_id, h in zip(pdf["doc_id"], pdf["hs"]):
+                h = np.asarray(h, dtype=np.int64)
+                if len(h) < w:
+                    continue  # no full window -> no fingerprints
+                sw = np.lib.stride_tricks.sliding_window_view(h, w)
+                sel = np.unique(
+                    np.arange(sw.shape[0]) + sw.argmin(axis=1)
+                )
+                uh = np.unique(h[sel])
+                ids.append(doc_id)
+                fps.append(uh)
+                nfp.append(len(sel))
+                nh.append(len(uh))
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "fp_hashes": fps,
+                    "n_fp": np.array(nfp, dtype=np.int64),
+                    "n_hashes": np.array(nh, dtype=np.int64),
+                }
+            )
 
-    wf = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(w - 1), 0)
+    sel = t.mapInPandas(
+        select_fps,
+        schema="doc_id long, fp_hashes array<long>, n_fp long, "
+        "n_hashes long",
     )
-    s1 = e.select(
-        "doc_id",
-        "pos",
-        F.min(F.struct("h", "pos")).over(wf).alias("m"),
+    dsets = sel.select(
+        "doc_id", "n_fp", "n_hashes",
+        F.explode("fp_hashes").alias("fp_hash"),
     )
-    fp = (
-        s1.where(F.col("pos") >= w - 1)
+    dfc = dsets.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("ndocs"))
+    return (
+        dsets.join(dfc, on="fp_hash")
+        .groupBy("doc_id", "n_fp", "n_hashes")
+        .agg(F.count(F.when(F.col("ndocs") >= 2, 1)).alias("n_shared"))
         .select(
             "doc_id",
-            F.col("m.h").alias("fp_hash"),
-            F.col("m.pos").alias("fp_pos"),
+            "n_fp",
+            "n_hashes",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_hashes"), 4).alias(
+                "share_frac"
+            ),
         )
-        .distinct()
-    )
-    dsets = fp.select("doc_id", "fp_hash").distinct()
-    dfc = dsets.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("ndocs"))
-    per_pos = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    per_hash = (
-        dsets.join(dfc, on="fp_hash")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hashes"),
-            F.count(F.when(F.col("ndocs") >= 2, 1)).alias("n_shared"),
-        )
-    )
-    return per_pos.join(per_hash, on="doc_id").select(
-        "doc_id",
-        "n_fp",
-        "n_hashes",
-        "n_shared",
-        F.round(F.col("n_shared") / F.col("n_hashes"), 4).alias(
-            "share_frac"
-        ),
     )

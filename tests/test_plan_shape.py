@@ -177,19 +177,18 @@ def test_previous_values_single_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
 
 
-def test_winnow_single_doc_shuffle_before_aggs(spark, sf_dir):
-    """Winnowing's window min + fingerprint distinct + per-doc aggs
-    must reuse the doc_id partitioning; only the skinny cross-doc
-    document-frequency agg adds an exchange on fp_hash."""
+def test_winnow_selection_is_map_local(spark, sf_dir):
+    """Winnowing's fingerprint SELECTION must be row-local (numpy
+    sliding-min in the Arrow pass — no WindowExec, no shuffle of the
+    raw k-gram stream); only the skinny selected-fingerprint
+    df agg/join and the per-doc rollup may exchange."""
     import re
 
     from bugzilla_etl_spark.operators.text import winnow_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
     plan = _plan(winnow_fingerprints(docs))
-    # doc_id partition reuse: strictly fewer exchanges than the five
-    # doc_id-keyed operators (window, distinct, two aggs, join) would
-    # cost unshared; fp_hash agg + join legitimately add theirs
+    assert "Window" not in plan, plan
     n = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n <= 4, f"{n} exchanges\n{plan}"
 
