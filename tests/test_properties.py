@@ -102,3 +102,76 @@ def test_asof_join_matches_naive(case):
             and rts == max(r2 for (k2, r2, _) in right_rows if k2 == k and r2 <= ts)
         } or {None}
         assert got.get(i) in admissible, (i, got.get(i), admissible, want)
+
+
+@st.composite
+def pv_log(draw):
+    """Random single-entity change log: (ts, field, value) with
+    repeated values to exercise the no-op skip."""
+    n = draw(st.integers(1, 14))
+    rows = []
+    ts = 0
+    for i in range(n):
+        ts += draw(st.integers(1, 200_000))
+        rows.append(
+            (
+                i + 1,  # event_id (unique tiebreak)
+                ts,
+                draw(st.sampled_from(["a", "b"])),
+                float(draw(st.integers(0, 2))),  # small domain -> no-ops
+            )
+        )
+    return rows
+
+
+@given(rows=pv_log())
+@settings(max_examples=10, deadline=None)
+def test_previous_values_matches_naive_setprevious(rows):
+    """The window formulation == a literal Python transcription of the
+    reference's setPrevious bookkeeping (parse_bug_history.py:783):
+    per field, prev value / change-to chains prior change-away /
+    creation ts seeds the first change / no-op changes skipped."""
+    import datetime as dt
+
+    from bugzilla_etl_spark.operators.snapshot import previous_values
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [
+            (1, eid, dt.datetime(1970, 1, 1) + dt.timedelta(seconds=ts), f, v)
+            for (eid, ts, f, v) in rows
+        ],
+        "user_id long, event_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    got = {
+        r.event_id: r
+        for r in previous_values(df, fields=("a", "b")).collect()
+    }
+
+    # naive replay, reference-style
+    created = rows[0][1]
+    state: dict = {}  # field -> current value
+    pv: dict = {}  # field -> (prev_value, change_to, change_away)
+    want = {}
+    for eid, ts, f, v in rows:
+        cur = state.get(f)
+        if cur != v:  # real change (first sighting counts: None != v)
+            prev_away = pv[f][2] if f in pv else None
+            change_to = prev_away if prev_away is not None else created
+            pv[f] = (cur, change_to, ts)
+            state[f] = v
+        want[eid] = {k: pv.get(k) for k in ("a", "b")}
+
+    for eid, _, _, _ in rows:
+        r = got[eid]
+        for f in ("a", "b"):
+            exp = want[eid][f]
+            if exp is None:
+                assert r[f"{f}_change_away_l"] is None, (eid, f)
+                continue
+            prev_v, c_to, c_away = exp
+            assert r[f"{f}_prev_value"] == prev_v, (eid, f)
+            assert r[f"{f}_change_to_l"] == c_to, (eid, f)
+            assert r[f"{f}_change_away_l"] == c_away, (eid, f)
+            assert r[f"{f}_duration_days"] == (c_away - c_to) // 86400
