@@ -82,6 +82,7 @@ HEADLINE = [
     "alias_compact",
     "ann_ivf_nprobe",
     "winnow_fingerprints",
+    "winnow_pairs",
     "kmeans_embeddings",
     "tpch_q6",
     "tpch_q10",

@@ -127,14 +127,14 @@ def ordered_kgrams(tok: Column, k: int = 3) -> Column:
     return F.filter(z, lambda x: x.isNotNull())
 
 
-def winnow_fingerprints(
+def winnow_fp_sets(
     docs,
     k: int = 3,
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ):
-    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    """Winnowing fingerprint SELECTION (Schleimer, Wilkerson, Aiken,
     SIGMOD 2003): hash every k-gram, slide a w-window over the hash
     sequence, keep the minimum of each window — guaranteeing any
     shared substring of length >= w+k-1 contributes at least one
@@ -144,20 +144,18 @@ def winnow_fingerprints(
     deterministic single aggregate on both engines; the paper's
     rightmost rule needs a second dependent pass).
 
-    Plan: selection is entirely ROW-LOCAL — k-gram hashes are engine
-    md5 expressions, then one Arrow map pass does the sliding-window
-    min per document in numpy (stride-tricks view; argmin's
+    Selection is entirely ROW-LOCAL — k-gram hashes are engine md5
+    expressions, then one Arrow map pass does the sliding-window min
+    per document in numpy (stride-tricks view; argmin's
     first-occurrence IS the leftmost tie rule) — no explode of raw
-    k-gram positions, no entity shuffle for the selection.  Only the
-    SELECTED fingerprints (density ~2/(w+1)) leave the row, feeding a
-    skinny document-frequency agg + doc rollup.  (The original
-    formulation posexploded every k-gram through a doc_id-partitioned
-    struct-min window: same values, ~1.25x slower at sf0.1 and — the
-    part that matters at 100 TB — it shuffled the whole k-gram
-    stream where this shuffles only selected fingerprints.)  Linear
-    at corpus scale
-    — winnowing is the index-BUILD pass; matching reads the inverted
-    fingerprint index, never the corpus."""
+    k-gram positions, no entity shuffle.  Only the SELECTED
+    fingerprints leave the row.  (The original formulation
+    posexploded every k-gram through a doc_id-partitioned struct-min
+    window: same values, ~1.25x slower at sf0.1 and — the part that
+    matters at 100 TB — it shuffled the whole k-gram stream.)
+
+    Returns (doc_id, fp_hashes sorted-distinct, n_fp, n_hashes);
+    docs with fewer than w k-grams emit no row."""
     import numpy as np
     import pandas as pd
 
@@ -192,11 +190,25 @@ def winnow_fingerprints(
                 }
             )
 
-    sel = t.mapInPandas(
+    return t.mapInPandas(
         select_fps,
         schema="doc_id long, fp_hashes array<long>, n_fp long, "
         "n_hashes long",
     )
+
+
+def winnow_fingerprints(
+    docs,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-doc winnowing fingerprint stats + cross-doc sharing counts
+    (see winnow_fp_sets for the selection contract).  The
+    document-frequency agg and per-doc rollup touch only selected
+    fingerprints — skinny shuffles; the corpus scans once."""
+    sel = winnow_fp_sets(docs, k, w, text_col, id_col)
     dsets = sel.select(
         "doc_id", "n_fp", "n_hashes",
         F.explode("fp_hashes").alias("fp_hash"),
@@ -214,5 +226,64 @@ def winnow_fingerprints(
             F.round(F.col("n_shared") / F.col("n_hashes"), 4).alias(
                 "share_frac"
             ),
+        )
+    )
+
+
+def winnow_pairs(
+    docs,
+    min_shared: int = 2,
+    max_df: int = 50,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """MOSS-style match ranking: document pairs sharing >= min_shared
+    winnowing fingerprints, scored by shared count and containment
+    (shared / smaller doc's fingerprint-hash count).
+
+    Plan shape mirrors dedup_jaccard_invindex: the inverted
+    fingerprint index self-joins on fp_hash, with a document-
+    frequency cap (``max_df``) dropping ubiquitous fingerprints
+    (license headers, boilerplate) BEFORE the join — the guard that
+    keeps a hot fingerprint from producing df² candidate pairs at
+    corpus scale.  Shuffle volume is bounded by the capped postings,
+    never docs²."""
+    sel = winnow_fp_sets(docs, k, w, text_col, id_col)
+    post = sel.select(
+        "doc_id", "n_hashes", F.explode("fp_hashes").alias("fp_hash")
+    )
+    dfc = post.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("ndocs"))
+    capped = post.join(
+        F.broadcast(dfc.where(F.col("ndocs") > max_df).select("fp_hash")),
+        on="fp_hash",
+        how="left_anti",
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_hashes").alias("nh_a"),
+        "fp_hash",
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_hashes").alias("nh_b"),
+        "fp_hash",
+    )
+    return (
+        a.join(b, on="fp_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "nh_a", "nh_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / F.least(F.col("nh_a"), F.col("nh_b")),
+                4,
+            ).alias("containment"),
         )
     )

@@ -103,10 +103,10 @@ _PRIORITY = (
     "events_sessionize",
     "set_accumulate",
     "set_final",
-    "set_final_salted",
     "stream_dedup",
     # round-5 late additions: never driver-tested
     "winnow_fingerprints",
+    "winnow_pairs",
     "kmeans_embeddings",
     "tpch_q6",
     "tpch_q10",
@@ -122,6 +122,7 @@ _DEPRIORITY = (
     "pivot_event_counts",
     "nested_docs",
     "events_funnel",
+    "set_final_salted",
     "bug_version_docs",
     "unpivot_measures",
     "rollup_returns",

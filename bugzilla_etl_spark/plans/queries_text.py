@@ -268,3 +268,58 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints."""
     docs = load_table(spark, sf_dir, "documents")
     return T.winnow_fingerprints(docs, k=3, w=4)
+
+
+@register(
+    "winnow_pairs",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
+    idx AS (
+        SELECT doc_id, tk,
+               unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i
+        FROM tk
+    ),
+    kg AS (
+        SELECT doc_id, i - 1 AS pos, {_WINNOW_KG_HASH} AS h FROM idx
+    ),
+    s1 AS (
+        SELECT doc_id, pos,
+               min(struct_pack(h := h, pos := pos)) OVER wf AS m
+        FROM kg
+        WINDOW wf AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, m.h AS fp_hash FROM s1 WHERE pos >= 3
+    ),
+    nh AS (SELECT doc_id, count(*) AS n_hashes FROM fp GROUP BY doc_id),
+    dfc AS (SELECT fp_hash, count(*) AS ndocs FROM fp GROUP BY fp_hash),
+    capped AS (
+        SELECT f.doc_id, f.fp_hash
+        FROM fp f JOIN dfc USING (fp_hash) WHERE ndocs <= 50
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM capped a
+        JOIN capped b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           round(p.n_shared::DOUBLE / least(na.n_hashes, nb.n_hashes), 4)
+               AS containment
+    FROM pairs p
+    JOIN nh na ON na.doc_id = p.doc_a
+    JOIN nh nb ON nb.doc_id = p.doc_b
+    WHERE p.n_shared >= 2
+    """,
+)
+def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style match ranking over winnowing fingerprints: pairs
+    sharing >= 2 fingerprints, scored by shared count and containment
+    (shared / smaller fingerprint set).  The inverted fingerprint
+    index self-joins with a document-frequency cap (df <= 50)
+    dropping boilerplate fingerprints BEFORE the join — the same
+    hot-key guard as dedup_jaccard_invindex, keeping candidate
+    volume bounded by capped postings, never docs²."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.winnow_pairs(docs, min_shared=2, max_df=50, k=3, w=4)

@@ -542,3 +542,23 @@ def test_kmeans_iterations_reduce_inertia(spark, sf_dir):
     a = sorted(map(tuple, two.collect()))
     b = sorted(map(tuple, kmeans_lloyd(emb, seed_every=25, n_iter=2).collect()))
     assert a == b
+
+
+def test_winnow_pairs_recovers_planted_neardups(spark, sf_dir):
+    """The corpus's planted near-dups (token-identical prefixes, found
+    by exact Jaccard at 0.8) must all surface as winnowing match
+    pairs — the fingerprint-sharing guarantee applied end-to-end."""
+    from bugzilla_etl_spark.operators.text import winnow_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_pairs(docs, min_shared=2).collect()
+    }
+    missed = exact - got
+    assert not missed, f"winnow_pairs missed planted near-dups: {missed}"
