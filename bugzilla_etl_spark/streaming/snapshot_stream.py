@@ -158,7 +158,12 @@ def restore_orphaned_buckets(state_dir: str) -> None:
     replayed batch would silently drop from state.  This sweep runs
     at the top of every batch (and may be called at startup): any
     ``.old_*`` dir whose bucket is missing is renamed back; any whose
-    bucket exists is a completed swap's leftover and is removed."""
+    bucket exists is a completed swap's leftover and is removed.
+    Stale ``.swap_*`` staging dirs from crashed batches are also
+    garbage-collected — they are dot-invisible to readers but would
+    otherwise leak disk forever (the replaying batch rewrites its
+    staging dir from scratch with mode=overwrite, so removal is
+    always safe)."""
     import os
     import re
     import shutil
@@ -167,14 +172,15 @@ def restore_orphaned_buckets(state_dir: str) -> None:
         return
     for name in os.listdir(state_dir):
         m = re.fullmatch(r"\.old_\d+_(\d+)", name)
-        if not m:
-            continue
-        retired = f"{state_dir}/{name}"
-        dst = f"{state_dir}/bucket={m.group(1)}"
-        if os.path.isdir(dst):
-            shutil.rmtree(retired, ignore_errors=True)
-        else:
-            os.rename(retired, dst)
+        if m:
+            retired = f"{state_dir}/{name}"
+            dst = f"{state_dir}/bucket={m.group(1)}"
+            if os.path.isdir(dst):
+                shutil.rmtree(retired, ignore_errors=True)
+            else:
+                os.rename(retired, dst)
+        elif re.fullmatch(r"\.swap_\d+", name):
+            shutil.rmtree(f"{state_dir}/{name}", ignore_errors=True)
 
 
 def swap_buckets(

@@ -305,9 +305,12 @@ def test_stream_upsert_recovers_from_crash_between_renames(
     # completed-swap leftover (.old_* alongside a live bucket) is
     # garbage-collected, not restored over the newer state
     shutil.copytree(f"{state}/bucket={tb}", f"{state}/.old_42_{tb}")
+    # and a crashed batch's staging dir is garbage-collected
+    os.makedirs(f"{state}/.swap_42/bucket=0")
     restore_orphaned_buckets(state)
     assert os.path.isdir(f"{state}/bucket={tb}")
     assert not os.path.isdir(f"{state}/.old_42_{tb}")
+    assert not os.path.isdir(f"{state}/.swap_42")
 
 
 def test_stream_dedup_state_uses_within_watermark():
