@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from bugzilla_etl_spark.functions.hashing import hash64
 
@@ -209,10 +210,13 @@ def winnow_fingerprints(
     document-frequency agg and per-doc rollup touch only selected
     fingerprints — skinny shuffles; the corpus scans once."""
     sel = winnow_fp_sets(docs, k, w, text_col, id_col)
+    # two consumers (df agg + join side) would otherwise re-run the
+    # scan -> hash -> selection kernel; persist the skinny exploded
+    # postings (the invindex pattern — LRU-evicted under pressure)
     dsets = sel.select(
         "doc_id", "n_fp", "n_hashes",
         F.explode("fp_hashes").alias("fp_hash"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dfc = dsets.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("ndocs"))
     return (
         dsets.join(dfc, on="fp_hash")
@@ -251,9 +255,11 @@ def winnow_pairs(
     corpus scale.  Shuffle volume is bounded by the capped postings,
     never docs²."""
     sel = winnow_fp_sets(docs, k, w, text_col, id_col)
+    # three consumers (df stats + both join sides): persist the
+    # skinny postings like jaccard_pairs_invindex does
     post = sel.select(
         "doc_id", "n_hashes", F.explode("fp_hashes").alias("fp_hash")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dfc = post.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("ndocs"))
     capped = post.join(
         F.broadcast(dfc.where(F.col("ndocs") > max_df).select("fp_hash")),
