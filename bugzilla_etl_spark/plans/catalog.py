@@ -102,9 +102,9 @@ _PRIORITY = (
     # keep re-confirmed
     "events_sessionize",
     "set_accumulate",
-    "set_final",
     "stream_dedup",
     # round-5 late additions: never driver-tested
+    "private_retract",
     "winnow_fingerprints",
     "winnow_pairs",
     "kmeans_embeddings",
@@ -123,6 +123,7 @@ _DEPRIORITY = (
     "nested_docs",
     "events_funnel",
     "set_final_salted",
+    "set_final",
     "bug_version_docs",
     "unpivot_measures",
     "rollup_returns",

@@ -10,7 +10,7 @@ the operator under test is the cleanup/parse logic, not the synth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bugzilla_etl_spark.operators import alias as A
@@ -278,6 +278,76 @@ def private_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ev.join(F.broadcast(private), on="user_id", how="left_anti")
     return out.select("event_id", "user_id", "event_type")
+
+
+@register(
+    "private_retract",
+    oracle="""
+    WITH err AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'error'
+    ),
+    state AS (
+        SELECT user_id, value > 190 AS is_private FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn FROM err
+        ) WHERE rn = 1
+    ),
+    wm AS (
+        SELECT max(floor(epoch(ts))::BIGINT) - 604800 AS cut FROM events
+    ),
+    recent AS (
+        SELECT DISTINCT user_id FROM err, wm
+        WHERE floor(epoch(ts))::BIGINT >= wm.cut
+    ),
+    priv AS (SELECT user_id FROM state WHERE is_private)
+    SELECT user_id, 'delete' AS action FROM priv
+    UNION ALL
+    SELECT r.user_id, 'refresh' AS action FROM recent r
+    WHERE r.user_id NOT IN (SELECT user_id FROM priv)
+    """,
+)
+def private_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental privacy-propagation cycle (bz_etl.py:179-209):
+    entities whose CURRENT privacy state is private get their stored
+    docs DELETED; entities whose privacy was touched recently but are
+    not private now (possible_public_bugs - private_bugs) get a
+    REFRESH — a full re-ETL overwriting any stale private-era docs.
+
+    Privacy state = the latest 'error' marker's value (>190 ⇒
+    private); "recent" = markers inside a 7-day watermark off the log
+    head.  Plan: one window over the skinny marker subset + broadcast
+    anti/semi joins — the delete/refresh lists are dim-sized by
+    construction (privacy changes are rare events), which is what
+    makes the cycle cheap to run every increment at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    state = (
+        err.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", (F.col("value") > 190).alias("is_private"))
+    )
+    priv = state.where(F.col("is_private")).select("user_id")
+    wm = ev.agg(
+        (F.max(F.col("ts").cast("long")) - F.lit(604800)).alias("cut")
+    )
+    recent = (
+        err.crossJoin(F.broadcast(wm))
+        .where(F.col("ts").cast("long") >= F.col("cut"))
+        .select("user_id")
+        .distinct()
+    )
+    deletes = priv.select("user_id", F.lit("delete").alias("action"))
+    refresh = recent.join(
+        F.broadcast(priv), on="user_id", how="left_anti"
+    ).select("user_id", F.lit("refresh").alias("action"))
+    return deletes.unionByName(refresh)
 
 
 @register(
