@@ -86,6 +86,7 @@ HEADLINE = [
     "kmeans_embeddings",
     "tpch_q6",
     "tpch_q10",
+    "private_retract",
 ]
 
 
