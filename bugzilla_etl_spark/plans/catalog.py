@@ -102,8 +102,8 @@ _PRIORITY = (
     # keep re-confirmed
     "events_sessionize",
     "set_accumulate",
-    "stream_dedup",
     # round-5 late additions: never driver-tested
+    "stream_previous_values",
     "private_retract",
     "winnow_fingerprints",
     "winnow_pairs",
@@ -124,6 +124,7 @@ _DEPRIORITY = (
     "events_funnel",
     "set_final_salted",
     "set_final",
+    "stream_dedup",
     "bug_version_docs",
     "unpivot_measures",
     "rollup_returns",

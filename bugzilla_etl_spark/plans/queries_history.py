@@ -999,3 +999,49 @@ def previous_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bugzilla_etl_spark.operators.snapshot import previous_values as _op
 
     return _op(load_table(spark, sf_dir, "events"), fields=_PV_FIELDS)
+
+
+@register("stream_previous_values", oracle=_pv_oracle())
+def stream_previous_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field previous-value tracking as an ACTUAL stateful
+    streaming run (applyInPandasWithState under availableNow): state
+    carries each field's (current value, previous-value record);
+    every event emits its carried records exactly once, so the sink's
+    union over micro-batches equals the batch ``previous_values``
+    operator — which is exactly the oracle used here (same SQL as the
+    batch query: streaming must converge to the batch result).
+    reference: parse_bug_history.py:783 setPrevious under the
+    incremental loop (bz_etl.py:172)."""
+    import os
+    import tempfile
+    import uuid
+
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        stream_previous_values as _op,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(path)
+    srcdir = tempfile.mkdtemp(prefix="bes_pv_")
+    os.symlink(path, os.path.join(srcdir, "events.parquet"))
+    src = normalize_events_ts(
+        spark.readStream.schema(static.schema).parquet(srcdir)
+    )
+    src = src.select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("tsl"),
+        "event_type", "value",
+    )
+    name = f"stream_pv_{uuid.uuid4().hex[:8]}"
+    q = (
+        _op(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bes_pq_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

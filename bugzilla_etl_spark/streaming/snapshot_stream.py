@@ -388,3 +388,167 @@ def stream_sessionize(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PV_FIELDS = ("click", "error", "purchase", "signup", "view")
+
+# per field: (cur_value, prev_value, change_to, change_away); plus the
+# entity creation ts.  Flattened into one tuple for GroupState.
+PV_STATE_SCHEMA = StructType(
+    [StructField("created_l", LongType())]
+    + [
+        StructField(f"{f}_{part}", t())
+        for f in PV_FIELDS
+        for part, t in (
+            ("cur", DoubleType),
+            ("pv", DoubleType),
+            ("ct", LongType),
+            ("ca", LongType),
+        )
+    ]
+)
+
+PV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("version_tsl", LongType()),
+    ]
+    + [
+        StructField(f"{f}_{part}", t())
+        for f in PV_FIELDS
+        for part, t in (
+            ("prev_value", DoubleType),
+            ("change_to_l", LongType),
+            ("change_away_l", LongType),
+            ("duration_days", LongType),
+        )
+    ]
+)
+
+
+def _pv_state(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Streaming ``previous_values``: per entity, the state carries
+    each tracked field's (current value, previous-value record); each
+    micro-batch replays its events through the setPrevious rules
+    (change_to chains the prior change-away; creation ts seeds a
+    field's first change; no-op values don't emit) and emits one
+    OUTPUT ROW PER EVENT with the carried records — each event's row
+    is final when emitted (it depends only on earlier events), so the
+    sink's union over batches IS the batch operator's output.
+
+    Vectorized per field: change detection is one shifted comparison,
+    the change_to chain is one shift of the change-away array, and
+    the per-event carry is a maximum.accumulate forward fill — loops
+    only over the five FIELDS, never rows.  Contract: in-order
+    delivery per entity (same as _sessionize_state)."""
+    import numpy as np
+
+    frames = [
+        pdf[["event_id", "tsl", "event_type", "value"]]
+        for pdf in pdfs
+        if len(pdf)
+    ]
+    if not frames:
+        return
+    df = pd.concat(frames).sort_values(["tsl", "event_id"])
+    n = len(df)
+    tsl = df["tsl"].to_numpy(dtype=np.int64)
+    etype = df["event_type"].to_numpy()
+    vals = df["value"].to_numpy(dtype=np.float64)
+
+    if state.exists:
+        st = list(state.get)
+        created = st[0]
+    else:
+        st = [None] * (1 + 4 * len(PV_FIELDS))
+        created = int(tsl[0])
+        st[0] = created
+
+    out = {
+        "user_id": np.full(n, key[0], dtype=np.int64),
+        "event_id": df["event_id"].to_numpy(dtype=np.int64),
+        "version_tsl": tsl,
+    }
+    for fi, f in enumerate(PV_FIELDS):
+        base = 1 + 4 * fi
+        cur, pv, ct, ca = st[base : base + 4]
+        rows = np.nonzero(etype == f)[0]
+        fv = vals[rows]
+        # value before each in-batch event of f (carried cur first)
+        prev_vals = np.empty(len(rows), dtype=np.float64)
+        if len(rows):
+            prev_vals[0] = np.nan if cur is None else cur
+            prev_vals[1:] = fv[:-1]
+        chg = ~(fv == prev_vals)  # nan != x -> change (no-null contract)
+        cidx = rows[chg]  # batch row index of each REAL change
+        c_away = tsl[cidx]
+        # change_to chains the previous change's away ts
+        c_to = np.empty(len(cidx), dtype=np.int64)
+        if len(cidx):
+            c_to[0] = ca if ca is not None else created
+            c_to[1:] = c_away[:-1]
+        c_prev = prev_vals[chg]
+
+        # forward-fill the latest change onto every batch row
+        mark = np.full(n, -1, dtype=np.int64)
+        mark[cidx] = np.arange(len(cidx))
+        filled = np.maximum.accumulate(
+            np.where(mark >= 0, mark, -1)
+            if len(cidx)
+            else np.full(n, -1, dtype=np.int64)
+        )
+        has = filled >= 0
+        f_pv = np.full(n, np.nan)
+        f_ct = np.full(n, np.nan)
+        f_ca = np.full(n, np.nan)
+        if len(cidx):
+            f_pv[has] = c_prev[filled[has]]
+            f_ct[has] = c_to[filled[has]]
+            f_ca[has] = c_away[filled[has]]
+        # rows before any in-batch change carry the stored record
+        if ca is not None:
+            f_pv[~has] = np.nan if pv is None else pv
+            f_ct[~has] = ct
+            f_ca[~has] = ca
+        dur = np.floor((f_ca - f_ct) / 86400.0)
+        out[f"{f}_prev_value"] = f_pv
+        out[f"{f}_change_to_l"] = f_ct
+        out[f"{f}_change_away_l"] = f_ca
+        out[f"{f}_duration_days"] = dur
+
+        # roll state forward
+        if len(rows):
+            cur = float(fv[-1])
+        if len(cidx):
+            pv = None if np.isnan(c_prev[-1]) else float(c_prev[-1])
+            ct, ca = int(c_to[-1]), int(c_away[-1])
+        st[base : base + 4] = [cur, pv, ct, ca]
+
+    state.update(tuple(st))
+    res = pd.DataFrame(out)
+    # Long columns ride as nullable floats until here; hand Arrow
+    # proper nullable ints
+    for c in res.columns:
+        if c.endswith(("_l", "_days")) and res[c].dtype == np.float64:
+            res[c] = res[c].astype("Int64")
+    yield res
+
+
+def stream_previous_values(events_stream: DataFrame) -> DataFrame:
+    """Stateful per-field previous-value tracking over an event
+    stream — the streaming form of operators/snapshot.previous_values
+    (reference setPrevious, parse_bug_history.py:783).  Input needs
+    columns user_id, event_id, tsl (epoch seconds), event_type,
+    value."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _pv_state,
+        outputStructType=PV_OUTPUT_SCHEMA,
+        stateStructType=PV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

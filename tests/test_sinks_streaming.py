@@ -521,3 +521,39 @@ def test_stream_full_rebuild_replay_converges(spark, sf_dir, tmp_path):
         )
     )
     assert got2 == want
+
+
+def test_stream_previous_values_continues_across_batches():
+    """The pv record must chain across micro-batches: a change in
+    batch 2 takes its change_to from batch 1's change-away, and a
+    no-op straddling the boundary neither emits nor disturbs state."""
+    import pandas as pd
+
+    from bugzilla_etl_spark.streaming.snapshot_stream import _pv_state
+
+    cols = ["event_id", "tsl", "event_type", "value"]
+
+    def run(rows, state):
+        pdf = pd.DataFrame(rows, columns=cols)
+        return pd.concat(list(_pv_state((1,), [pdf], state)))
+
+    state = _FakeState()
+    out1 = run([(1, 0, "click", 1.0)], state)
+    r1 = out1.iloc[0]
+    assert r1["click_prev_value"] is None or pd.isna(r1["click_prev_value"])
+    assert r1["click_change_to_l"] == 0 and r1["click_change_away_l"] == 0
+
+    # batch 2: no-op (same value), then a real change
+    out2 = run(
+        [(2, 100_000, "click", 1.0), (3, 200_000, "click", 2.0)], state
+    )
+    noop, chg = out2.iloc[0], out2.iloc[1]
+    # no-op row still carries batch-1's record
+    assert noop["click_change_away_l"] == 0
+    # the real change chains change_to from the PRIOR change's away ts
+    assert chg["click_prev_value"] == 1.0
+    assert chg["click_change_to_l"] == 0
+    assert chg["click_change_away_l"] == 200_000
+    assert chg["click_duration_days"] == 200_000 // 86400
+    # untouched field stays empty
+    assert pd.isna(chg["view_change_away_l"]) or chg["view_change_away_l"] is None
