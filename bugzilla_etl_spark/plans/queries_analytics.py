@@ -176,9 +176,17 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item reporting: revenue aggregates BEFORE the customer
     dim joins (the shuffle carries one row per custkey, not per
-    lineitem), then customer and nation broadcast onto the skinny
-    aggregate — the aggregate-early/join-late shape that matters when
-    the fact side is 100 TB and customers are millions."""
+    lineitem), then nation broadcasts onto the skinny aggregate — the
+    aggregate-early/join-late shape that matters when the fact side is
+    100 TB and customers are millions.
+
+    NO broadcast hint on orders or customer: a 3-month slice of orders
+    is billions of rows at 100-TB TPC-H and a forced broadcast OOMs the
+    build side instead of degrading; the lineitem⋈orders join shuffles
+    on orderkey (both sides fact-sized) and the rev⋈customer join
+    shuffles on custkey, with AQE free to promote either to broadcast
+    at runtime when the filtered side actually fits.  Only nation — a
+    fixed 25-row dim — carries an explicit hint."""
     od = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= _ntz(D_1996_01_01))
         & (F.col("o_orderdate") < _ntz(D_1996_04_01))
@@ -187,7 +195,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag") == "R"
     )
     rev = (
-        li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
+        li.join(od, li.l_orderkey == od.o_orderkey)
         .groupBy("o_custkey")
         .agg(
             F.round(
@@ -199,7 +207,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load_table(spark, sf_dir, "customer")
     na = load_table(spark, sf_dir, "nation")
     return (
-        rev.join(F.broadcast(cu), rev.o_custkey == cu.c_custkey)
+        rev.join(cu, rev.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)

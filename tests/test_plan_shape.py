@@ -213,16 +213,34 @@ def test_tpch_q6_filters_all_pushed(spark, sf_dir):
 
 
 def test_tpch_q10_aggregates_before_customer_join(spark, sf_dir):
-    """Q10's revenue aggregation must sit BELOW the customer/nation
-    joins (shuffle one row per custkey, not per lineitem), and both
-    dims must broadcast."""
+    """Q10's revenue aggregation must sit BELOW the customer join
+    (shuffle one row per custkey, not per lineitem), and NO fact-sized
+    side (orders, customer) may carry an explicit broadcast hint — a
+    forced broadcast of a 3-month orders slice OOMs at 100-TB TPC-H;
+    AQE may promote at runtime, but only from evidence, not a hint."""
     from bugzilla_etl_spark.plans import catalog
 
     catalog.load_all()
-    plan = _plan(catalog.QUERIES["tpch_q10"](spark, sf_dir))
-    assert plan.count("BroadcastExchange") >= 2, plan
-    # the aggregate on o_custkey appears before (deeper than) the
-    # customer-side broadcast join in the formatted operator list
-    agg_pos = plan.find("Keys [1]: [o_custkey")
-    cust_scan = plan.find("customer.parquet")
-    assert agg_pos != -1 and cust_scan != -1
+    df = catalog.QUERIES["tpch_q10"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+
+    # Exactly ONE broadcast hint, and it sits directly above the
+    # 25-row nation dim — orders and customer are unhinted.
+    hints = [
+        i
+        for i, line in enumerate(analyzed.splitlines())
+        if "ResolvedHint" in line
+    ]
+    lines = analyzed.splitlines()
+    assert len(hints) == 1, analyzed
+    assert "n_nationkey" in lines[hints[0] + 1], analyzed
+
+    # Aggregate-below-join, asserted as an actual tree relationship:
+    # in the analyzed tree parents print before children, so the
+    # customer join (on o_custkey = c_custkey) must appear BEFORE the
+    # Aggregate on o_custkey, which must appear BEFORE the
+    # lineitem⋈orders join it consumes.
+    cust_join = analyzed.find("Join Inner, (o_custkey")
+    agg = analyzed.find("Aggregate [o_custkey")
+    fact_join = analyzed.find("Join Inner, (l_orderkey")
+    assert -1 < cust_join < agg < fact_join, analyzed
