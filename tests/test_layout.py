@@ -65,3 +65,38 @@ def test_partition_pruning_on_date_layout(spark, sf_dir, tmp_path):
         == 1704412800  # 2024-01-05 UTC
     ).count()
     assert got == want and got > 0
+
+
+def test_load_table_pins_utc_for_non_utc_session(spark, sf_dir):
+    """The events ntz->timestamp cast is value-identical ONLY under a
+    UTC session timezone.  session.py pins UTC, but the external
+    driver imports __spark_entry__ with its OWN vanilla session — if
+    that session (or a notebook's) carries a local timezone, every
+    event instant would silently shift by the UTC offset.  load_table
+    must therefore pin UTC itself: a deliberately non-UTC session must
+    read the exact same epoch instants as the UTC one."""
+    utc_ts = [
+        r.us
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.unix_micros("ts").alias("us"))
+        .orderBy("us")
+        .limit(50)
+        .collect()
+    ]
+
+    other = spark.newSession()
+    other.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ny_ts = [
+            r.us
+            for r in load_table(other, sf_dir, "events")
+            .select(F.unix_micros("ts").alias("us"))
+            .orderBy("us")
+            .limit(50)
+            .collect()
+        ]
+        # and load_table must have pinned the conf itself
+        assert other.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        other.conf.set("spark.sql.session.timeZone", "UTC")
+    assert utc_ts == ny_ts and len(utc_ts) == 50
