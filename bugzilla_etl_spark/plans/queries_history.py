@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bugzilla_etl_spark.operators import alias as AL
 from bugzilla_etl_spark.operators import flags as FL
 from bugzilla_etl_spark.operators import subentity as SUB
 from bugzilla_etl_spark.plans.catalog import register
@@ -654,6 +655,13 @@ _FULL_ORACLE = f"""
              ) FILTER (WHERE sub_id IS NOT NULL)), '|'), '') AS subs
       FROM per_sub
       GROUP BY user_id, version_ts
+    ),
+    amap AS (
+      SELECT DISTINCT
+             'u' || CAST(user_id AS VARCHAR) || '@example.com' AS alias,
+             'u' || CAST(user_id - 1 AS VARCHAR) || '@example.com'
+                 AS canonical
+      FROM events WHERE user_id % 2 = 1
     )
     SELECT CAST(v.user_id AS VARCHAR) || '_' ||
                CAST(v.tsl // 1000 AS VARCHAR) AS _id,
@@ -661,20 +669,42 @@ _FULL_ORACLE = f"""
            v.expires_on, v.event_type, v.value, v.last_purchase_value,
            array_to_string(v.seen_types, '|') AS seen_types,
            f.n_active, f.flags_active, f.n_deleted, f.flags_deleted,
-           a.n_subs, a.subs
+           a.n_subs, a.subs,
+           coalesce(m.canonical,
+                    'u' || CAST(v.user_id AS VARCHAR) || '@example.com')
+               AS modified_by
     FROM verx v
     LEFT JOIN flg f ON f.user_id = v.user_id AND f.version_ts = v.tsl
     LEFT JOIN att a ON a.user_id = v.user_id AND a.version_ts = v.tsl
+    LEFT JOIN amap m
+      ON m.alias = 'u' || CAST(v.user_id AS VARCHAR) || '@example.com'
 """
 
 
-def build_full_docs(ev: DataFrame) -> DataFrame:
+def build_full_docs(
+    ev: DataFrame, alias_mapping: DataFrame | None = None
+) -> DataFrame:
     """Assemble the complete bug_version document set from an events
     frame (see ``bug_version_full``).  Factored out so the streaming
     incremental rebuild (streaming/incremental_versions.py) runs the
     IDENTICAL pipeline over a touched-entity subset — the reference
     re-uses one parse path for full and incremental ETL the same way
-    (bz_etl.py:172 incremental_etl calls the same etl())."""
+    (bz_etl.py:172 incremental_etl calls the same etl()).
+
+    Actor canonicalization is composed INTO the doc build, mirroring
+    the reference where every email-typed field passes through
+    ``email_alias`` during parsing (parse_bug_history.py:1048
+    email_alias, :1026 canonical): the doc carries ``modified_by`` —
+    the actor's synthetic address rewritten through the alias mapping
+    via one broadcast left join (the Spark shape of get_canonical's
+    dict lookup; the mapping is dim-sized by construction, produced by
+    alias_analysis and persisted by sinks/alias_store.py).  When
+    ``alias_mapping`` is None the repo-wide deterministic dim is
+    derived from ``ev`` itself (odd users are aliases of user-1's
+    canonical address — same rule as alias_resolve), which is
+    per-user-deterministic and therefore identical whether derived
+    from the full log or a touched-entity subset, keeping the
+    incremental streaming rebuild byte-identical to the batch."""
     from pyspark.sql import Window
 
     base = ev.select(
@@ -750,9 +780,29 @@ def build_full_docs(ev: DataFrame) -> DataFrame:
         "last_purchase_value",
         F.concat_ws("|", "seen_types").alias("seen_types"),
     )
-    return spine.join(flg, ["user_id", "version_ts"], "left").join(
+    docs = spine.join(flg, ["user_id", "version_ts"], "left").join(
         att, ["user_id", "version_ts"], "left"
     )
+    if alias_mapping is None:
+        alias_mapping = (
+            ev.select("user_id")
+            .where(F.col("user_id") % 2 == 1)
+            .distinct()
+            .select(
+                F.expr(
+                    "concat('u', CAST(user_id AS STRING), '@example.com')"
+                ).alias("alias"),
+                F.expr(
+                    "concat('u', CAST(user_id - 1 AS STRING), '@example.com')"
+                ).alias("canonical"),
+            )
+        )
+    docs = docs.withColumn(
+        "modified_by",
+        F.concat(F.lit("u"), F.col("user_id").cast("string"),
+                 F.lit("@example.com")),
+    )
+    return AL.resolve_aliases(docs, alias_mapping, cols=["modified_by"])
 
 
 @register("bug_version_full", oracle=_FULL_ORACLE)
