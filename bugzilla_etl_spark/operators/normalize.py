@@ -86,3 +86,68 @@ def to_es_doc(df: DataFrame, entity: str, ts: str, payload: Sequence[str]) -> Da
         doc_id(entity, ts).alias("_id"),
         F.to_json(F.struct(*[F.col(p) for p in payload])).alias("doc"),
     )
+
+
+# parse_bug_history.py:79 — "Fields that could have been truncated per
+# bug 55161" (the Bugzilla bug where long multi-value fields were cut
+# off, so activity rows carry "?"-mangled values).
+TRUNC_FIELDS = ("cc", "blocked", "dependson", "keywords")
+
+
+def scrub_truncated(
+    df: DataFrame,
+    added: str = "added",
+    removed: str = "removed",
+    field: str = "field",
+    trunc_fields: Sequence[str] = TRUNC_FIELDS,
+    uncertain_col: str = "uncertain",
+    skip_col: str = "skip_update",
+) -> DataFrame:
+    """Truncated-value uncertainty handling for activity replay.
+
+    reference: parse_bug_history.py:137-156 — for activity rows on a
+    TRUNC_FIELDS field, ``"?"`` / ``"? ?"`` values are UNKNOWN (the
+    truncation ate them: value -> NULL) and ``"? "``-prefixed values
+    are uncertain-but-usable (prefix stripped); either case marks the
+    row uncertain.  A row whose added AND removed both scrub to NULL
+    carries no usable change and is flagged ``skip_update`` (the
+    reference ``return``s without applying it).  Non-TRUNC fields
+    pass through verbatim — a literal ``"?"`` in, say, a status field
+    is a real value, so the gate column matters.
+
+    Pure column expressions (zero shuffle, whole-stage codegen); the
+    entity-level "mark the past uncertain" step — the reference
+    injects a synthetic ``uncertain`` activity at the FIRST uncertain
+    row it meets walking backwards in time (:156-171), i.e. versions
+    strictly before the latest uncertain change inherit
+    ``uncertain='1'`` — is a per-entity max-ts window the caller
+    composes on top (see the ``trunc_uncertain`` catalog query).
+    """
+    gate = F.col(field).isin(*trunc_fields)
+
+    def _clean(c: Column) -> Column:
+        return (
+            F.when(~gate, c)
+            .when(c.isin("?", "? ?"), F.lit(None).cast("string"))
+            .when(c.startswith("? "), c.substr(F.lit(3), F.length(c)))
+            .otherwise(c)
+        )
+
+    def _unc(c: Column) -> Column:
+        return F.coalesce(
+            gate & (c.isin("?", "? ?") | c.startswith("? ")),
+            F.lit(False),
+        )
+
+    a, r = F.col(added), F.col(removed)
+    return (
+        df.withColumn(uncertain_col, _unc(a) | _unc(r))
+        .withColumn(added, _clean(a))
+        .withColumn(removed, _clean(r))
+        .withColumn(
+            skip_col,
+            F.col(uncertain_col)
+            & F.col(added).isNull()
+            & F.col(removed).isNull(),
+        )
+    )

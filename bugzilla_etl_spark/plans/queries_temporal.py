@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bugzilla_etl_spark.operators import normalize as N
 from bugzilla_etl_spark.operators import snapshot as S
 from bugzilla_etl_spark.plans.catalog import register
 from bugzilla_etl_spark.sources import load_table
@@ -326,3 +327,111 @@ def replicate_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = S.replicate_pending(ev, dest)
     return out.select("event_id", "user_id", "ts")
+
+
+# Truncated-value synthesis (same CASE arithmetic both engines; only
+# the string-cast spelling differs).  event_id%7 drives added:
+# unknown / unknown / "? "-prefixed / clean; event_id%5 drives
+# removed: unknown / prefixed / absent / clean.  The %35==0 rows on a
+# TRUNC field scrub BOTH sides to NULL — the reference's skip branch.
+def _trunc_cases(cast_t: str) -> tuple[str, str]:
+    add = (
+        "CASE event_id % 7 WHEN 0 THEN '?' WHEN 1 THEN '? ?' "
+        "WHEN 2 THEN '? ' || event_type "
+        f"ELSE 'v' || CAST(event_id % 10 AS {cast_t}) END"
+    )
+    rem = (
+        "CASE event_id % 5 WHEN 0 THEN '?' "
+        "WHEN 1 THEN '? o' || event_type "
+        f"WHEN 2 THEN CAST(NULL AS {cast_t}) "
+        f"ELSE 'o' || CAST(event_id % 10 AS {cast_t}) END"
+    )
+    return add, rem
+
+
+_TRUNC_ADD_S, _TRUNC_REM_S = _trunc_cases("STRING")
+_TRUNC_ADD_D, _TRUNC_REM_D = _trunc_cases("VARCHAR")
+
+
+@register(
+    "trunc_uncertain",
+    oracle=f"""
+    WITH act AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tsl,
+               event_type AS field,
+               {_TRUNC_ADD_D} AS added_raw,
+               {_TRUNC_REM_D} AS removed_raw
+        FROM events
+    ),
+    scrub AS (
+        SELECT user_id, event_id, tsl, field,
+               CASE WHEN field NOT IN ('click', 'view') THEN added_raw
+                    WHEN added_raw IN ('?', '? ?') THEN NULL
+                    WHEN added_raw LIKE '? %' THEN substring(added_raw, 3)
+                    ELSE added_raw END AS added,
+               CASE WHEN field NOT IN ('click', 'view') THEN removed_raw
+                    WHEN removed_raw IN ('?', '? ?') THEN NULL
+                    WHEN removed_raw LIKE '? %' THEN substring(removed_raw, 3)
+                    ELSE removed_raw END AS removed,
+               (coalesce(field IN ('click', 'view')
+                         AND (added_raw IN ('?', '? ?')
+                              OR added_raw LIKE '? %'), FALSE)
+                OR coalesce(field IN ('click', 'view')
+                            AND (removed_raw IN ('?', '? ?')
+                                 OR removed_raw LIKE '? %'), FALSE))
+                   AS uncertain
+        FROM act
+    ),
+    marked AS (
+        SELECT *,
+               (uncertain AND added IS NULL AND removed IS NULL)
+                   AS skip_update,
+               max(CASE WHEN uncertain THEN tsl END)
+                   OVER (PARTITION BY user_id) AS t_unc
+        FROM scrub
+    )
+    SELECT user_id, event_id, tsl, field, added, removed,
+           uncertain, skip_update,
+           CASE WHEN tsl < t_unc THEN '1' END AS entity_uncertain
+    FROM marked
+    """,
+)
+def trunc_uncertain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-value uncertainty handling (bug 55161 workaround).
+    reference: parse_bug_history.py:79 TRUNC_FIELDS, :137-156 — on
+    truncation-prone fields, "?"/"? ?" activity values are unknown
+    (NULL + uncertain), "? "-prefixed values are stripped + uncertain,
+    both-NULL rows are skipped, and the FIRST uncertain row met
+    walking backwards (= the latest in time) injects a synthetic
+    'uncertain' activity that marks every EARLIER version
+    uncertain='1' (:156-171 — "WE ARE GOING BACKWARDS IN TIME, SO
+    MARKUP PAST").
+
+    Spark shape: the scrub is pure column expressions (zero shuffle);
+    the past-markup is ONE per-entity window max over the uncertain
+    timestamps — no second pass, no join."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tsl"),
+        F.col("event_type").alias("field"),
+        F.expr(_TRUNC_ADD_S).alias("added"),
+        F.expr(_TRUNC_REM_S).alias("removed"),
+    )
+    scrubbed = N.scrub_truncated(act, trunc_fields=("click", "view"))
+    w = Window.partitionBy("user_id")
+    t_unc = F.max(F.when(F.col("uncertain"), F.col("tsl"))).over(w)
+    return scrubbed.select(
+        "user_id",
+        "event_id",
+        "tsl",
+        "field",
+        "added",
+        "removed",
+        "uncertain",
+        F.col("skip_update"),
+        F.when(F.col("tsl") < t_unc, F.lit("1")).alias("entity_uncertain"),
+    )

@@ -175,3 +175,73 @@ def test_previous_values_matches_naive_setprevious(rows):
             assert r[f"{f}_change_to_l"] == c_to, (eid, f)
             assert r[f"{f}_change_away_l"] == c_away, (eid, f)
             assert r[f"{f}_duration_days"] == (c_away - c_to) // 86400
+
+
+# ---------------------------------------------------------------------
+# Truncated-value scrub (parse_bug_history.py:137-156)
+
+
+def _ref_trunc_scrub(field, added, removed, trunc_fields):
+    """LITERAL transcription of the reference branch
+    (parse_bug_history.py:137-156): the four if/elif arms, in order,
+    over string added/removed; returns (added, removed, uncertain)."""
+    uncertain = False
+    if field in trunc_fields:
+        if added in ["? ?", "?"]:
+            uncertain = True
+            added = None
+        elif added is not None and added.startswith("? "):
+            uncertain = True
+            added = added[2:]
+
+        if removed in ["? ?", "?"]:
+            uncertain = True
+            removed = None
+        elif removed is not None and removed.startswith("? "):
+            uncertain = True
+            removed = removed[2:]
+    return added, removed, uncertain
+
+
+_trunc_val = st.one_of(
+    st.none(),
+    st.sampled_from(["?", "? ?", "? ", "? x", "? ? ?", "?x", " ?", ""]),
+    st.text(
+        alphabet=st.sampled_from("? abc"), min_size=0, max_size=6
+    ),
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["cc", "keywords", "status", "priority"]),
+            _trunc_val,
+            _trunc_val,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_scrub_truncated_matches_reference_branch(rows):
+    """The Spark column expressions in scrub_truncated must agree with
+    a literal Python transcription of parse_bug_history.py:137-156 on
+    adversarial values (bare '?', '? ?', '? '-prefixes, empty, '? '
+    alone, non-TRUNC fields carrying literal '?')."""
+    from bugzilla_etl_spark.operators.normalize import scrub_truncated
+
+    trunc = ("cc", "keywords")
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, f, a, r) for i, (f, a, r) in enumerate(rows)],
+        "i INT, field STRING, added STRING, removed STRING",
+    )
+    got = {
+        r.i: (r.added, r.removed, r.uncertain, r.skip_update)
+        for r in scrub_truncated(df, trunc_fields=trunc).collect()
+    }
+    for i, (f, a, r) in enumerate(rows):
+        ea, er, eu = _ref_trunc_scrub(f, a, r, trunc)
+        expect = (ea, er, eu, eu and ea is None and er is None)
+        assert got[i] == expect, (i, f, a, r, got[i], expect)
