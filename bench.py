@@ -87,7 +87,16 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q10",
     "private_retract",
+    # round-6 additions
+    "trunc_uncertain",
 ]
+
+# Timed passes per query after one untimed warmup.  Reported per-query
+# time is the MIN of the passes (with the median alongside): two
+# rounds in a row needed manual "was it environmental?" forensics
+# because a single timed pass soaks up whatever else the host is
+# doing — min-of-n is self-denoising.
+N_RUNS = 3
 
 
 def main() -> None:
@@ -106,6 +115,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES.get(name)
         if fn is None:
@@ -115,15 +125,23 @@ def main() -> None:
         # which is the apples-to-apples basis against the reference's
         # long-running single-node ETL loop
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
 
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "runs_per_query": N_RUNS,
+        "aggregation": "min",
         "sf": sf,
     }
     print(json.dumps(out))

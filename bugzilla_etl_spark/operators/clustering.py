@@ -49,19 +49,31 @@ def kmeans_lloyd(
     n_iter: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_k: int = 4096,
 ) -> DataFrame:
     """Run ``n_iter`` Lloyd iterations from deterministic seeds (every
-    ``seed_every``-th vector) and return the final labeling:
-    (vec_id, cluster, d2s) with d2s = squared distance in scaled
-    space, rounded to the 1e4 grid."""
+    ``seed_every``-th vector with id below ``seed_every * max_k``) and
+    return the final labeling: (vec_id, cluster, d2s) with d2s =
+    squared distance in scaled space, rounded to the 1e4 grid.
+
+    ``max_k`` bounds the MODEL, not the data: without it k = n/
+    seed_every grows linearly with the corpus and the driver-held
+    centroid table with it.  Capped, the model is ≤ max_k × dim
+    float64s (4096 × 64 ≈ 2 MB) no matter how large the corpus — the
+    driver-memory contract every other collect() in this package
+    already honors.  The cap is an id bound (vid < seed_every*max_k),
+    not a LIMIT, so it is deterministic and oracle-expressible."""
     import numpy as np
     import pandas as pd
 
     t = _quantized(emb, vec_col, id_col)
     seeds = sorted(
         (r.vid, r.iv)
-        for r in t.where(F.col("vid") % seed_every == 0).collect()
-    )  # bounded: the model
+        for r in t.where(
+            (F.col("vid") % seed_every == 0)
+            & (F.col("vid") < seed_every * max_k)
+        ).collect()
+    )  # bounded: the model (≤ max_k rows)
     cids = np.array([s[0] for s in seeds], dtype=np.int64)
     C = np.stack([np.asarray(s[1], dtype=np.float64) for s in seeds])
 

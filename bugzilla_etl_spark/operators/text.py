@@ -208,7 +208,15 @@ def winnow_fingerprints(
     """Per-doc winnowing fingerprint stats + cross-doc sharing counts
     (see winnow_fp_sets for the selection contract).  The
     document-frequency agg and per-doc rollup touch only selected
-    fingerprints — skinny shuffles; the corpus scans once."""
+    fingerprints — skinny shuffles; the corpus scans once.
+
+    Storage contract (same as dedup_jaccard_invindex): the exploded
+    postings persist MEMORY_AND_DISK for the plan's multiple
+    consumers and are NOT unpersisted here — the result is a lazy
+    plan that still references the cached relation.  Spark evicts the
+    block LRU under pressure; a long-lived session sweeping many
+    corpora can reclaim eagerly with ``spark.catalog.clearCache()``
+    between sweeps."""
     sel = winnow_fp_sets(docs, k, w, text_col, id_col)
     # two consumers (df agg + join side) would otherwise re-run the
     # scan -> hash -> selection kernel; persist the skinny exploded
@@ -253,7 +261,12 @@ def winnow_pairs(
     (license headers, boilerplate) BEFORE the join — the guard that
     keeps a hot fingerprint from producing df² candidate pairs at
     corpus scale.  Shuffle volume is bounded by the capped postings,
-    never docs²."""
+    never docs².
+
+    Storage contract: the postings persist MEMORY_AND_DISK (three
+    consumers) and rely on Spark's LRU eviction rather than an
+    explicit unpersist — see winnow_fingerprints for the rationale
+    and the ``clearCache()`` escape hatch."""
     sel = winnow_fp_sets(docs, k, w, text_col, id_col)
     # three consumers (df stats + both join sides): persist the
     # skinny postings like jaccard_pairs_invindex does

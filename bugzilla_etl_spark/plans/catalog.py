@@ -49,75 +49,23 @@ _loaded = False
 # the entries pushed past #50 are all twice-green in the driver's
 # CORRECTNESS_r01/r02 records AND covered by tools/verify_local.py.
 _PRIORITY = (
-    # round-5 additions: never driver-tested
-    "previous_values",
-    "alias_compact",
-    "ann_ivf_nprobe",
-    "stream_bug_versions",
-    # code changed in round 5: must re-test (minhash numpy kernel,
-    # LSH pre-sign rounding, IVF nprobe refactor, build_full_docs
-    # factor-out, sessionize state merge, swap crash recovery)
-    "dedup_minhash_lsh",
-    "ann_lsh_buckets",
-    "ann_ivf",
-    "bug_version_full",
-    "stream_sessionize",
-    "stream_snapshot",
-    # the 31 queries whose newest driver rows were r2 (rotated out in
-    # r3/r4) — rotated BACK IN so every catalog query has a row from
-    # r4 or r5 (round-4 verdict item 1)
-    "tpch_q1",
-    "mm_frame_sample",
-    "dedup_simhash_pairs",
-    "incremental_touched",
-    "es_docs",
-    "snapshot_versions",
-    "state_rollforward",
-    "doc_fingerprint",
-    "token_count",
-    "alias_analysis",
-    "flag_parse",
-    "private_screen",
-    "merge_order_union",
-    "activity_invert",
-    "replicate_pending",
-    "normalize_scrub",
-    "json_props_extract",
-    "screen_mask",
-    "dependency_edges",
-    "comments_etl",
-    "time_rollup",
-    "topk_per_group",
-    "events_sessionize_native",
-    "sample_stratified",
-    "lang_id",
-    "text_quality",
-    "tfidf_top_terms",
-    "key_skew_stats",
-    "snapshot_asof",
-    "dedup_latest",
-    "interval_asof_join",
-    # window filler up to 50: previously-red-then-fixed families and
-    # the remaining streaming queries, freshest-green but cheap to
-    # keep re-confirmed
-    "events_sessionize",
-    "set_accumulate",
-    # round-5 late additions: never driver-tested
-    "stream_previous_values",
-    "private_retract",
-    "winnow_fingerprints",
-    "winnow_pairs",
-    "kmeans_embeddings",
-    "tpch_q6",
+    # round-6: never driver-tested (new this round)
+    "trunc_uncertain",
+    # round-6: behavior-touching code changes — must re-test
+    # (q10 broadcast-hint removal; alias canonicalization composed
+    # into build_full_docs for both batch and streaming flagship;
+    # kmeans max_k cap; alias_store load narrowing; swap_buckets
+    # empty-touched-bucket retirement)
     "tpch_q10",
-)
-
-# Rotated past position 50 when the catalog exceeds the cap: every
-# entry here has a GREEN r4 driver row (CORRECTNESS_r04 50/50),
-# is unchanged this round, and is re-verified by the local gate
-# (tools/verify_local.py, driver-strict canonicalizer) every run.
-_DEPRIORITY = (
-    # r4-green; codepaths untouched in round 5
+    "bug_version_full",
+    "stream_bug_versions",
+    "kmeans_embeddings",
+    "alias_compact",
+    "stream_snapshot",
+    "stream_previous_values",
+    # the 42 queries whose newest driver rows are r4 (rotated out of
+    # the r5 window) — rotated BACK IN so every catalog query's
+    # newest row stays <= 1 round old (round-5 verdict item 5)
     "stream_rollup",
     "pivot_event_counts",
     "nested_docs",
@@ -160,6 +108,58 @@ _DEPRIORITY = (
     "diff_apply",
     "tpch_q3",
     "tpch_q5",
+)
+
+# Rotated past position 50 when the catalog exceeds the cap: every
+# entry here has a GREEN r4 driver row (CORRECTNESS_r04 50/50),
+# is unchanged this round, and is re-verified by the local gate
+# (tools/verify_local.py, driver-strict canonicalizer) every run.
+_DEPRIORITY = (
+    # r5-green (CORRECTNESS_r05 50/50); codepaths untouched in round
+    # 6; re-verified by the local gate every run
+    "previous_values",
+    "ann_ivf_nprobe",
+    "dedup_minhash_lsh",
+    "ann_lsh_buckets",
+    "ann_ivf",
+    "stream_sessionize",
+    "tpch_q1",
+    "mm_frame_sample",
+    "dedup_simhash_pairs",
+    "incremental_touched",
+    "es_docs",
+    "snapshot_versions",
+    "state_rollforward",
+    "doc_fingerprint",
+    "token_count",
+    "alias_analysis",
+    "flag_parse",
+    "private_screen",
+    "merge_order_union",
+    "activity_invert",
+    "replicate_pending",
+    "normalize_scrub",
+    "json_props_extract",
+    "screen_mask",
+    "dependency_edges",
+    "comments_etl",
+    "time_rollup",
+    "topk_per_group",
+    "events_sessionize_native",
+    "sample_stratified",
+    "lang_id",
+    "text_quality",
+    "tfidf_top_terms",
+    "key_skew_stats",
+    "snapshot_asof",
+    "dedup_latest",
+    "interval_asof_join",
+    "events_sessionize",
+    "set_accumulate",
+    "private_retract",
+    "winnow_fingerprints",
+    "winnow_pairs",
+    "tpch_q6",
 )
 
 

@@ -446,7 +446,7 @@ def _kmeans_oracle() -> str:
     c0 AS (
         SELECT vec_id AS cid,
                list_transform(iv, x -> CAST(x AS DOUBLE)) AS cv
-        FROM t WHERE vec_id % 25 = 0
+        FROM t WHERE vec_id % 25 = 0 AND vec_id < 25 * 4096
     ),
     d1 AS (
         SELECT t.vec_id, c.cid, {d2} AS rd2
@@ -494,4 +494,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bugzilla_etl_spark.operators.clustering import kmeans_lloyd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_lloyd(emb, seed_every=25, n_iter=2)
+    # max_k caps the driver-held model at 4096 centroids (~2 MB)
+    # regardless of corpus size; below the cap at every test SF, so
+    # the labeling is identical to the uncapped form.
+    return kmeans_lloyd(emb, seed_every=25, n_iter=2, max_k=4096)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from bugzilla_etl_spark.operators.alias import canonical_closure
 
@@ -67,10 +68,16 @@ def load_aliases(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
     """Load (aliases, not_aliases) from the store; empty typed frames
-    when the store does not exist yet (first run)."""
+    ONLY when the store does not exist yet (first run).  Any other
+    read failure — partial write, permissions, schema drift —
+    propagates: treating it as a first run would let the next
+    save_aliases overwrite permanently discard the accumulated alias
+    history the store exists to preserve."""
     try:
         stored = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in (e.getCondition() or ""):
+            raise
         empty = spark.createDataFrame([], SCHEMA)
         return empty.select("alias", "canonical"), empty.select(
             "alias", "canonical"

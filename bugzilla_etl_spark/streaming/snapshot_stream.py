@@ -190,15 +190,26 @@ def swap_buckets(
     ``state_dir``: retire old -> ``.old_<batch>_<N>``, rename new in,
     remove retired.  Crash anywhere leaves each bucket old-or-new
     (never partial); a crash between the two renames is healed by
-    ``restore_orphaned_buckets`` at the top of the next batch."""
+    ``restore_orphaned_buckets`` at the top of the next batch.
+
+    A touched bucket with NO ``bucket=N`` dir under ``tmp`` means the
+    writer emitted zero rows for it — its new state is EMPTY, so the
+    old dir is retired and removed rather than skipped (skipping
+    would leave stale docs in place for delete-style build_fns).
+    Crash-safe the same way: if the process dies after the retire
+    rename, the next batch restores the orphan and the checkpoint
+    replays the batch, which recomputes the same empty bucket."""
     import os
     import shutil
 
     for b in touched:
         src, dst = f"{tmp}/bucket={b}", f"{state_dir}/bucket={b}"
-        if not os.path.isdir(src):
-            continue
         retired = f"{state_dir}/.old_{batch_id}_{b}"
+        if not os.path.isdir(src):
+            if os.path.isdir(dst):
+                os.rename(dst, retired)
+                shutil.rmtree(retired, ignore_errors=True)
+            continue
         if os.path.isdir(dst):
             os.rename(dst, retired)
         os.rename(src, dst)

@@ -130,6 +130,23 @@ def test_alias_store_missing_path_is_empty(spark, tmp_path):
     assert aliases.columns == ["alias", "canonical"]
 
 
+def test_alias_store_corrupt_store_raises(spark, tmp_path):
+    """A corrupt/unreadable store must NOT be treated as a first run:
+    returning empty frames would let the next save_aliases overwrite
+    silently discard the accumulated alias history.  Only
+    PATH_NOT_FOUND maps to the empty-store case."""
+    import pytest
+
+    from bugzilla_etl_spark.sinks import alias_store as S
+
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"definitely not parquet")
+    with pytest.raises(Exception):
+        a, n = S.load_aliases(spark, str(bad))
+        a.count()  # force the read if schema inference was lazy
+
+
 def test_merge_aliases_fresh_wins_and_chains_collapse(spark):
     """Per-alias precedence (fresh overwrites stored) plus the
     ALIAS REMAPPED collapse: stored k->old + fresh old->new folds to

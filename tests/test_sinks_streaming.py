@@ -557,3 +557,28 @@ def test_stream_previous_values_continues_across_batches():
     assert chg["click_duration_days"] == 200_000 // 86400
     # untouched field stays empty
     assert pd.isna(chg["view_change_away_l"]) or chg["view_change_away_l"] is None
+
+
+def test_swap_buckets_empty_touched_bucket_removes_stale(tmp_path):
+    """A touched bucket with no staging dir means the writer emitted
+    zero rows for it: its new state is EMPTY, so the old bucket dir
+    must be retired/removed, not skipped — skipping would leave stale
+    docs in place for delete-style build_fns."""
+    from bugzilla_etl_spark.streaming.snapshot_stream import swap_buckets
+
+    state = tmp_path / "state"
+    (state / "bucket=3").mkdir(parents=True)
+    (state / "bucket=3" / "part-0.parquet").write_bytes(b"old")
+    (state / "bucket=7").mkdir()
+    (state / "bucket=7" / "part-0.parquet").write_bytes(b"keep")
+    staging = tmp_path / ".swap_1"
+    (staging / "bucket=5").mkdir(parents=True)
+    (staging / "bucket=5" / "part-0.parquet").write_bytes(b"new")
+
+    swap_buckets(str(state), str(staging), [3, 5], 1)
+
+    assert not (state / "bucket=3").exists()  # emptied, not stale
+    assert (state / "bucket=5" / "part-0.parquet").read_bytes() == b"new"
+    assert (state / "bucket=7" / "part-0.parquet").read_bytes() == b"keep"
+    assert not any(p.name.startswith(".old_") for p in state.iterdir())
+    assert not staging.exists()
