@@ -89,6 +89,9 @@ HEADLINE = [
     "private_retract",
     # round-6 additions
     "trunc_uncertain",
+    "tpch_q7",
+    "tpch_q14",
+    "tpch_q18",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

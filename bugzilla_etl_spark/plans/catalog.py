@@ -62,7 +62,10 @@ _PRIORITY = (
     "kmeans_embeddings",
     "alias_compact",
     "stream_snapshot",
-    "stream_previous_values",
+    # round-6 TPC-H addition with the most novel plan shape
+    # (agg-filtered semi join); q7/q14 + stream_previous_values are
+    # the r7-window front of the line, local-gate green meanwhile
+    "tpch_q18",
     # the 42 queries whose newest driver rows are r4 (rotated out of
     # the r5 window) — rotated BACK IN so every catalog query's
     # newest row stays <= 1 round old (round-5 verdict item 5)

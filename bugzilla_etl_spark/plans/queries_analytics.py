@@ -458,3 +458,174 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("first_purchase") > F.col("first_signup"), 1).otherwise(0)
         ).alias("n_converted"),
     )
+
+
+@register(
+    "tpch_q14",
+    oracle=f"""
+    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+               AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{D_1996_01_01}'
+      AND l_shipdate <  TIMESTAMP '{D_1996_04_01}'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect report: conditional aggregate over a
+    fact ⋈ part join.
+
+    NO broadcast hint on part: part scales with SF (billions of rows
+    at 100-TB TPC-H), so the join shuffles on partkey and AQE
+    promotes to broadcast only when the pruned side actually fits.
+    The date filter reaches the lineitem scan (PushedFilters); both
+    branches of the CASE fold into ONE partial aggregate — a single
+    full-width pass, no second scan for the denominator."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ntz(D_1996_01_01))
+        & (F.col("l_shipdate") < _ntz(D_1996_04_01))
+    )
+    pa = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           floor(epoch(o_orderdate))::BIGINT AS o_date,
+           round(o_totalprice, 4) AS totalprice,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer report: the agg-filtered semi-join.
+
+    The HAVING subquery and the outer per-order aggregate both hash
+    on l_orderkey, so the semi join lands on an already-partitioned
+    stream — Catalyst reuses the exchange instead of shuffling twice.
+    Neither lineitem side is broadcastable at scale (both fact-sized,
+    big-big SMJ is correct); customer joins AFTER the per-order
+    aggregate, onto order-grain rows, and carries no hint for the
+    same reason as tpch_q10."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    per_order = (
+        li.join(big, on="l_orderkey", how="left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+    return (
+        per_order.join(od, per_order.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_date"),
+            F.round("o_totalprice", 4).alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 4) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_9'))
+          AND l_shipdate >= TIMESTAMP '{D_1996_01_01}'
+          AND l_shipdate <  TIMESTAMP '{D_1997_01_01}'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-shipping report between two nations, by year.
+
+    Dim-side pre-filtering: each nation branch filters to its two
+    rows BEFORE joining, so supplier/customer carry the nation name
+    along and the disjunctive nation-pair predicate collapses to a
+    cheap post-join inequality — the fact table never sees a
+    disjunction, keeping its date filter fully pushed.  Only the
+    25-row nation dim is hint-broadcast; the nation-filtered
+    supplier/customer sides still scale with SF (2/25 of a billion
+    rows at 100-TB TPC-H), so they are UNhinted — shuffle joins that
+    AQE promotes to broadcast when the filtered side actually fits
+    (it does at every test SF).  lineitem ⋈ orders shuffles on
+    orderkey (both fact-sized)."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    su = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.where(F.col("n_name").isin("NATION_9", "NATION_2"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cu = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n.where(F.col("n_name").isin("NATION_9", "NATION_2"))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ntz(D_1996_01_01))
+        & (F.col("l_shipdate") < _ntz(D_1997_01_01))
+    )
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue")
+        )
+    )

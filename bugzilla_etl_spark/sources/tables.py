@@ -49,6 +49,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     would pin the full width in memory and defeat pruning at scale."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The engine computes in UTC: every ntz->instant cast downstream
+    # (events normalization, orderdate epoch projections) is
+    # value-identical only under a UTC session tz.  session.py pins
+    # it, but the external driver / a notebook supplies its own
+    # session — pin at the load seam for EVERY table (runtime-settable
+    # conf, no-op when already UTC).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
         # vectorized reader refuses — read nanos as long and rebuild with
@@ -58,12 +65,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # long).  Normalize BOTH to TimestampType; the session tz is
         # pinned UTC so the ntz->tz cast is value-identical.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The ntz->tz cast in normalize_events_ts is value-identical
-        # ONLY under a UTC session tz; session.py pins it, but a
-        # caller-supplied session (the verify driver's, a notebook's)
-        # may not — pin it here, next to the reader conf it pairs with
-        # (both are runtime-settable).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         return normalize_events_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

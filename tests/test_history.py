@@ -284,3 +284,37 @@ def test_previous_values_tracks_real_changes_only(spark):
     assert r5.b_duration_days == 250000 // 86400
     # a's record still carried forward unchanged
     assert r5.a_change_away_l == 200000
+
+
+def test_build_full_docs_canonicalizes_actor_through_store(
+    spark, sf_dir, tmp_path
+):
+    """The flagship's modified_by field must pass through the alias
+    mapping exactly like the reference's email_alias during parsing
+    (parse_bug_history.py:1048) — and the mapping parameter must seam
+    to the PERSISTENT store: a mapping saved with save_aliases and
+    re-loaded with load_aliases drives the same canonicalization."""
+    from bugzilla_etl_spark.plans.queries_history import build_full_docs
+    from bugzilla_etl_spark.sinks import alias_store as S
+    from bugzilla_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    mapping = spark.createDataFrame(
+        [("u13@example.com", "canonical@example.com")],
+        "alias string, canonical string",
+    )
+    path = str(tmp_path / "store")
+    S.save_aliases(mapping, path)
+    stored, _ = S.load_aliases(spark, path)
+
+    docs = build_full_docs(ev, alias_mapping=stored)
+    got = {
+        r.user_id: r.modified_by
+        for r in docs.select("user_id", "modified_by").distinct().collect()
+    }
+    for uid, mb in got.items():
+        if uid == 13:
+            assert mb == "canonical@example.com"
+        else:
+            assert mb == f"u{uid}@example.com"
+    assert 13 in got or len(got) > 0

@@ -84,6 +84,15 @@ def test_load_table_pins_utc_for_non_utc_session(spark, sf_dir):
         .collect()
     ]
 
+    utc_od = [
+        r.s
+        for r in load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("timestamp").cast("long").alias("s"))
+        .orderBy("s")
+        .limit(50)
+        .collect()
+    ]
+
     other = spark.newSession()
     other.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
@@ -97,6 +106,20 @@ def test_load_table_pins_utc_for_non_utc_session(spark, sf_dir):
         ]
         # and load_table must have pinned the conf itself
         assert other.conf.get("spark.sql.session.timeZone") == "UTC"
+        # the pin covers EVERY table, not just events — tpch_q18's
+        # ntz orderdate -> epoch projection depends on it
+        other.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny_od = [
+            r.s
+            for r in load_table(other, sf_dir, "orders")
+            .select(
+                F.col("o_orderdate").cast("timestamp").cast("long").alias("s")
+            )
+            .orderBy("s")
+            .limit(50)
+            .collect()
+        ]
     finally:
         other.conf.set("spark.sql.session.timeZone", "UTC")
     assert utc_ts == ny_ts and len(utc_ts) == 50
+    assert utc_od == ny_od and len(utc_od) == 50

@@ -244,3 +244,50 @@ def test_tpch_q10_aggregates_before_customer_join(spark, sf_dir):
     agg = analyzed.find("Aggregate [o_custkey")
     fact_join = analyzed.find("Join Inner, (l_orderkey")
     assert -1 < cust_join < agg < fact_join, analyzed
+
+
+def test_tpch_q14_pushdown_and_no_hints(spark, sf_dir):
+    """Q14: the date filter must reach the lineitem scan, and part —
+    which scales with SF — must carry NO broadcast hint (AQE promotes
+    from size evidence when it fits)."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    df = catalog.QUERIES["tpch_q14"](spark, sf_dir)
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed, pushed
+    assert "LessThan(l_shipdate" in pushed, pushed
+
+
+def test_tpch_q18_semi_join_below_aggregate_no_hints(spark, sf_dir):
+    """Q18: no broadcast hints anywhere (lineitem/orders/customer all
+    fact-sized at scale), and the HAVING aggregate feeds a LeftSemi
+    join that sits BELOW the outer per-order aggregate."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    df = catalog.QUERIES["tpch_q18"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    semi = analyzed.find("Join LeftSemi")
+    outer_agg = analyzed.find("Aggregate [l_orderkey")
+    assert -1 < outer_agg < semi, analyzed  # parents print first
+
+
+def test_tpch_q7_only_nation_hinted(spark, sf_dir):
+    """Q7: exactly two broadcast hints, both directly above the 25-row
+    nation dim; the nation-filtered supplier/customer sides scale with
+    SF and must stay unhinted."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    df = catalog.QUERIES["tpch_q7"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    lines = analyzed.splitlines()
+    hints = [i for i, l in enumerate(lines) if "ResolvedHint" in l]
+    assert len(hints) == 2, analyzed
+    for i in hints:
+        below = "\n".join(lines[i + 1 : i + 3])
+        assert "n_nationkey" in below, below
