@@ -92,6 +92,7 @@ HEADLINE = [
     "tpch_q7",
     "tpch_q14",
     "tpch_q18",
+    "canonical_fields",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

@@ -151,3 +151,66 @@ def scrub_truncated(
             & F.col(removed).isNull(),
         )
     )
+
+
+# transform_bugzilla.py:28-29 / parse_bug_history.py:48
+TIME_FIELDS = ("cf_due_date", "cf_last_resolved")
+EMAIL_FIELDS = (
+    "cc", "assigned_to", "modified_by", "created_by", "qa_contact",
+    "bug_mentor",
+)
+
+
+def canonicalize_fields(
+    df: DataFrame,
+    mapping: DataFrame,
+    field: str = "field",
+    value: str = "value_raw",
+    email_fields: Sequence[str] = EMAIL_FIELDS,
+    time_fields: Sequence[str] = TIME_FIELDS,
+    numeric_fields: Sequence[str] = ("votes", "remaining_time"),
+) -> DataFrame:
+    """The reference's ``canonical(field, value)`` dispatch
+    (parse_bug_history.py:1026-1045): null-token values -> NULL,
+    email-typed fields -> alias-resolved, time-typed fields -> epoch
+    millis, numeric fields -> best-effort number, everything else
+    passes through.
+
+    Adds ``value_canon`` (string, the unified canonical form),
+    ``value_ms`` (long, time fields only) and ``value_num`` (long,
+    numeric fields only).  Everything is a column expression except
+    the email branch, which is the usual broadcast mapping join
+    (get_canonical's dict lookup) — one dim-sized build side, zero
+    fact shuffles.  Time parsing assumes the UTC session pin from
+    load_table; numeric parsing is try_cast (bad rows -> NULL,
+    mirroring value2number's failure mode)."""
+    f, v = F.col(field), F.col(value)
+    scrubbed = scrub_nulls(v)
+    is_email = f.isin(*email_fields)
+    is_time = f.isin(*time_fields)
+    is_num = f.isin(*numeric_fields)
+
+    out = df.withColumn("__scr", scrubbed)
+    m = mapping.select(
+        F.col("alias").alias("__al"), F.col("canonical").alias("__cn")
+    )
+    out = out.join(
+        F.broadcast(m),
+        on=(is_email & (F.col("__scr") == F.col("__al"))),
+        how="left",
+    )
+    ms = F.unix_millis(F.to_timestamp(F.col("__scr")))
+    num = F.col("__scr").try_cast("long")
+    return (
+        out.withColumn("value_ms", F.when(is_time, ms))
+        .withColumn("value_num", F.when(is_num, num))
+        .withColumn(
+            "value_canon",
+            F.when(F.col("__scr").isNull(), F.lit(None).cast("string"))
+            .when(is_email, F.coalesce(F.col("__cn"), F.col("__scr")))
+            .when(is_time, F.col("value_ms").cast("string"))
+            .when(is_num, F.col("value_num").cast("string"))
+            .otherwise(F.col("__scr")),
+        )
+        .drop("__scr", "__al", "__cn")
+    )

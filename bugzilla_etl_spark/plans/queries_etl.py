@@ -569,3 +569,106 @@ def comments_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.length("text").alias("text_len"),
     )
+
+
+# canonical() dispatch synthesis: field cycles email/time/numeric/
+# other; values include null tokens ('--', '---') so the scrub branch
+# fires; numeric values go through an exact integer-cents string so
+# both engines print the identical text.
+def _canon_cases(cast_t: str, datefmt: str) -> tuple[str, str]:
+    fld = (
+        "CASE event_id % 4 WHEN 0 THEN 'assigned_to' "
+        "WHEN 1 THEN 'cf_due_date' WHEN 2 THEN 'votes' "
+        "ELSE 'status' END"
+    )
+    val = (
+        "CASE event_id % 4 "
+        "WHEN 0 THEN CASE WHEN event_id % 12 = 0 THEN '--' "
+        "ELSE 'u' || CAST(user_id AS {c}) || '@example.com' END "
+        f"WHEN 1 THEN {datefmt} "
+        "WHEN 2 THEN CAST(CAST(round(value * 100) AS BIGINT) AS {c}) "
+        "ELSE CASE WHEN event_id % 5 = 0 THEN '---' ELSE event_type END "
+        "END"
+    ).replace("{c}", cast_t)
+    return fld, val
+
+
+_CANON_FLD_S, _CANON_VAL_S = _canon_cases(
+    "STRING", "date_format(ts, 'yyyy-MM-dd HH:mm:ss')"
+)
+_CANON_FLD_D, _CANON_VAL_D = _canon_cases(
+    "VARCHAR", "strftime(ts, '%Y-%m-%d %H:%M:%S')"
+)
+
+
+@register(
+    "canonical_fields",
+    oracle=f"""
+    WITH act AS (
+        SELECT event_id, user_id,
+               {_CANON_FLD_D} AS field,
+               {_CANON_VAL_D} AS value_raw
+        FROM events
+    ),
+    amap AS (
+        SELECT DISTINCT
+               'u' || CAST(user_id AS VARCHAR) || '@example.com' AS alias,
+               'u' || CAST(user_id - 1 AS VARCHAR) || '@example.com'
+                   AS canonical
+        FROM events WHERE user_id % 2 = 1
+    ),
+    scr AS (
+        SELECT event_id, user_id, field, value_raw,
+               CASE WHEN value_raw IN ('--', '---', '') THEN NULL
+                    ELSE value_raw END AS s
+        FROM act
+    )
+    SELECT event_id, user_id, field, value_raw,
+           CASE WHEN field = 'cf_due_date'
+                THEN epoch_ms(strptime(s, '%Y-%m-%d %H:%M:%S')) END
+               AS value_ms,
+           CASE WHEN field = 'votes' THEN TRY_CAST(s AS BIGINT) END
+               AS value_num,
+           CASE WHEN s IS NULL THEN NULL
+                WHEN field = 'assigned_to'
+                THEN coalesce(m.canonical, s)
+                WHEN field = 'cf_due_date'
+                THEN CAST(epoch_ms(strptime(s, '%Y-%m-%d %H:%M:%S'))
+                          AS VARCHAR)
+                WHEN field = 'votes'
+                THEN CAST(TRY_CAST(s AS BIGINT) AS VARCHAR)
+                ELSE s END AS value_canon
+    FROM scr LEFT JOIN amap m
+      ON field = 'assigned_to' AND s = m.alias
+    """,
+)
+def canonical_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical(field, value) dispatch: null-token
+    scrub, email-field alias resolution, time-field -> epoch millis,
+    numeric-field coercion, passthrough otherwise.
+    reference: parse_bug_history.py:1026-1045 canonical,
+    transform_bugzilla.py:28 TIME_FIELDS, :42 NULL_VALUES."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "event_id",
+        "user_id",
+        F.expr(_CANON_FLD_S).alias("field"),
+        F.expr(_CANON_VAL_S).alias("value_raw"),
+    )
+    mapping = (
+        ev.select("user_id")
+        .where(F.col("user_id") % 2 == 1)
+        .distinct()
+        .select(
+            F.expr(
+                "concat('u', CAST(user_id AS STRING), '@example.com')"
+            ).alias("alias"),
+            F.expr(
+                "concat('u', CAST(user_id - 1 AS STRING), '@example.com')"
+            ).alias("canonical"),
+        )
+    )
+    return N.canonicalize_fields(act, mapping).select(
+        "event_id", "user_id", "field", "value_raw",
+        "value_ms", "value_num", "value_canon",
+    )
