@@ -93,6 +93,8 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q18",
     "canonical_fields",
+    "tpch_q15",
+    "tpch_q17",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

@@ -629,3 +629,98 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{D_1996_01_01}'
+          AND l_shipdate <  TIMESTAMP '{D_1996_04_01}'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (the view + scalar-max
+    shape).
+
+    The revenue aggregate is computed ONCE: the scalar max rides a
+    window over the same aggregated frame (max over an empty
+    partition spec — a 1-row broadcast-style exchange over the
+    already-tiny per-suppkey aggregate, not a second scan of
+    lineitem), then the supplier dim joins onto the one-or-few
+    surviving rows.  The date filter is pushed to the lineitem
+    scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ntz(D_1996_01_01))
+        & (F.col("l_shipdate") < _ntz(D_1996_04_01))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn(
+        "_mx", F.max("total_revenue").over(w)
+    ).where(F.col("total_revenue") == F.col("_mx"))
+    su = load_table(spark, sf_dir, "supplier")
+    return (
+        top.join(su, top.supplier_no == su.s_suppkey)
+        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+    WITH a AS (
+        SELECT l_partkey, 0.5 * avg(l_quantity) AS qty_threshold
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part ON l.l_partkey = p_partkey AND p_brand = 'Brand#1'
+    JOIN a    ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < a.qty_threshold
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue: the correlated-subquery ->
+    join-on-aggregate decorrelation (TPC-H Q17's textbook rewrite).
+
+    The per-part average is ONE partial-agg shuffle on partkey; the
+    probe side joins it on the same key, so Catalyst lines both up on
+    one partitioning instead of re-executing the subquery per row.
+    Parity note: l_quantity is integer-valued, so sum/count and the
+    0.5x threshold are bit-identical on both engines — the inequality
+    cannot flip on summation-order ulps.  The part join is UNhinted
+    (part scales with SF; the brand filter still leaves 1/25 of it —
+    AQE decides)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    pa = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#1"
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(a, li.l_partkey == a._pk)
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
