@@ -199,7 +199,10 @@ def canonicalize_fields(
         on=(is_email & (F.col("__scr") == F.col("__al"))),
         how="left",
     )
-    ms = F.unix_millis(F.to_timestamp(F.col("__scr")))
+    # try_* variants mirror the reference's bare-except: a malformed
+    # date/number degrades (NULL in the typed column, raw value kept
+    # in the canon string) instead of failing the job under ANSI mode.
+    ms = F.unix_millis(F.try_to_timestamp(F.col("__scr")))
     num = F.col("__scr").try_cast("long")
     return (
         out.withColumn("value_ms", F.when(is_time, ms))
@@ -208,8 +211,14 @@ def canonicalize_fields(
             "value_canon",
             F.when(F.col("__scr").isNull(), F.lit(None).cast("string"))
             .when(is_email, F.coalesce(F.col("__cn"), F.col("__scr")))
-            .when(is_time, F.col("value_ms").cast("string"))
-            .when(is_num, F.col("value_num").cast("string"))
+            .when(
+                is_time,
+                F.coalesce(F.col("value_ms").cast("string"), F.col("__scr")),
+            )
+            .when(
+                is_num,
+                F.coalesce(F.col("value_num").cast("string"), F.col("__scr")),
+            )
             .otherwise(F.col("__scr")),
         )
         .drop("__scr", "__al", "__cn")

@@ -291,3 +291,23 @@ def test_tpch_q7_only_nation_hinted(spark, sf_dir):
     for i in hints:
         below = "\n".join(lines[i + 1 : i + 3])
         assert "n_nationkey" in below, below
+
+
+def test_tpch_q15_q17_no_hints_single_fact_strategy(spark, sf_dir):
+    """q15/q17: no broadcast hints anywhere (supplier/part scale with
+    SF).  q15's scalar max must ride a window over the revenue
+    aggregate — ONE lineitem scan, not a second pass for the max.
+    q17's decorrelated average is a second, column-pruned lineitem
+    scan (the standard shape) — exactly two."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    q15 = catalog.QUERIES["tpch_q15"](spark, sf_dir)
+    q17 = catalog.QUERIES["tpch_q17"](spark, sf_dir)
+    for df in (q15, q17):
+        assert (
+            "ResolvedHint"
+            not in df._jdf.queryExecution().analyzed().toString()
+        )
+    assert _plan(q15).count("lineitem.parquet") == 1
+    assert _plan(q17).count("lineitem.parquet") == 2

@@ -245,3 +245,93 @@ def test_scrub_truncated_matches_reference_branch(rows):
         ea, er, eu = _ref_trunc_scrub(f, a, r, trunc)
         expect = (ea, er, eu, eu and ea is None and er is None)
         assert got[i] == expect, (i, f, a, r, got[i], expect)
+
+
+# ---------------------------------------------------------------------
+# canonical(field, value) dispatch (parse_bug_history.py:1026-1045)
+
+
+def _ref_canonical(field, value, aliases, email_fields, time_fields,
+                   numeric_fields):
+    """LITERAL transcription of the reference dispatch: null tokens ->
+    None, email fields -> alias lookup (get_canonical: mapped or
+    itself), time fields -> epoch millis, numeric fields -> number,
+    else passthrough; any parse failure returns the value unchanged
+    (the bare-except contract)."""
+    import datetime
+
+    NULL_VALUES = ("--", "---", "")
+    try:
+        if value in NULL_VALUES or value is None:
+            return None
+        elif field in email_fields:
+            return aliases.get(value, value)
+        elif field in time_fields:
+            dt = datetime.datetime.strptime(value, "%Y-%m-%d %H:%M:%S")
+            return int(dt.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1000
+        elif field in numeric_fields:
+            return int(value)
+        return value
+    except Exception:
+        return value
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["assigned_to", "cf_due_date", "votes", "status"]
+            ),
+            st.one_of(
+                st.none(),
+                st.sampled_from(
+                    ["--", "---", "", "a@x", "b@x", "zzz", "nope",
+                     "2024-01-02 03:04:05", "1996-12-31 23:59:59",
+                     "42", "-7", "12.5.bad"]
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_canonicalize_fields_matches_reference_dispatch(rows):
+    """canonicalize_fields' column dispatch must agree with a literal
+    transcription of canonical() on adversarial values — null tokens
+    on every field type, unparseable numerics (try_cast -> NULL is
+    surfaced in value_num; the unified canon string falls back to the
+    raw value exactly like the reference's bare except)."""
+    from bugzilla_etl_spark.operators.normalize import canonicalize_fields
+
+    emailf, timef, numf = ("assigned_to",), ("cf_due_date",), ("votes",)
+    aliases = {"a@x": "canon@x"}
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, f, v) for i, (f, v) in enumerate(rows)],
+        "i INT, field STRING, value_raw STRING",
+    )
+    mapping = spark.createDataFrame(
+        list(aliases.items()), "alias string, canonical string"
+    )
+    out = canonicalize_fields(
+        df, mapping, email_fields=emailf, time_fields=timef,
+        numeric_fields=numf,
+    )
+    got = {r.i: r for r in out.collect()}
+    for i, (f, v) in enumerate(rows):
+        exp = _ref_canonical(f, v, aliases, emailf, timef, numf)
+        g = got[i]
+        if exp is None:
+            assert g.value_canon is None, (i, f, v, g)
+        elif f in timef and isinstance(exp, int):
+            assert g.value_ms == exp and g.value_canon == str(exp), (
+                i, f, v, g, exp,
+            )
+        elif f in numf and isinstance(exp, int):
+            assert g.value_num == exp and g.value_canon == str(exp), (
+                i, f, v, g, exp,
+            )
+        else:
+            # passthrough / alias / unparseable fallback
+            assert g.value_canon == exp, (i, f, v, g, exp)
