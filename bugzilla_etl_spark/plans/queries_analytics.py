@@ -3,8 +3,10 @@ queries — the bench headliners — plus event sessionization and a
 conversion funnel.
 
 Scale shapes: Q1 is one partial-agg shuffle over a tiny group space;
-Q3/Q5 broadcast every dimension so the only exchange left is the
-final aggregation; sessionization is the same single entity-shuffle
+in Q3/Q5 every dim side broadcasts at test SF from MEASURED sizes
+(explicit hints only on constant-size nation/region — see SCALING.md
+round-6 hint policy), leaving the final aggregation as the only
+fact-side exchange; sessionization is the same single entity-shuffle
 window pattern as the snapshot block.
 
 Float parity: monetary aggregates are rounded to 4 decimals with the
@@ -91,7 +93,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shipping priority: selective dims broadcast into the fact scan."""
+    """Shipping priority: selective sides join into the fact scan.
+
+    No broadcast hints: the date-filtered orders slice and the
+    BUILDING-segment customers both scale with SF (the q10 lesson —
+    a forced broadcast OOMs at 100-TB TPC-H where AQE would degrade
+    gracefully); at test SF AQE promotes both joins to broadcast from
+    measured sizes, so the local plan is unchanged."""
     cu = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -101,9 +109,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > _ntz(D_1996_03_15)
     )
-    joined = li.join(
-        F.broadcast(od), li.l_orderkey == od.o_orderkey
-    ).join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    joined = li.join(od, li.l_orderkey == od.o_orderkey).join(
+        cu, od.o_custkey == cu.c_custkey
+    )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -239,9 +247,17 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local supplier volume: 6-way star join, every dim broadcast —
-    the fact table is touched exactly once, no fact-side shuffle
-    until the tiny final aggregation."""
+    """Local supplier volume: 6-way star join.  The fact table is
+    touched exactly once; at test SF every dim side broadcasts (from
+    measured sizes — asserted in test_plan_shape), so no fact-side
+    shuffle happens until the tiny final aggregation.
+
+    Hint policy (SCALING.md round 6): only the constant-size nation
+    (25 rows) and region (5 rows) dims carry explicit hints.  A year
+    of orders, customer, and supplier all scale with SF — billions of
+    rows at 100-TB TPC-H — so those joins are UNhinted and AQE
+    promotes them to broadcast only when the measured side fits; the
+    same plan degrades to shuffle joins instead of OOMing at scale."""
     cu = load_table(spark, sf_dir, "customer")
     od = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= _ntz(D_1996_01_01))
@@ -252,10 +268,10 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = load_table(spark, sf_dir, "nation")
     re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     joined = (
-        li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .join(
-            F.broadcast(su),
+            su,
             (li.l_suppkey == su.s_suppkey)
             & (cu.c_nationkey == su.s_nationkey),
         )

@@ -60,17 +60,76 @@ def test_incremental_touched_broadcasts(spark, sf_dir):
 
 
 def test_tpch_q5_all_dims_broadcast(spark, sf_dir):
-    """The star join must broadcast every dimension — a single
-    SortMergeJoin here means shuffling the fact table per dim, which
-    is the difference between 1 pass and 6 passes over 100 TB."""
+    """At test SF the star join must broadcast every dimension side —
+    a SortMergeJoin here means AQE/stats failed and the fact table
+    shuffles per dim.  But the broadcasts must come from EVIDENCE,
+    not hints: only the constant-size nation/region dims may carry
+    ResolvedHints (a hinted year-of-orders/customer/supplier build
+    side OOMs at 100-TB TPC-H instead of degrading)."""
     import re
 
     from bugzilla_etl_spark.plans import catalog
 
     catalog.load_all()
-    plan = _plan(catalog.QUERIES["tpch_q5"](spark, sf_dir))
+    df = catalog.QUERIES["tpch_q5"](spark, sf_dir)
+    plan = _plan(df)
     assert "SortMergeJoin" not in plan, plan
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 4, plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    lines = analyzed.splitlines()
+    hints = [i for i, l in enumerate(lines) if "ResolvedHint" in l]
+    assert len(hints) == 2, analyzed
+    for i in hints:
+        below = "\n".join(lines[i + 1 : i + 3])
+        assert "n_nationkey" in below or "r_regionkey" in below, below
+
+
+def _hinted_subtrees(analyzed: str):
+    """Yield the subtree lines under each ResolvedHint in an analyzed
+    plan string (tree indentation: children are deeper)."""
+    lines = analyzed.splitlines()
+    for i, l in enumerate(lines):
+        if "ResolvedHint" not in l:
+            continue
+        indent = len(l) - len(l.lstrip(" :+-"))
+        sub = []
+        for m in lines[i + 1 :]:
+            mi = len(m) - len(m.lstrip(" :+-"))
+            if mi <= indent:
+                break
+            sub.append(m)
+        yield sub
+
+
+def test_tpch_fleet_no_raw_fact_hints(spark, sf_dir):
+    """Policy test over EVERY tpch_* query: no broadcast-hint subtree
+    may scan orders/lineitem/customer/supplier/part raw (filters
+    don't bound a table that scales with SF — the q10/q3/q5 lesson).
+    Only the constant-size nation/region relations may sit under a
+    hint."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    offenders = []
+    for name, fn in sorted(catalog.QUERIES.items()):
+        if not name.startswith("tpch_"):
+            continue
+        analyzed = (
+            fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+        )
+        for sub in _hinted_subtrees(analyzed):
+            for m in sub:
+                if "Relation" not in m:
+                    continue
+                if any(
+                    c in m
+                    for c in (
+                        "o_orderkey#", "l_orderkey#", "c_custkey#",
+                        "s_suppkey#", "p_partkey#",
+                    )
+                ):
+                    offenders.append((name, m.strip()[:80]))
+    assert not offenders, offenders
 
 
 def test_minhash_no_cartesian(spark, sf_dir):
