@@ -132,21 +132,22 @@ def ngram_jaccard_pairs(
     # filter on the ROUNDED value: exactly equivalent to `raw >= t`
     # while set sizes stay < 2000 (jaccard is k/m, m = |A∪B|, so no
     # raw value can round across the threshold).
+    # sizes is ONE ROW PER DOCUMENT — corpus-sized, so the union-size
+    # joins carry NO broadcast hint (a hinted per-doc frame OOMs the
+    # build side at 100 TB; AQE promotes to broadcast at small SF
+    # where it measures as tiny, and the pair side is already far
+    # smaller than the corpus after the threshold-bound counting agg).
     jac = F.col("c") / (F.col("sz_a") + F.col("sz_b") - F.col("c"))
     return (
         inter.join(
-            F.broadcast(
-                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                    "sz", "sz_a"
-                )
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "sz", "sz_a"
             ),
             on="doc_a",
         )
         .join(
-            F.broadcast(
-                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                    "sz", "sz_b"
-                )
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "sz", "sz_b"
             ),
             on="doc_b",
         )
@@ -240,21 +241,22 @@ def jaccard_pairs_invindex(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # sizes is ONE ROW PER DOCUMENT — corpus-sized, so the union-size
+    # joins carry NO broadcast hint (a hinted per-doc frame OOMs the
+    # build side at 100 TB; AQE promotes to broadcast at small SF
+    # where it measures as tiny, and the pair side is already far
+    # smaller than the corpus after the threshold-bound counting agg).
     jac = F.col("c") / (F.col("sz_a") + F.col("sz_b") - F.col("c"))
     return (
         inter.join(
-            F.broadcast(
-                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                    "sz", "sz_a"
-                )
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "sz", "sz_a"
             ),
             on="doc_a",
         )
         .join(
-            F.broadcast(
-                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                    "sz", "sz_b"
-                )
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "sz", "sz_b"
             ),
             on="doc_b",
         )
