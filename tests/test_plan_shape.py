@@ -370,3 +370,38 @@ def test_tpch_q15_q17_no_hints_single_fact_strategy(spark, sf_dir):
         )
     assert _plan(q15).count("lineitem.parquet") == 1
     assert _plan(q17).count("lineitem.parquet") == 2
+
+
+def test_catalog_no_unbounded_broadcast_hints(spark, sf_dir):
+    """Catalog-wide hint policy: every ResolvedHint subtree must be
+    BOUNDED — it contains an Aggregate/Deduplicate/Window/Limit node
+    (derived dims: touched sets, mappings, df caps, watermarks,
+    indexes) or scans only the constant-size nation/region dims.
+    A hint whose subtree reaches a raw scaling relation is a forced
+    build side that OOMs at 100 TB (the q10/q3/q5/jaccard-sizes
+    defect class, all removed in round 6).
+
+    Whitelist: the ANN operators broadcast their QUERY set — bounded
+    by workload semantics (a fixed query batch), not by an aggregate;
+    the every-Nth-vector filter is test synthesis for it."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    BOUNDING = ("Aggregate", "Deduplicate", "Distinct", "GlobalLimit",
+                "Window")
+    WORKLOAD_BOUNDED = {"ann_ivf", "ann_ivf_nprobe"}
+    offenders = []
+    for name, fn in sorted(catalog.QUERIES.items()):
+        if name in WORKLOAD_BOUNDED:
+            continue
+        analyzed = (
+            fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+        )
+        for sub in _hinted_subtrees(analyzed):
+            txt = "\n".join(sub)
+            if any(b in txt for b in BOUNDING):
+                continue
+            if "n_nationkey#" in txt or "r_regionkey#" in txt:
+                continue
+            offenders.append((name, sub[0].strip()[:80] if sub else ""))
+    assert not offenders, offenders
