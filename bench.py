@@ -95,6 +95,16 @@ HEADLINE = [
     "canonical_fields",
     "tpch_q15",
     "tpch_q17",
+    # round-6 late additions: remaining expressible TPC-H shapes +
+    # the heavy-hitter n-gram probe
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    "heavy_hitters_ngrams",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

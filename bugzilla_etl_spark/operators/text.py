@@ -55,16 +55,24 @@ def shingles(tok: Column, n: int = 3) -> Column:
 
 
 def bigrams(tok: Column) -> Column:
-    """ALL adjacent token bigrams, multiplicities preserved —
-    repetition metrics need counts, unlike shingles() which dedups
-    for set semantics.  Same zip_with/slice shape (arguments evaluate
-    once per row; see shingles() for why transform+element_at is
-    O(tokens²) here)."""
-    shifted = F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0)))
-    return F.filter(
-        F.zip_with(tok, shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
-        lambda x: x.isNotNull(),
-    )
+    """ALL adjacent token bigrams, multiplicities preserved (see
+    ngrams())."""
+    return ngrams(tok, 2)
+
+
+def ngrams(tok: Column, n: int = 3) -> Column:
+    """ALL adjacent token n-grams, multiplicities preserved — the
+    corpus-frequency operators (heavy hitters, repetition) need
+    counts, unlike shingles() which dedups for set semantics.  Same
+    zip_with/slice shape (arguments evaluate once per row; see
+    shingles() for why transform+element_at is O(tokens²) here)."""
+    z = tok
+    for j in range(1, n):
+        shifted = F.slice(
+            tok, j + 1, F.greatest(F.size(tok) - j, F.lit(0))
+        )
+        z = F.zip_with(z, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(z, lambda x: x.isNotNull())
 
 
 def stopword_hits(tok: Column, stopwords=EN_STOPWORDS) -> Column:

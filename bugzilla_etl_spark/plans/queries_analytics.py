@@ -740,3 +740,418 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 late additions: the remaining TPC-H shapes expressible on the
+# reduced test schemas.  The test tables lack partsupp (q2/q9/q11/q16/q20
+# out of reach) and lineitem lacks commitdate/receiptdate/shipmode, so
+# q4/q12/q21 substitute "shipped more than N days after the order date"
+# for the commit/receipt lateness predicate — same plan shape (correlated
+# EXISTS, conditional class agg, anti/semi self-join), adapted predicate.
+# ---------------------------------------------------------------------------
+
+D_1996_07_01 = "1996-07-01 00:00:00"
+D_1998_01_01 = "1998-01-01 00:00:00"
+D_1999_01_01 = "1999-01-01 00:00:00"
+
+
+@register(
+    "tpch_q4",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{D_1996_01_01}'
+      AND o_orderdate <  TIMESTAMP '{D_1996_07_01}'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4's correlated-EXISTS shape;
+    lateness = shipped >60 days after ordering, standing in for the
+    commit/receipt columns the test schema lacks).
+
+    The EXISTS is ONE left-semi join on orderkey with the correlated
+    date inequality folded into the join condition — no subquery
+    re-execution, no distinct pre-agg on lineitem (semi join stops at
+    the first match per order).  Both sides are fact-sized so the
+    semi join shuffles on orderkey; the quarter filter is pushed to
+    the orders scan and prunes before the shuffle."""
+    od = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ntz(D_1996_01_01))
+        & (F.col("o_orderdate") < _ntz(D_1996_07_01))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        od.join(
+            li,
+            (od.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > od.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '{D_1996_01_01}'
+        AND o_orderdate <  TIMESTAMP '{D_1998_01_01}'
+        AND p_type = 'ECONOMY'
+    )
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share: the 8-table snowflake join.
+
+    Dim-side pre-reduction before the facts join: customer joins the
+    region-filtered nation (broadcast — nation/region are the only
+    constant-size dims, per the round-6 hint policy) so the EUROPE
+    predicate never touches a fact row; supplier carries its nation
+    name the same way.  part is filtered by type at the scan
+    (PushedFilters) and joins lineitem on partkey UNhinted — part
+    scales with SF, AQE promotes from measured size.  The join order
+    li⋈part -> li⋈supplier -> ⋈orders(date-pushed) -> ⋈customer
+    keeps every intermediate at (shrinking) fact grain; the final
+    conditional agg folds numerator and denominator into one pass."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_nations = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .join(re, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("_eu_nk"))
+    )
+    cu = load_table(spark, sf_dir, "customer").join(
+        eu_nations, F.col("c_nationkey") == F.col("_eu_nk")
+    ).select("c_custkey")
+    su = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    pa = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    od = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ntz(D_1996_01_01))
+        & (F.col("o_orderdate") < _ntz(D_1998_01_01))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_7", volume).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle=f"""
+    SELECT late_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 'LATE' ELSE 'ONTIME' END AS late_class
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '{D_1996_01_01}'
+        AND l_shipdate <  TIMESTAMP '{D_1997_01_01}'
+    )
+    GROUP BY late_class ORDER BY late_class
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-lateness report (TPC-H Q12's conditional-class-count
+    shape; LATE/ONTIME classes derived from ship-vs-order date stand
+    in for the missing shipmode/commit/receipt columns).
+
+    One big-big join on orderkey (neither side broadcastable at
+    scale), then both priority counts fold into ONE partial
+    aggregate over a 2-row group space — map-side combine reduces
+    each partition to <=2 rows before the exchange.  The ship-year
+    filter is pushed to the lineitem scan."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ntz(D_1996_01_01))
+        & (F.col("l_shipdate") < _ntz(D_1997_01_01))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .withColumn(
+            "late_class",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                F.lit("LATE"),
+            ).otherwise(F.lit("ONTIME")),
+        )
+        .groupBy("late_class")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("late_class")
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution: the left-outer +
+    two-level-aggregate shape (customers with zero qualifying orders
+    must survive as c_count=0, so the filter lives in the JOIN
+    CONDITION, not a WHERE).
+
+    First agg shuffles on custkey — the same key as the join, so
+    Catalyst reuses the exchange; second agg shuffles the per-
+    customer counts (one row per customer) into a tiny distribution.
+    No hints: orders and customer both scale with SF."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue report: the disjunctive mixed-table
+    predicate (Q19's shape, minus the shipmode/shipinstruct columns
+    the test schema lacks).
+
+    The cross-table OR cannot be pushed whole, so each side also
+    gets its IMPLIED single-table conjunct made explicit — part
+    pre-filters to the three brands (IN-list reaches the scan via
+    PushedFilters) and lineitem to the covering quantity envelope
+    [1,40] — the textbook Q19 rewrite; the residual disjunction then
+    runs post-join on the already-reduced stream.  The partkey join
+    is UNhinted (part scales with SF; the brand filter leaves 3/25 —
+    AQE decides)."""
+    pa = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 40)
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .where(bracket)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late)
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting (Q21's EXISTS / NOT-EXISTS
+    pair; lateness = shipped >90 days after ordering).
+
+    The two correlated self-joins are rewritten as ONE window pass:
+    per order, the distinct-supplier set and the distinct-LATE-
+    supplier set ride a single partitionBy(orderkey) window
+    (collect_set — order-insensitive, so no sort requirement), and a
+    line qualifies iff it is late, the order has >=2 suppliers, and
+    the late-set is exactly {itself}.  That turns two extra
+    fact-table shuffles into zero — the window reuses the join's
+    orderkey partitioning.  supplier joins UNhinted at order grain
+    (scales with SF; AQE promotes when it fits)."""
+    od = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    l = od.join(li, od.o_orderkey == li.l_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("is_late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    marked = l.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("_n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("_n_late_supp"),
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    return (
+        marked.where(
+            F.col("is_late")
+            & (F.col("_n_supp") >= 2)
+            & (F.col("_n_late_supp") == 1)
+        )
+        .join(su, F.col("l_suppkey") == su.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle=f"""
+    SELECT n_name, count(*) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '{D_1999_01_01}')
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (Q22's scalar-subquery + anti-join
+    shape): above-average-balance customers with no RECENT orders,
+    grouped by nation (the test schema has no c_phone, so nation
+    stands in for the phone-prefix country code; "no orders since
+    1999" keeps the anti-join non-degenerate at every test SF).
+
+    The balance average is a 1-row aggregate crossJoined in (a
+    broadcast nested loop over one row — the catalog's standard
+    scalar pattern); the NOT EXISTS is one left-anti join on custkey
+    against the date-pruned orders scan (filter pushed, so the anti
+    side shrinks before the shuffle).  Only the 25-row nation dim is
+    hint-broadcast."""
+    cu = load_table(spark, sf_dir, "customer")
+    avg_bal = cu.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= _ntz(D_1999_01_01)
+    ).select("o_custkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        cu.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, cu.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

@@ -323,3 +323,43 @@ def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume bounded by capped postings, never docs²."""
     docs = load_table(spark, sf_dir, "documents")
     return T.winnow_pairs(docs, min_shared=2, max_df=50, k=3, w=4)
+
+
+@register(
+    "heavy_hitters_ngrams",
+    oracle=f"""
+    WITH tk AS (SELECT {DUCK_TOKENS} AS tk FROM documents),
+    g AS (
+      SELECT unnest(list_transform(generate_series(1, len(tk) - 2),
+                    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS ngram
+      FROM tk
+    )
+    SELECT ngram, count(*) AS cnt
+    FROM g GROUP BY ngram
+    ORDER BY cnt DESC, ngram ASC
+    LIMIT 20
+    """,
+)
+def heavy_hitters_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 most frequent token trigrams — the heavy-
+    hitter probe a training-data pipeline runs to spot boilerplate
+    before dedup (frequent-n-gram lists drive filter rules).
+
+    ONE shuffle end-to-end: explode is map-side, the frequency agg
+    is a partial->final hash aggregate (map-side combine collapses a
+    hot n-gram to one row per partition BEFORE the exchange, so a
+    boilerplate gram repeated a billion times costs one row per
+    input partition, not a skewed reduce key), and the global top-20
+    plans as TakeOrderedAndProject — a per-partition k-heap merged
+    on the driver, never a full sort shuffle.  Ties at the cutoff
+    break on the gram text for cross-engine determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(T.ngrams(T.tokens("text"), 3)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(20)
+    )
