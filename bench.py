@@ -104,6 +104,7 @@ HEADLINE = [
     "tpch_q19",
     "tpch_q21",
     "tpch_q22",
+    "tpch_q16",
     "heavy_hitters_ngrams",
 ]
 

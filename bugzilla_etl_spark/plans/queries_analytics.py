@@ -1155,3 +1155,54 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship report (TPC-H Q16's
+    distinct-count + NOT-IN shape; the test schema has no partsupp,
+    so lineitem is the part↔supplier association, and no s_comment,
+    so negative account balance stands in for the complaint filter).
+
+    The excluded-supplier subquery is ONE left-anti join — s_suppkey
+    is non-null by schema so NOT IN degenerates to anti-join
+    semantics safely; the blacklist scales with SF (a fixed fraction
+    of suppliers), so it carries NO hint and AQE promotes from
+    measured size.  The distinct count is Spark's standard two-phase
+    plan: partial dedup on (brand, type, size, suppkey) with
+    map-side combine, then the count — both shuffles carry
+    already-collapsed rows.  Brand/size filters reach the part
+    scan."""
+    pa = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(pa, li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            "p_brand",
+            "p_type",
+            "p_size",
+        )
+    )

@@ -1095,3 +1095,81 @@ def stream_previous_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_heavy_hitters",
+    oracle=r"""
+    WITH tk AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT unnest(list_transform(generate_series(1, len(tk) - 2),
+                    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS ngram
+      FROM tk
+    )
+    SELECT ngram, count(*) AS cnt
+    FROM g GROUP BY ngram
+    ORDER BY cnt DESC, ngram ASC
+    LIMIT 20
+    """,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-frequency monitor as a REAL streaming run: trigram
+    counts accumulate across micro-batches (update mode, memory
+    sink), then the final state ranks into the top-20 — the
+    streaming form of batch heavy_hitters_ngrams, so the oracle is
+    the exact batch SQL.
+
+    State bound: one counter per distinct trigram — the SAME
+    cardinality the batch groupBy shuffles, kept hot instead of
+    recomputed per poll (the reference's incremental loop recomputes
+    its rollups each cycle; bz_etl.py:172).  At 100 TB you would cap
+    the keyspace first (hash the gram into 2^k buckets, or a
+    count-min sketch feeding a candidate re-verify pass) — the
+    catalog keeps the exact form because its oracle is exact.
+    Explode and partial-count stay map-side; update mode re-emits a
+    gram only in batches that changed it, and counts are monotone
+    per key, so the final state is each gram's max emission."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from bugzilla_etl_spark.operators import text as T
+
+    path = f"{sf_dir}/documents.parquet"
+    static = spark.read.parquet(path)
+    srcdir = tempfile.mkdtemp(prefix="bes_shh_")
+    os.symlink(path, os.path.join(srcdir, "documents.parquet"))
+    src = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    grams = src.select(
+        F.explode(T.ngrams(T.tokens("text"), 3)).alias("ngram")
+    )
+    name = f"stream_hh_{uuid.uuid4().hex[:8]}"
+    q = (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bes_shh_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    w = Window.partitionBy("ngram").orderBy(F.col("cnt").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(20)
+        .select("ngram", "cnt")
+    )

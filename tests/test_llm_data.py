@@ -342,6 +342,21 @@ def test_bigrams_preserve_multiplicity(spark):
     assert row.g == ["a b", "b a", "a b", "b a"]
 
 
+def test_ngrams_order_multiplicity_and_short_docs(spark):
+    """ngrams(n=3) keeps order and multiplicity (unlike shingles,
+    which dedups for set semantics) and yields [] when the doc has
+    fewer than n tokens — no null/partial trailing grams."""
+    from bugzilla_etl_spark.operators.text import ngrams, tokens
+
+    df = spark.createDataFrame(
+        [("a b a b a",), ("a b",), ("",)], "text string"
+    )
+    rows = df.select(ngrams(tokens("text"), 3).alias("g")).collect()
+    assert rows[0].g == ["a b a", "b a b", "a b a"]
+    assert rows[1].g == []
+    assert rows[2].g == []
+
+
 def test_decontam_flags_planted_leak(spark):
     """A train doc that quotes an eval doc verbatim must be flagged;
     an unrelated doc must not."""

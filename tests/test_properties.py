@@ -335,3 +335,48 @@ def test_canonicalize_fields_matches_reference_dispatch(rows):
         else:
             # passthrough / alias / unparseable fallback
             assert g.value_canon == exp, (i, f, v, g, exp)
+
+
+# ---------------------------------------------------------------------------
+# tpch_q21's window rewrite: the EXISTS / NOT-EXISTS pair vs the
+# per-order set-cardinality predicate.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),   # orderkey
+            st.integers(0, 4),   # suppkey
+            st.booleans(),       # is_late
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_q21_window_rewrite_matches_exists_form(rows):
+    """The identity behind tpch_q21 (queries_analytics.py): a late
+    line satisfies
+        EXISTS     (other line, same order, different supplier)
+      ∧ NOT EXISTS (other LATE line, same order, different supplier)
+    iff its order has >= 2 distinct suppliers and the order's
+    distinct LATE-supplier set is exactly {this line's supplier}.
+    Checked over all small multisets of (order, supplier, late) —
+    including duplicate lines per (order, supplier), the case a
+    row-counting rewrite (instead of distinct-set cardinality) gets
+    wrong."""
+    by_order: dict[int, list[tuple[int, bool]]] = {}
+    for ok, sk, late in rows:
+        by_order.setdefault(ok, []).append((sk, late))
+    for ok, sk, late in rows:
+        lines = by_order[ok]
+        exists_other = any(s != sk for s, _ in lines)
+        exists_other_late = any(s != sk and l for s, l in lines)
+        reference = late and exists_other and not exists_other_late
+        n_supp = len({s for s, _ in lines})
+        late_supps = {s for s, l in lines if l}
+        # the literal Spark predicate: late ∧ n_supp>=2 ∧ |late set|==1
+        # (given the line is late, |late set|==1 <=> late set == {sk})
+        rewrite = late and n_supp >= 2 and len(late_supps) == 1
+        assert rewrite == reference, (ok, sk, late, lines)
