@@ -106,6 +106,7 @@ HEADLINE = [
     "tpch_q22",
     "tpch_q16",
     "heavy_hitters_ngrams",
+    "cc_fuzzy_match",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

@@ -672,3 +672,126 @@ def canonical_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "field", "value_raw",
         "value_ms", "value_num", "value_canon",
     )
+
+
+@register(
+    "cc_fuzzy_match",
+    oracle="""
+    WITH t AS (
+      SELECT DISTINCT user_id,
+             'user' || lpad(CAST(event_id % 97 AS VARCHAR), 4, '0')
+                    || '@ex.org' AS member
+      FROM events WHERE event_id % 3 = 0
+    ),
+    r AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN event_id % 2 = 0
+                  THEN 'user' || lpad(CAST(event_id % 97 AS VARCHAR), 4, '0')
+                       || '@ex.org'
+                  ELSE 'user' || lpad(CAST(event_id % 97 AS VARCHAR), 4, '0')
+                       || 'xx@ex.org' END AS removal
+      FROM events WHERE event_id % 3 = 0
+      UNION
+      SELECT DISTINCT user_id,
+             'zz' || lpad(CAST(event_id % 89 AS VARCHAR), 3, '0')
+                  || '@other.net' AS removal
+      FROM events WHERE event_id % 3 = 1 AND event_id % 11 = 0
+    ),
+    exact AS (
+      SELECT r.user_id, r.removal
+      FROM r JOIN t ON r.user_id = t.user_id AND r.removal = t.member
+    ),
+    lost AS (SELECT * FROM r EXCEPT SELECT * FROM exact),
+    remaining AS (
+      SELECT * FROM t
+      EXCEPT SELECT user_id, removal AS member FROM exact
+    ),
+    cand AS (
+      SELECT l.user_id, l.removal, m.member,
+             least(
+               levenshtein(l.removal, m.member) * 1.0
+                 / greatest(len(l.removal), len(m.member)),
+               levenshtein(split_part(l.removal, '@', 1),
+                           split_part(m.member, '@', 1)) * 1.0
+                 / greatest(len(split_part(l.removal, '@', 1)),
+                            len(split_part(m.member, '@', 1)))
+             ) AS score
+      FROM lost l JOIN remaining m ON l.user_id = m.user_id
+    ),
+    fuzzy AS (
+      SELECT user_id, removal, member AS matched,
+             round(score, 4) AS score
+      FROM (SELECT *, row_number() OVER (
+                PARTITION BY user_id, removal
+                ORDER BY score ASC, member ASC) AS rn
+            FROM cand WHERE score < 0.3)
+      WHERE rn = 1
+    )
+    SELECT user_id, removal, removal AS matched, 0.0 AS score,
+           'exact' AS kind FROM exact
+    UNION ALL
+    SELECT user_id, removal, matched, score, 'fuzzy' FROM fuzzy
+    UNION ALL
+    SELECT l.user_id, l.removal, NULL AS matched, NULL AS score,
+           'unmatched' AS kind
+    FROM lost l LEFT JOIN fuzzy f
+      ON l.user_id = f.user_id AND l.removal = f.removal
+    WHERE f.removal IS NULL
+    """,
+)
+def cc_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertain-CC removal rescue (parse_bug_history.py:848/:877:
+    after a bug-55161 truncation marks the bug uncertain, CC
+    removals missing from the current set are edit-distance matched
+    against the remaining members — normalized Levenshtein, min over
+    full-string and local-part variants, rescued iff best < 0.3).
+
+    CC sets are synthesized deterministically from events (the test
+    log has no email columns): pool members from event_id≡0 (mod 3),
+    removals re-derived from the same rows — even ids removed
+    verbatim (exact path), odd ids with the bug-55161-style 'xx'
+    mangle before the '@' (fuzzy path: 2 edits from the source —
+    inside the threshold, strictly closer than any other member),
+    plus far-off removals from a disjoint id range (beyond the
+    threshold — the unmatched path the reference logs and drops).
+    All three kinds land in every run at every SF.
+
+    Plan shape (cc_fuzzy_rescue, operators/alias.py): exact hits +
+    losses via semi/except on the entity key, candidate scoring as
+    a per-entity join — expansion bounded by per-entity CC-list
+    size, the reference's own per-bug loop bound — with levenshtein
+    a codegen'd JVM builtin (no UDF anywhere), argmin per removal
+    under one window; one shuffle on the entity key end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    email = F.concat(
+        F.lit("user"),
+        F.lpad((F.col("event_id") % 97).cast("string"), 4, "0"),
+        F.lit("@ex.org"),
+    )
+    mangled = F.concat(
+        F.lit("user"),
+        F.lpad((F.col("event_id") % 97).cast("string"), 4, "0"),
+        F.lit("xx@ex.org"),
+    )
+    pool = ev.where(F.col("event_id") % 3 == 0)
+    totals = pool.select("user_id", email.alias("email"))
+    removes = pool.select(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, email)
+        .otherwise(mangled)
+        .alias("email"),
+    ).unionByName(
+        ev.where(
+            (F.col("event_id") % 3 == 1) & (F.col("event_id") % 11 == 0)
+        ).select(
+            "user_id",
+            F.concat(
+                F.lit("zz"),
+                F.lpad((F.col("event_id") % 89).cast("string"), 3, "0"),
+                F.lit("@other.net"),
+            ).alias("email"),
+        )
+    )
+    return A.cc_fuzzy_rescue(
+        totals, removes, entity="user_id", value="email"
+    )

@@ -167,3 +167,45 @@ def test_merge_aliases_fresh_wins_and_chains_collapse(spark):
         ("old@x", "new@x"),
         ("p@x", "r@x"),      # fresh row won over stored p->q
     ]
+
+
+def test_cc_fuzzy_rescue_kinds_and_argmin(spark):
+    """The uncertain-CC rescue (parse_bug_history.py:848/:877):
+    exact member removals pass through; a mangled removal rescues to
+    the CLOSEST remaining member under 0.3 (argmin, not just any
+    sub-threshold candidate); far-off removals stay unmatched; the
+    local-part variant can beat the full-string distance."""
+    from bugzilla_etl_spark.operators.alias import cc_fuzzy_rescue
+
+    totals = spark.createDataFrame(
+        [
+            (1, "user0042@ex.org"),
+            (1, "user0043@ex.org"),
+            (1, "other@ex.org"),
+            (2, "abcdefgh@long-domain-here.example"),
+        ],
+        "entity int, email string",
+    )
+    removes = spark.createDataFrame(
+        [
+            (1, "other@ex.org"),        # exact
+            (1, "user0042xx@ex.org"),   # fuzzy: 2 edits to 0042, 3 to 0043
+            (1, "zz999@nowhere.net"),   # unmatched (> 0.3 everywhere)
+            # local part identical (distance 0) while the full string
+            # is far: the local-part variant must carry the match
+            (2, "abcdefgh@elsewhere.invalid"),
+        ],
+        "entity int, email string",
+    )
+    rows = {
+        (r.entity, r.removal): (r.matched, r.kind)
+        for r in cc_fuzzy_rescue(totals, removes).collect()
+    }
+    assert rows[(1, "other@ex.org")] == ("other@ex.org", "exact")
+    assert rows[(1, "user0042xx@ex.org")] == ("user0042@ex.org", "fuzzy")
+    assert rows[(1, "zz999@nowhere.net")] == (None, "unmatched")
+    assert rows[(2, "abcdefgh@elsewhere.invalid")] == (
+        "abcdefgh@long-domain-here.example",
+        "fuzzy",
+    )
+    assert len(rows) == 4
