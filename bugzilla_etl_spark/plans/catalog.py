@@ -58,11 +58,12 @@ _loaded = False
 # greens, oldest first; (3) the local gate (tools/verify_local.py,
 # driver-strict canonicalizer, committed as LOCAL_GATE_rN.json)
 # covers ALL queries every round regardless of window position.
-# r7 window plan: the 15 round-6 additions with no driver row yet
+# r7 window plan: the 17 round-6 additions with no driver row yet
 # (tpch_q7/q14/q15/q17, canonical_fields, the late TPC-H batch
 # q4/q8/q12/q13/q16/q19/q21/q22, heavy_hitters_ngrams,
-# stream_heavy_hitters) + 35 of the 45 r5-rowed _DEPRIORITY entries;
-# r8 takes the remaining 10 plus the 42 r6-rowed refreshes.
+# stream_heavy_hitters, cc_fuzzy_match) + 33 of the 45 r5-rowed
+# _DEPRIORITY entries; r8 takes the remaining 12 plus the 42
+# r6-rowed refreshes.
 _PRIORITY = (
     # round-6: never driver-tested (new this round)
     "trunc_uncertain",
