@@ -107,6 +107,7 @@ HEADLINE = [
     "tpch_q16",
     "heavy_hitters_ngrams",
     "cc_fuzzy_match",
+    "decontam_neardup",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

@@ -745,3 +745,65 @@ def chunk_shared_stats(
             ),
         )
     )
+
+
+def minhash_cross_pairs(
+    corpus: DataFrame,
+    evals: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus near-duplicate contamination: corpus documents
+    whose shingle set is near-identical (true Jaccard >= threshold)
+    to an EVAL document, with MinHash/LSH banding generating the
+    candidates — the near-dup complement of decontam_overlap's
+    exact-shingle containment (a paraphrased or lightly-edited eval
+    document slips past exact n-gram probes but not past this).
+
+    Scale shape (the MB-eval / 100-TB-corpus asymmetry, same as
+    decontam_overlap): the corpus side pays ONE signature pass (the
+    map-only Arrow fold of minhash_signatures_agg) and a band
+    explode; the eval side's bands AND hashed shingle sets are
+    dim-sized by construction and broadcast, so the band join and
+    the Jaccard verification add ZERO corpus shuffles — the only
+    exchange is the distinct on the (already tiny) candidate set.
+    Same banding (16 hashes, 4 bands) and the same verified-Jaccard
+    contract as minhash_lsh_pairs."""
+    rows = N_MINHASH // N_BANDS
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[F.col(f"s{b * rows + j}").cast("string") for j in range(rows)],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        sig = minhash_signatures_agg(df, N_MINHASH, text_col, id_col)
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(bands).alias("band_id", "band_key"),
+        )
+
+    cand = (
+        banded(corpus, "doc_id")
+        .join(F.broadcast(banded(evals, "eval_id")), on=["band_id", "band_key"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    sh_c = _hashed_shingled(corpus, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), F.col("shh").alias("sh_a")
+    )
+    sh_e = _hashed_shingled(evals, text_col, id_col).select(
+        F.col(id_col).alias("eval_id"), F.col("shh").alias("sh_b")
+    )
+    return (
+        cand.join(sh_c, on="doc_id")
+        .join(F.broadcast(sh_e), on="eval_id")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_id", "eval_id", "jaccard")
+    )

@@ -326,3 +326,45 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_components(
         pairs, members=docs.select("doc_id")
     ).select("doc_id", "component")
+
+
+@register(
+    "decontam_neardup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents)
+    ), sig AS (
+        SELECT doc_id, sh, {DUCK_SIG} AS sig FROM t
+    ), banded AS (
+        SELECT doc_id, unnest(generate_series(0,3)) AS band_id,
+               unnest(bands) AS band_key
+        FROM (SELECT doc_id, {DUCK_BANDS} AS bands FROM sig)
+    ), cand AS (
+        SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id
+        FROM banded c JOIN banded e
+          ON c.band_id = e.band_id AND c.band_key = e.band_key
+        WHERE c.doc_id % 5 <> 0 AND e.doc_id % 5 = 0
+    )
+    SELECT cand.doc_id, cand.eval_id,
+           round({DUCK_JAC.replace('sh_a','tc.sh').replace('sh_b','te.sh')}, 4)
+               AS jaccard
+    FROM cand
+    JOIN t tc ON tc.doc_id = cand.doc_id
+    JOIN t te ON te.doc_id = cand.eval_id
+    WHERE {DUCK_JAC.replace('sh_a','tc.sh').replace('sh_b','te.sh')} >= 0.5
+    """,
+)
+def decontam_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate contamination probe: corpus documents whose
+    shingle set is Jaccard >= 0.5 to a held-out eval document
+    (doc_id ≡ 0 mod 5 plays the eval set) — catches the paraphrased/
+    lightly-edited leaks that decontam_overlap's exact-shingle probe
+    misses.  MinHash/LSH banding generates candidates; the eval
+    side's bands and shingle sets broadcast (MB-scale by
+    construction), so the corpus pays one signature pass and zero
+    extra shuffles (operators/dedup.py minhash_cross_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    evals = docs.where(F.col("doc_id") % 5 == 0)
+    return D.minhash_cross_pairs(corpus, evals, threshold=0.5)

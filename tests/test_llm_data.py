@@ -577,3 +577,33 @@ def test_winnow_pairs_recovers_planted_neardups(spark, sf_dir):
     }
     missed = exact - got
     assert not missed, f"winnow_pairs missed planted near-dups: {missed}"
+
+
+def test_decontam_neardup_catches_paraphrase(spark):
+    """A corpus doc that verbatim-copies an eval doc AND one that
+    lightly edits it (one token changed — past exact-match probes)
+    must both pair with the eval doc; an unrelated doc must not."""
+    from bugzilla_etl_spark.operators.dedup import minhash_cross_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    edited = base.rsplit(" ", 1)[0] + " omega"
+    evals = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, edited),
+            (3, "completely different words having nothing in common "
+                "with the evaluation document at all whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.eval_id): r.jaccard
+        for r in minhash_cross_pairs(corpus, evals, threshold=0.5).collect()
+    }
+    assert (1, 100) in got and got[(1, 100)] == 1.0
+    assert (2, 100) in got and 0.5 <= got[(2, 100)] < 1.0
+    assert all(doc != 3 for doc, _ in got)
