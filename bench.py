@@ -108,6 +108,7 @@ HEADLINE = [
     "heavy_hitters_ngrams",
     "cc_fuzzy_match",
     "decontam_neardup",
+    "semdedup",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

@@ -430,7 +430,9 @@ def _kmeans_oracle() -> str:
     iterations, seeds = every 25th vector): integer-quantized vectors,
     exact-integer centroid sums, 1e4-grid distance rounding — the
     determinism contract that makes an iterative float algorithm
-    hash-comparable across engines."""
+    hash-comparable across engines.  Returns the WITH-chain ending at
+    ``a2`` (the final labeling) so kmeans_embeddings AND semdedup
+    compose their own final SELECT on top."""
     q = (
         "list_transform(embedding::DOUBLE[], "
         "x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))"
@@ -472,16 +474,17 @@ def _kmeans_oracle() -> str:
     d2f AS (
         SELECT t.vec_id, c.cid, {d2} AS rd2
         FROM t CROSS JOIN c1 c
-    )
-    SELECT vec_id, cid AS cluster, rd2 AS d2s FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                      ORDER BY rd2 ASC, cid ASC) AS rn
-        FROM d2f
-    ) WHERE rn = 1
-    """
+    ),
+    a2 AS (
+        SELECT vec_id, cid AS cluster, rd2 AS d2s FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY rd2 ASC, cid ASC) AS rn
+            FROM d2f
+        ) WHERE rn = 1
+    )"""
 
 
-@register("kmeans_embeddings", oracle=_kmeans_oracle())
+@register("kmeans_embeddings", oracle=_kmeans_oracle() + "\n    SELECT vec_id, cluster, d2s FROM a2")
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding corpus (2 iterations,
     deterministic seeds) — the clustering pass of corpus curation /
@@ -498,3 +501,71 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regardless of corpus size; below the cap at every test SF, so
     # the labeling is identical to the uncapped form.
     return kmeans_lloyd(emb, seed_every=25, n_iter=2, max_k=4096)
+
+
+_COS = (
+    "round(list_dot_product(ea.v, eb.v) /"
+    " greatest(sqrt(list_dot_product(ea.v, ea.v))"
+    " * sqrt(list_dot_product(eb.v, eb.v)), 1e-12), 4)"
+)
+
+
+@register(
+    "semdedup",
+    oracle=_kmeans_oracle()
+    + f""",
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM a2 a JOIN a2 b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE {_COS} >= 0.35
+    ),
+    d AS (
+        SELECT id_b AS vec_id, min(id_a) AS dup_of
+        FROM p GROUP BY id_b
+    )
+    SELECT a2.vec_id, a2.cluster, d.dup_of,
+           d.dup_of IS NULL AS kept
+    FROM a2 LEFT JOIN d USING (vec_id)
+    """,
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public
+    arXiv:2303.09540 — cluster first, then prune near-identical
+    embeddings WITHIN clusters): k-means assigns each vector to a
+    cell, cosine pairs are generated only inside a cell, and a
+    vector is pruned when a lower-id cell-mate is >= 0.35 similar
+    (keep-first, deterministic; dup_of = the smallest such id).
+
+    This is the published scale path for embedding dedup: the
+    all-pairs O(n²) collapses to sum-over-cells O(Σ s_i²), with
+    label_blocked_neardup's max_cell salting bounding any skewed
+    cell's task size.  Cluster assignment is kmeans_lloyd's map-only
+    Arrow pass (oracle-exact via integer quantization), so the only
+    corpus shuffles are the embedding⋈assignment id join and the
+    per-cell pair join — both on keys, never cartesian."""
+    from bugzilla_etl_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_lloyd(
+        emb, seed_every=25, n_iter=2, max_k=4096
+    ).select("vec_id", "cluster")
+    t = emb.select("vec_id", "embedding").join(assign, on="vec_id")
+    pairs = SIM.label_blocked_neardup(
+        t, threshold=0.35, label_col="cluster", max_cell=128
+    )
+    dups = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        assign.join(dups, on="vec_id", how="left")
+        .select(
+            "vec_id",
+            "cluster",
+            "dup_of",
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )

@@ -182,11 +182,15 @@ def test_catalog_no_smj_no_cartesian(spark, sf_dir):
     # big-big shape (AQE promotes to broadcast at test SF where the
     # slices measure small).  Cartesian stays forbidden: the join IS
     # keyed on the entity.
+    # semdedup: embeddings ⋈ kmeans assignment on vec_id — both sides
+    # are corpus-sized (the assignment has one row per vector), so
+    # the id-keyed SMJ is the intended shape.
     smj_ok = {
         "dedup_components",
         "bug_version_full",
         "tpch_q8",
         "cc_fuzzy_match",
+        "semdedup",
     }
     offenders = []
     for name, fn in sorted(catalog.QUERIES.items()):
