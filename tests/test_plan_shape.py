@@ -410,15 +410,17 @@ def test_catalog_no_unbounded_broadcast_hints(spark, sf_dir):
     build side that OOMs at 100 TB (the q10/q3/q5/jaccard-sizes
     defect class, all removed in round 6).
 
-    Whitelist: the ANN operators broadcast their QUERY set — bounded
-    by workload semantics (a fixed query batch), not by an aggregate;
-    the every-Nth-vector filter is test synthesis for it."""
+    Whitelist: the ANN operators broadcast their QUERY set and
+    decontam_neardup its EVAL set's bands/shingles — bounded by
+    workload semantics (a fixed query batch / an MB-scale eval
+    closure, the same asymmetry contract as decontam_overlap), not
+    by an aggregate; the every-Nth filters are test synthesis."""
     from bugzilla_etl_spark.plans import catalog
 
     catalog.load_all()
     BOUNDING = ("Aggregate", "Deduplicate", "Distinct", "GlobalLimit",
                 "Window")
-    WORKLOAD_BOUNDED = {"ann_ivf", "ann_ivf_nprobe"}
+    WORKLOAD_BOUNDED = {"ann_ivf", "ann_ivf_nprobe", "decontam_neardup"}
     offenders = []
     for name, fn in sorted(catalog.QUERIES.items()):
         if name in WORKLOAD_BOUNDED:
