@@ -109,6 +109,7 @@ HEADLINE = [
     "cc_fuzzy_match",
     "decontam_neardup",
     "semdedup",
+    "flag_fuzzy_match",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

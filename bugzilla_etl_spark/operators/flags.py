@@ -191,3 +191,89 @@ def flag_states_per_version(
             "|", F.sort_array(F.collect_list("i.dstr"))
         ).alias("flags_deleted"),
     )
+
+
+def flag_tiered_match(
+    current: DataFrame,
+    removals: DataFrame,
+    entity: str = "entity",
+    value: str = "value",
+) -> DataFrame:
+    """findFlag's full three-tier cascade (parse_bug_history.py:626-
+    :650): a flag removal is matched against the entity's current
+    flag list by (1) the parsed key — deformat(type) + status +
+    requestee-or-setter, (2) exact string equality (flags the
+    255-char bugs_activity limit left unparseable), (3) common-
+    prefix equality ``f.value[:min_len] == flag.value[:min_len]``
+    — the truncation workaround itself.  Output: one row per
+    removal with (matched, tier) or tier NULL = unmatched.
+
+    Determinism (deviation, cited like cc_fuzzy_rescue): each
+    reference tier returns the FIRST hit in flag-list order — an
+    ingestion-order artifact no engine reproduces; this operator
+    takes the argmin over (tier, matched value).  All three tiers
+    evaluate in ONE entity-keyed join (candidates bounded by the
+    per-entity flag-list size, the reference's own loop bound) and
+    one window pass; prefix equality is two startswith's — min_len
+    truncation makes "equal prefixes" mean "one is a prefix of the
+    other"."""
+    from bugzilla_etl_spark.operators.normalize import parse_flag
+
+    def keyed(df: DataFrame, out: str) -> DataFrame:
+        # findFlag's tier-1 equality is deformat(type) AND status AND
+        # requestee-or-setter (:629-:636) — status is part of the
+        # match, unlike flag_state_intervals' match_key, which folds
+        # '+'/'-' together by design.  Setter comparison reduces to a
+        # marker (constant within an entity's replay, same reduction
+        # as flag_match_key documents).
+        p = parse_flag(F.col("_raw"))
+        key = F.concat_ws(
+            "/",
+            deformat(p["name"]),
+            p["status"],
+            F.when(
+                p["status"] == "?", F.coalesce(p["requestee"], F.lit(""))
+            ).otherwise(F.lit("*setter*")),
+        )
+        return (
+            df.select(entity, F.col(value).alias("_raw"))
+            .distinct()
+            .select(
+                entity,
+                F.col("_raw").alias(out),
+                F.when(p["status"].isNotNull(), key).alias(f"_key_{out}"),
+            )
+        )
+
+    cur = keyed(current, "_cv")
+    rem = keyed(removals, "removal")
+    key_hit = (
+        F.col("_key_removal").isNotNull()
+        & F.col("_key__cv").isNotNull()
+        & (F.col("_key_removal") == F.col("_key__cv"))
+    )
+    exact_hit = F.col("removal") == F.col("_cv")
+    prefix_hit = F.col("_cv").startswith(F.col("removal")) | F.col(
+        "removal"
+    ).startswith(F.col("_cv"))
+    cand = (
+        rem.join(cur, on=entity)
+        .where(key_hit | exact_hit | prefix_hit)
+        .withColumn(
+            "tier",
+            F.when(key_hit, 1).when(exact_hit, 2).otherwise(3),
+        )
+    )
+    w = Window.partitionBy(entity, "removal").orderBy(
+        F.col("tier").asc(), F.col("_cv").asc()
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(entity, "removal", F.col("_cv").alias("matched"), "tier")
+    )
+    return (
+        rem.select(entity, "removal")
+        .join(best, on=[entity, "removal"], how="left")
+        .select(entity, "removal", "matched", "tier")
+    )

@@ -795,3 +795,126 @@ def cc_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.cc_fuzzy_rescue(
         totals, removes, entity="user_id", value="email"
     )
+
+
+# shared synthesis fragments for flag_fuzzy_match: a deterministic
+# per-user flag list and a removal list exercising every findFlag
+# tier.  status cycles with event_id; every 8th row is an
+# unparseable "raw" flag (the 255-char-chop class).
+_FF_STATUS = "CASE event_id % 3 WHEN 0 THEN '?' WHEN 1 THEN '+' ELSE '-' END"
+_FF_CUR_DUCK = f"""
+    CASE WHEN event_id % 8 = 4
+         THEN event_type || 'raw' || CAST(event_id % 13 AS VARCHAR)
+         ELSE event_type || {_FF_STATUS}
+              || '(u' || CAST(user_id AS VARCHAR) || '@example.com)'
+    END"""
+_FF_CUR_SPARK = (
+    "CASE WHEN event_id % 8 = 4 "
+    "THEN event_type || 'raw' || CAST(event_id % 13 AS STRING) "
+    "ELSE event_type || (CASE event_id % 3 WHEN 0 THEN '?' WHEN 1 THEN '+' "
+    "ELSE '-' END) || '(u' || CAST(user_id AS STRING) || '@example.com)' END"
+)
+
+
+@register(
+    "flag_fuzzy_match",
+    oracle=f"""
+    WITH pool AS (
+      SELECT event_id, user_id, event_type, {_FF_CUR_DUCK} AS v
+      FROM events WHERE event_id % 2 = 0
+    ),
+    cur AS (SELECT DISTINCT user_id, v FROM pool),
+    rem AS (
+      SELECT DISTINCT user_id,
+             CASE event_id % 8
+               WHEN 0 THEN upper(event_type) || {_FF_STATUS}
+                    || '(u' || CAST(user_id AS VARCHAR) || '@example.com)'
+               WHEN 2 THEN substr(v, 1, len(v) - 4)
+               WHEN 4 THEN v
+               ELSE 'zz_' || v
+             END AS removal
+      FROM pool WHERE event_id % 8 IN (0, 2, 4, 6)
+    ),
+    kc AS (
+      SELECT user_id, v,
+             CASE WHEN nullif(regexp_extract(v,
+                    '^(.*)([?+-])(\\([^)]*\\))?$', 2), '') IS NOT NULL
+               THEN lower(regexp_extract(v, '^(.*)([?+-])(\\([^)]*\\))?$', 1))
+                 || '/' || regexp_extract(v, '^(.*)([?+-])(\\([^)]*\\))?$', 2)
+                 || '/' ||
+                 CASE WHEN regexp_extract(v, '^(.*)([?+-])(\\([^)]*\\))?$', 2) = '?'
+                   THEN coalesce(nullif(replace(replace(regexp_extract(v,
+                        '^(.*)([?+-])(\\([^)]*\\))?$', 3), '(', ''), ')', ''), ''), '')
+                   ELSE '*setter*' END
+             END AS k
+      FROM cur
+    ),
+    kr AS (
+      SELECT user_id, removal,
+             CASE WHEN nullif(regexp_extract(removal,
+                    '^(.*)([?+-])(\\([^)]*\\))?$', 2), '') IS NOT NULL
+               THEN lower(regexp_extract(removal, '^(.*)([?+-])(\\([^)]*\\))?$', 1))
+                 || '/' || regexp_extract(removal, '^(.*)([?+-])(\\([^)]*\\))?$', 2)
+                 || '/' ||
+                 CASE WHEN regexp_extract(removal, '^(.*)([?+-])(\\([^)]*\\))?$', 2) = '?'
+                   THEN coalesce(nullif(replace(replace(regexp_extract(removal,
+                        '^(.*)([?+-])(\\([^)]*\\))?$', 3), '(', ''), ')', ''), ''), '')
+                   ELSE '*setter*' END
+             END AS k
+      FROM rem
+    ),
+    cand AS (
+      SELECT r.user_id, r.removal, c.v,
+             CASE WHEN r.k IS NOT NULL AND c.k IS NOT NULL AND r.k = c.k THEN 1
+                  WHEN r.removal = c.v THEN 2
+                  ELSE 3 END AS tier
+      FROM kr r JOIN kc c ON r.user_id = c.user_id
+      WHERE (r.k IS NOT NULL AND c.k IS NOT NULL AND r.k = c.k)
+         OR r.removal = c.v
+         OR starts_with(c.v, r.removal) OR starts_with(r.removal, c.v)
+    ),
+    best AS (
+      SELECT user_id, removal, v AS matched, tier FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, removal
+                      ORDER BY tier ASC, v ASC) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )
+    SELECT r.user_id, r.removal, b.matched, b.tier
+    FROM rem r LEFT JOIN best b
+      ON r.user_id = b.user_id AND r.removal = b.removal
+    """,
+)
+def flag_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """findFlag's full three-tier cascade (parse_bug_history.py:626-
+    :650): removals matched against the current flag list by parsed
+    key (deformat(type) + status + requestee-or-setter), then exact
+    string equality, then the 255-char-truncation common-prefix
+    rule.  The synthesized lists exercise every tier: case-mangled
+    names (tier 1 — deformat absorbs the case), unparseable 'raw'
+    flags removed verbatim (tier 2 — no key, value-equal), values
+    chopped mid-requestee (tier 3 — prefix), and zz_-prefixed
+    garbage (unmatched).  See operators/flags.py flag_tiered_match
+    for the one-join/one-window plan and the argmin determinism
+    deviation."""
+    from bugzilla_etl_spark.operators.flags import flag_tiered_match
+
+    ev = load_table(spark, sf_dir, "events")
+    pool = ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "event_type",
+        F.expr(_FF_CUR_SPARK).alias("v"),
+    )
+    cur = pool.select("user_id", F.col("v").alias("value"))
+    rem = pool.where((F.col("event_id") % 8).isin(0, 2, 4, 6)).select(
+        "user_id",
+        F.expr(
+            "CASE event_id % 8 "
+            "WHEN 0 THEN upper(event_type) || (CASE event_id % 3 WHEN 0 THEN '?' "
+            "WHEN 1 THEN '+' ELSE '-' END) || '(u' || CAST(user_id AS STRING) "
+            "|| '@example.com)' "
+            "WHEN 2 THEN substr(v, 1, length(v) - 4) "
+            "WHEN 4 THEN v "
+            "ELSE 'zz_' || v END"
+        ).alias("value"),
+    )
+    return flag_tiered_match(cur, rem, entity="user_id", value="value")

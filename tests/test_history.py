@@ -318,3 +318,42 @@ def test_build_full_docs_canonicalizes_actor_through_store(
         else:
             assert mb == f"u{uid}@example.com"
     assert 13 in got or len(got) > 0
+
+
+def test_flag_tiered_match_cascade(spark):
+    """findFlag's tier cascade (parse_bug_history.py:626-:650):
+    parsed-key match absorbs case via deformat but REQUIRES status
+    equality; unparseable flags match by exact value; truncated
+    values match by common prefix; garbage stays unmatched."""
+    from bugzilla_etl_spark.operators.flags import flag_tiered_match
+
+    cur = spark.createDataFrame(
+        [
+            (1, "review?(u7@x.org)"),
+            (1, "review-(u7@x.org)"),
+            (1, "chopped_raw_flag_value"),
+        ],
+        "entity int, value string",
+    )
+    rem = spark.createDataFrame(
+        [
+            (1, "REVIEW?(u7@x.org)"),       # tier 1: deformat(name), same status
+            (1, "REVIEW+(u7@x.org)"),       # '+' parses but no '+' current:
+                                            # must NOT key-match the '-' one;
+                                            # falls to tier-3 prefix? no common
+                                            # prefix (case) -> unmatched
+            (1, "chopped_raw_flag_value"),  # tier 2: exact, unparseable
+            (1, "review?(u7@"),             # tier 3: truncated prefix
+            (1, "zz_nothing+(q@q)"),        # unmatched
+        ],
+        "entity int, value string",
+    )
+    got = {
+        r.removal: (r.matched, r.tier)
+        for r in flag_tiered_match(cur, rem).collect()
+    }
+    assert got["REVIEW?(u7@x.org)"] == ("review?(u7@x.org)", 1)
+    assert got["REVIEW+(u7@x.org)"] == (None, None)
+    assert got["chopped_raw_flag_value"] == ("chopped_raw_flag_value", 2)
+    assert got["review?(u7@"] == ("review?(u7@x.org)", 3)
+    assert got["zz_nothing+(q@q)"] == (None, None)

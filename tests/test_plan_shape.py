@@ -185,12 +185,16 @@ def test_catalog_no_smj_no_cartesian(spark, sf_dir):
     # semdedup: embeddings ⋈ kmeans assignment on vec_id — both sides
     # are corpus-sized (the assignment has one row per vector), so
     # the id-keyed SMJ is the intended shape.
+    # flag_fuzzy_match: removals ⋈ current flags on the entity key —
+    # both lists scale with the entity count (same class as
+    # cc_fuzzy_match's lost ⋈ remaining).
     smj_ok = {
         "dedup_components",
         "bug_version_full",
         "tpch_q8",
         "cc_fuzzy_match",
         "semdedup",
+        "flag_fuzzy_match",
     }
     offenders = []
     for name, fn in sorted(catalog.QUERIES.items()):
