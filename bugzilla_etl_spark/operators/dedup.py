@@ -369,6 +369,23 @@ def minhash_signatures_agg(
     return t.mapInPandas(fold, schema=schema)
 
 
+def _band_array(n: int = N_MINHASH, n_bands: int = N_BANDS) -> Column:
+    """LSH band keys over the s0..s{n-1} signature columns: n_bands
+    comma-joined groups of n//n_bands slots — ONE definition shared
+    by the self-join and cross-corpus paths so banding can never
+    desynchronize between them."""
+    rows = n // n_bands
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[F.col(f"s{b * rows + j}").cast("string") for j in range(rows)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -383,20 +400,9 @@ def minhash_lsh_pairs(
     shingles -> Jaccard filter.  Data-sized shuffles: the signature
     agg, the band join (docs x N_BANDS rows), and the candidate
     rejoin — all linear in corpus size."""
-    t = _shingled(docs, text_col, id_col)
     sig_df = minhash_signatures_agg(docs, N_MINHASH, text_col, id_col)
-    rows = N_MINHASH // N_BANDS
-    bands = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[F.col(f"s{b * rows + j}").cast("string") for j in range(rows)],
-            )
-            for b in range(N_BANDS)
-        ]
-    )
     exploded = sig_df.select(
-        "doc_id", F.posexplode(bands).alias("band_id", "band_key")
+        "doc_id", F.posexplode(_band_array()).alias("band_id", "band_key")
     )
     a = exploded.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"
@@ -770,22 +776,12 @@ def minhash_cross_pairs(
     exchange is the distinct on the (already tiny) candidate set.
     Same banding (16 hashes, 4 bands) and the same verified-Jaccard
     contract as minhash_lsh_pairs."""
-    rows = N_MINHASH // N_BANDS
-    bands = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[F.col(f"s{b * rows + j}").cast("string") for j in range(rows)],
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-
     def banded(df: DataFrame, out_id: str) -> DataFrame:
+        # helpers emit the id as 'doc_id' whatever id_col was
         sig = minhash_signatures_agg(df, N_MINHASH, text_col, id_col)
         return sig.select(
-            F.col(id_col).alias(out_id),
-            F.posexplode(bands).alias("band_id", "band_key"),
+            F.col("doc_id").alias(out_id),
+            F.posexplode(_band_array()).alias("band_id", "band_key"),
         )
 
     cand = (
@@ -794,11 +790,20 @@ def minhash_cross_pairs(
         .select("doc_id", "eval_id")
         .distinct()
     )
-    sh_c = _hashed_shingled(corpus, text_col, id_col).select(
-        F.col(id_col).alias("doc_id"), F.col("shh").alias("sh_a")
+    # verify ONLY the band-collision hits: semi-join the corpus down
+    # to candidate ids before re-shingling (shingling the whole
+    # corpus a second time would double the corpus-wide text work
+    # the signature pass already paid)
+    hits = corpus.join(
+        cand.select(F.col("doc_id").alias(id_col)).distinct(),
+        on=id_col,
+        how="left_semi",
+    )
+    sh_c = _hashed_shingled(hits, text_col, id_col).select(
+        "doc_id", F.col("shh").alias("sh_a")
     )
     sh_e = _hashed_shingled(evals, text_col, id_col).select(
-        F.col(id_col).alias("eval_id"), F.col("shh").alias("sh_b")
+        F.col("doc_id").alias("eval_id"), F.col("shh").alias("sh_b")
     )
     return (
         cand.join(sh_c, on="doc_id")

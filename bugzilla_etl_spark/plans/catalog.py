@@ -49,21 +49,21 @@ _loaded = False
 # the entries pushed past #50 are all twice-green in the driver's
 # CORRECTNESS_r01/r02 records AND covered by tools/verify_local.py.
 #
-# Rotation arithmetic from round 6 on: the catalog (109) exceeds
+# Rotation arithmetic from round 6 on: the catalog (113) exceeds
 # TWICE the 50-row cap, so "every query's newest driver row <= 1
-# round old" is no longer attainable — the full cycle is ceil(109/50)
+# round old" is no longer attainable — the full cycle is ceil(113/50)
 # = 3 windows, i.e. some green queries' newest driver row is 2
 # rounds old at any instant.  Rotation policy: (1) never-driver-
 # tested queries lead the next window, (2) then the oldest-rowed
 # greens, oldest first; (3) the local gate (tools/verify_local.py,
 # driver-strict canonicalizer, committed as LOCAL_GATE_rN.json)
 # covers ALL queries every round regardless of window position.
-# r7 window plan: the 17 round-6 additions with no driver row yet
+# r7 window plan: the 20 round-6 additions with no driver row yet
 # (tpch_q7/q14/q15/q17, canonical_fields, the late TPC-H batch
 # q4/q8/q12/q13/q16/q19/q21/q22, heavy_hitters_ngrams,
-# stream_heavy_hitters, cc_fuzzy_match) + 33 of the 45 r5-rowed
-# _DEPRIORITY entries; r8 takes the remaining 12 plus the 42
-# r6-rowed refreshes.
+# stream_heavy_hitters, cc_fuzzy_match, decontam_neardup, semdedup,
+# flag_fuzzy_match) + 30 of the 45 r5-rowed _DEPRIORITY entries;
+# r8 takes the remaining 15 plus the 42 r6-rowed refreshes.
 _PRIORITY = (
     # round-6: never driver-tested (new this round)
     "trunc_uncertain",

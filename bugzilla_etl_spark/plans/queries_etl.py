@@ -833,7 +833,7 @@ _FF_CUR_SPARK = (
                WHEN 4 THEN v
                ELSE 'zz_' || v
              END AS removal
-      FROM pool WHERE event_id % 8 IN (0, 2, 4, 6)
+      FROM pool
     ),
     kc AS (
       SELECT user_id, v,
@@ -905,7 +905,9 @@ def flag_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_FF_CUR_SPARK).alias("v"),
     )
     cur = pool.select("user_id", F.col("v").alias("value"))
-    rem = pool.where((F.col("event_id") % 8).isin(0, 2, 4, 6)).select(
+    # pool is even-id only, so event_id % 8 ∈ {0,2,4,6}: every
+    # pool row yields exactly one removal
+    rem = pool.select(
         "user_id",
         F.expr(
             "CASE event_id % 8 "
