@@ -394,3 +394,26 @@ def cc_fuzzy_rescue(
             )
         )
     )
+
+
+def derived_alias_mapping(ev: DataFrame, entity: str = "user_id") -> DataFrame:
+    """The catalog's synthetic odd-actor alias rule, defined ONCE:
+    every odd entity's mail 'u<id>@example.com' is an old address of
+    'u<id-1>@example.com' (mirrored by the `amap` CTEs in the
+    canonical_fields and bug_version_full oracles — change all in
+    lockstep).  Dim-sized by construction: one row per odd entity."""
+    return (
+        ev.select(entity)
+        .where(F.col(entity) % 2 == 1)
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("u"), F.col(entity).cast("string"),
+                F.lit("@example.com"),
+            ).alias("alias"),
+            F.concat(
+                F.lit("u"), (F.col(entity) - 1).cast("string"),
+                F.lit("@example.com"),
+            ).alias("canonical"),
+        )
+    )

@@ -115,6 +115,11 @@ def scrub_truncated(
     pass through verbatim — a literal ``"?"`` in, say, a status field
     is a real value, so the gate column matters.
 
+    A NULL field is not a TRUNC field (the reference's ``field_name
+    in TRUNC_FIELDS`` is False for None) — the gate coalesces NULL
+    to False so such rows pass through verbatim instead of falling
+    into the scrub branches on three-valued logic.
+
     Pure column expressions (zero shuffle, whole-stage codegen); the
     entity-level "mark the past uncertain" step — the reference
     injects a synthetic ``uncertain`` activity at the FIRST uncertain
@@ -123,7 +128,7 @@ def scrub_truncated(
     ``uncertain='1'`` — is a per-entity max-ts window the caller
     composes on top (see the ``trunc_uncertain`` catalog query).
     """
-    gate = F.col(field).isin(*trunc_fields)
+    gate = F.coalesce(F.col(field).isin(*trunc_fields), F.lit(False))
 
     def _clean(c: Column) -> Column:
         return (

@@ -655,19 +655,7 @@ def canonical_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CANON_FLD_S).alias("field"),
         F.expr(_CANON_VAL_S).alias("value_raw"),
     )
-    mapping = (
-        ev.select("user_id")
-        .where(F.col("user_id") % 2 == 1)
-        .distinct()
-        .select(
-            F.expr(
-                "concat('u', CAST(user_id AS STRING), '@example.com')"
-            ).alias("alias"),
-            F.expr(
-                "concat('u', CAST(user_id - 1 AS STRING), '@example.com')"
-            ).alias("canonical"),
-        )
-    )
+    mapping = A.derived_alias_mapping(ev)
     return N.canonicalize_fields(act, mapping).select(
         "event_id", "user_id", "field", "value_raw",
         "value_ms", "value_num", "value_canon",

@@ -784,19 +784,7 @@ def build_full_docs(
         att, ["user_id", "version_ts"], "left"
     )
     if alias_mapping is None:
-        alias_mapping = (
-            ev.select("user_id")
-            .where(F.col("user_id") % 2 == 1)
-            .distinct()
-            .select(
-                F.expr(
-                    "concat('u', CAST(user_id AS STRING), '@example.com')"
-                ).alias("alias"),
-                F.expr(
-                    "concat('u', CAST(user_id - 1 AS STRING), '@example.com')"
-                ).alias("canonical"),
-            )
-        )
+        alias_mapping = AL.derived_alias_mapping(ev)
     docs = docs.withColumn(
         "modified_by",
         F.concat(F.lit("u"), F.col("user_id").cast("string"),

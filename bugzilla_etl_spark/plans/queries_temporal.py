@@ -365,11 +365,11 @@ _TRUNC_ADD_D, _TRUNC_REM_D = _trunc_cases("VARCHAR")
     ),
     scrub AS (
         SELECT user_id, event_id, tsl, field,
-               CASE WHEN field NOT IN ('click', 'view') THEN added_raw
+               CASE WHEN field IS NULL OR field NOT IN ('click', 'view') THEN added_raw
                     WHEN added_raw IN ('?', '? ?') THEN NULL
                     WHEN added_raw LIKE '? %' THEN substring(added_raw, 3)
                     ELSE added_raw END AS added,
-               CASE WHEN field NOT IN ('click', 'view') THEN removed_raw
+               CASE WHEN field IS NULL OR field NOT IN ('click', 'view') THEN removed_raw
                     WHEN removed_raw IN ('?', '? ?') THEN NULL
                     WHEN removed_raw LIKE '? %' THEN substring(removed_raw, 3)
                     ELSE removed_raw END AS removed,

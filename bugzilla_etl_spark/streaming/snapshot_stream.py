@@ -159,6 +159,9 @@ def restore_orphaned_buckets(state_dir: str) -> None:
     at the top of every batch (and may be called at startup): any
     ``.old_*`` dir whose bucket is missing is renamed back; any whose
     bucket exists is a completed swap's leftover and is removed.
+    ``.del_*`` dirs (a bucket intentionally emptied by swap_buckets
+    whose rmtree died) are re-removed, never restored — renaming one
+    back would resurrect documents a delete-style rebuild removed.
     Stale ``.swap_*`` staging dirs from crashed batches are also
     garbage-collected — they are dot-invisible to readers but would
     otherwise leak disk forever (the replaying batch rewrites its
@@ -179,7 +182,9 @@ def restore_orphaned_buckets(state_dir: str) -> None:
                 shutil.rmtree(retired, ignore_errors=True)
             else:
                 os.rename(retired, dst)
-        elif re.fullmatch(r"\.swap_\d+", name):
+        elif re.fullmatch(r"\.swap_\d+", name) or re.fullmatch(
+            r"\.del_\d+_\d+", name
+        ):
             shutil.rmtree(f"{state_dir}/{name}", ignore_errors=True)
 
 
@@ -196,9 +201,15 @@ def swap_buckets(
     writer emitted zero rows for it — its new state is EMPTY, so the
     old dir is retired and removed rather than skipped (skipping
     would leave stale docs in place for delete-style build_fns).
-    Crash-safe the same way: if the process dies after the retire
-    rename, the next batch restores the orphan and the checkpoint
-    replays the batch, which recomputes the same empty bucket."""
+    The empty-state retirement uses the ``.del_`` prefix, NOT
+    ``.old_``: a ``.old_`` orphan means "bucket content stranded
+    mid-swap, restore it", but restoring an intentionally-emptied
+    bucket would permanently resurrect the deleted docs if the
+    post-retire rmtree fails (NFS EBUSY, permissions) — a ``.del_``
+    orphan is instead re-removed by the recovery sweep.  Crash-safe
+    either way: if the process dies after the retire rename, the
+    checkpoint replays the batch, which recomputes the same empty
+    bucket against the already-empty state."""
     import os
     import shutil
 
@@ -207,8 +218,9 @@ def swap_buckets(
         retired = f"{state_dir}/.old_{batch_id}_{b}"
         if not os.path.isdir(src):
             if os.path.isdir(dst):
-                os.rename(dst, retired)
-                shutil.rmtree(retired, ignore_errors=True)
+                deleted = f"{state_dir}/.del_{batch_id}_{b}"
+                os.rename(dst, deleted)
+                shutil.rmtree(deleted, ignore_errors=True)
             continue
         if os.path.isdir(dst):
             os.rename(dst, retired)

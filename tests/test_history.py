@@ -298,7 +298,13 @@ def test_build_full_docs_canonicalizes_actor_through_store(
     from bugzilla_etl_spark.sinks import alias_store as S
     from bugzilla_etl_spark.sources import load_table
 
-    ev = load_table(spark, sf_dir, "events").limit(200)
+    # take the aliased user's events explicitly plus a control slice,
+    # so the mapped row is GUARANTEED present (an arbitrary limit()
+    # could miss user 13 and degenerate the test to its control arm)
+    all_ev = load_table(spark, sf_dir, "events")
+    ev = all_ev.where(F.col("user_id") == 13).limit(50).unionByName(
+        all_ev.where(F.col("user_id") != 13).limit(150)
+    )
     mapping = spark.createDataFrame(
         [("u13@example.com", "canonical@example.com")],
         "alias string, canonical string",
@@ -312,12 +318,12 @@ def test_build_full_docs_canonicalizes_actor_through_store(
         r.user_id: r.modified_by
         for r in docs.select("user_id", "modified_by").distinct().collect()
     }
+    assert 13 in got and len(got) > 1
     for uid, mb in got.items():
         if uid == 13:
             assert mb == "canonical@example.com"
         else:
             assert mb == f"u{uid}@example.com"
-    assert 13 in got or len(got) > 0
 
 
 def test_flag_tiered_match_cascade(spark):
@@ -357,3 +363,23 @@ def test_flag_tiered_match_cascade(spark):
     assert got["chopped_raw_flag_value"] == ("chopped_raw_flag_value", 2)
     assert got["review?(u7@"] == ("review?(u7@x.org)", 3)
     assert got["zz_nothing+(q@q)"] == (None, None)
+
+
+def test_scrub_truncated_null_field_passes_through(spark):
+    """A NULL field is NOT a TRUNC field (the reference's membership
+    test is False for None): its '?'-looking values must pass
+    through verbatim, un-flagged — not be scrubbed on three-valued
+    logic."""
+    from bugzilla_etl_spark.operators.normalize import scrub_truncated
+
+    df = spark.createDataFrame(
+        [(None, "?", "? x"), ("cc", "?", "? x")],
+        "field string, added string, removed string",
+    )
+    rows = {r.field: r for r in scrub_truncated(df).collect()}
+    nul = rows[None]
+    assert (nul.added, nul.removed) == ("?", "? x")
+    assert nul.uncertain is False and nul.skip_update is False
+    cc = rows["cc"]
+    assert (cc.added, cc.removed) == (None, "x")
+    assert cc.uncertain is True and cc.skip_update is False

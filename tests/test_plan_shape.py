@@ -422,8 +422,9 @@ def test_catalog_no_unbounded_broadcast_hints(spark, sf_dir):
     from bugzilla_etl_spark.plans import catalog
 
     catalog.load_all()
-    BOUNDING = ("Aggregate", "Deduplicate", "Distinct", "GlobalLimit",
-                "Window")
+    # 'Distinct' is NOT in this list on purpose: analyzed plans print
+    # distinct() as 'Deduplicate'.
+    BOUNDING = ("Aggregate", "Deduplicate", "GlobalLimit", "Window")
     WORKLOAD_BOUNDED = {"ann_ivf", "ann_ivf_nprobe", "decontam_neardup"}
     offenders = []
     for name, fn in sorted(catalog.QUERIES.items()):
@@ -433,12 +434,30 @@ def test_catalog_no_unbounded_broadcast_hints(spark, sf_dir):
             fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
         )
         for sub in _hinted_subtrees(analyzed):
-            txt = "\n".join(sub)
-            if any(b in txt for b in BOUNDING):
-                continue
-            if "n_nationkey#" in txt or "r_regionkey#" in txt:
-                continue
-            offenders.append((name, sub[0].strip()[:80] if sub else ""))
+            # The bounding node must come BEFORE every scanned
+            # relation in the printed subtree (parents/left-siblings
+            # print first): a Relation appearing before the first
+            # bounding node is NOT below it — e.g. the fact side of
+            # broadcast(fact ⋈ small_agg) — and substring membership
+            # over the whole subtree would green-light exactly the
+            # forced-fact-build defect this test exists to prevent.
+            first_bound = next(
+                (
+                    i
+                    for i, l in enumerate(sub)
+                    if any(b in l for b in BOUNDING)
+                ),
+                len(sub),
+            )
+            bad = [
+                l
+                for l in sub[:first_bound]
+                if "Relation" in l
+                and "n_nationkey#" not in l
+                and "r_regionkey#" not in l
+            ]
+            if bad:
+                offenders.append((name, bad[0].strip()[:80]))
     assert not offenders, offenders
 
 

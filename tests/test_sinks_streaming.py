@@ -582,3 +582,30 @@ def test_swap_buckets_empty_touched_bucket_removes_stale(tmp_path):
     assert (state / "bucket=7" / "part-0.parquet").read_bytes() == b"keep"
     assert not any(p.name.startswith(".old_") for p in state.iterdir())
     assert not staging.exists()
+
+
+def test_recovery_never_resurrects_intentionally_emptied_bucket(tmp_path):
+    """The empty-state retirement marker (.del_) must be RE-REMOVED
+    by the recovery sweep, never restored: if the post-retire rmtree
+    died (NFS EBUSY), renaming the orphan back would permanently
+    resurrect documents a delete-style rebuild removed.  A stranded
+    mid-swap .old_ orphan must still be restored."""
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        restore_orphaned_buckets,
+    )
+
+    state = tmp_path / "state"
+    # simulate: swap_buckets retired bucket=3 as intentionally empty
+    # but its rmtree failed, leaving the .del_ orphan behind
+    (state / ".del_4_3").mkdir(parents=True)
+    (state / ".del_4_3" / "part-0.parquet").write_bytes(b"deleted")
+    # and a genuine mid-swap crash stranded bucket=9's content
+    (state / ".old_4_9").mkdir()
+    (state / ".old_4_9" / "part-0.parquet").write_bytes(b"stranded")
+
+    restore_orphaned_buckets(str(state))
+
+    assert not (state / "bucket=3").exists()      # stays deleted
+    assert not (state / ".del_4_3").exists()      # orphan reclaimed
+    assert (state / "bucket=9" / "part-0.parquet").read_bytes() == b"stranded"
+    assert not (state / ".old_4_9").exists()
