@@ -188,6 +188,12 @@ def test_catalog_no_smj_no_cartesian(spark, sf_dir):
     # flag_fuzzy_match: removals ⋈ current flags on the entity key —
     # both lists scale with the entity count (same class as
     # cc_fuzzy_match's lost ⋈ remaining).
+    # decontam_neardup: the corpus ⋈ candidate-ids semi join (the
+    # verify-only-hits reduction) pairs the full corpus with a
+    # COMPUTED id set whose size the static planner cannot know —
+    # SMJ on the id is the safe static shape; AQE promotes to
+    # broadcast at runtime when the candidate set measures small
+    # (it is band-collision-bounded, but only at runtime).
     smj_ok = {
         "dedup_components",
         "bug_version_full",
@@ -195,6 +201,7 @@ def test_catalog_no_smj_no_cartesian(spark, sf_dir):
         "cc_fuzzy_match",
         "semdedup",
         "flag_fuzzy_match",
+        "decontam_neardup",
     }
     offenders = []
     for name, fn in sorted(catalog.QUERIES.items()):
