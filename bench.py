@@ -110,6 +110,12 @@ HEADLINE = [
     "decontam_neardup",
     "semdedup",
     "flag_fuzzy_match",
+    # round-6 cont.: the partsupp four (derived relation completes
+    # the 22/22 TPC-H shape coverage)
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q20",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

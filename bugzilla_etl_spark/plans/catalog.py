@@ -66,6 +66,11 @@ _loaded = False
 # r8 takes the remaining 15 plus the 42 r6-rowed refreshes.
 _PRIORITY = (
     # round-6: never driver-tested (new this round)
+    # -- the partsupp four (derived relation; 22/22 TPC-H shapes)
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q20",
     "trunc_uncertain",
     # round-6: behavior-touching code changes — must re-test
     # (q10 broadcast-hint removal; alias canonicalization composed

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from bugzilla_etl_spark.plans.catalog import register
 from bugzilla_etl_spark.sources import load_table
+from bugzilla_etl_spark.sources.derived import PARTSUPP_CTE, partsupp
 
 # Wall-clock cutoffs: orders/lineitem timestamps are parquet ms-precision,
 # which Spark 4 reads as TIMESTAMP_NTZ — compare against NTZ literals
@@ -1205,4 +1206,311 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_type",
             "p_size",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# The partsupp four (q2/q9/q11/q20) — the last TPC-H shapes, reachable
+# once sources/derived.py synthesizes partsupp identically on both
+# engines.  partsupp is FACT-class (4x|part| — ~0.8 B rows at SF 1000),
+# so it carries no broadcast hint anywhere below.
+
+
+@register(
+    "tpch_q2",
+    oracle=f"""
+    WITH {PARTSUPP_CTE},
+    eligible AS (
+      SELECT s_acctbal, s_name, n_name, ps_partkey, p_brand,
+             ps_supplycost,
+             min(ps_supplycost) OVER (PARTITION BY ps_partkey)
+                 AS min_cost
+      FROM partsupp
+      JOIN part     ON p_partkey = ps_partkey
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE p_size <= 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_brand,
+           ps_supplycost AS supply_cost
+    FROM eligible
+    WHERE ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2's correlated-min subquery —
+    cheapest EUROPE supplier per qualifying part; p_size <= 15
+    stands in for the spec's size equality so every test SF keeps a
+    non-degenerate result, p_brand for the absent p_mfgr).
+
+    The correlated subquery decorrelates to ONE window min over the
+    already-joined eligible rows — the min is per ps_partkey, so the
+    window REUSES the part-join's key and adds no exchange beyond
+    the partkey shuffle the join already pays.  partsupp/part/
+    supplier are unhinted (all scale with SF); only the constant
+    nation/region dims carry hints.  The final ORDER + LIMIT 100 is
+    a TakeOrderedAndProject — no global sort of the eligible set."""
+    ps = partsupp(spark, sf_dir)
+    pa = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    re = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    eligible = (
+        ps.join(pa, ps.ps_partkey == pa.p_partkey)
+        .join(su, ps.ps_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eligible.withColumn(
+            "_min_cost", F.min("ps_supplycost").over(w)
+        )
+        .where(F.col("ps_supplycost") == F.col("_min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            F.col("ps_supplycost").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "n_name",
+            "s_name",
+            "p_partkey",
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9",
+    oracle=f"""
+    WITH {PARTSUPP_CTE}
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - ps_supplycost * l_quantity), 4) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit measure (TPC-H Q9: the 6-way snowflake —
+    profit = revenue minus supply cost, by supplier nation and order
+    year, over '%red%' parts).
+
+    Join order puts the most selective reduction first: lineitem ⋈
+    filtered part (13% of parts) shrinks the fact stream before the
+    composite-key partsupp join; orders joins at order grain for the
+    year only.  lineitem⋈partsupp and lineitem⋈orders are big-big at
+    100-TB TPC-H — shuffle joins on their keys are the intended
+    shape (AQE promotes partsupp/part/supplier to broadcast at test
+    SF from measured sizes; no explicit hints, only the 25-row
+    nation dim is hinted)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    pa = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    ps = partsupp(spark, sf_dir)
+    su = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey)
+            & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle=f"""
+    WITH {PARTSUPP_CTE},
+    natps AS (
+      SELECT ps_partkey, ps_supplycost * ps_availqty AS value
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+    ),
+    tot AS (
+      SELECT sum(value) AS total,
+             count(DISTINCT ps_partkey) AS nparts
+      FROM natps
+    )
+    SELECT ps_partkey, round(sum(value), 4) AS part_value
+    FROM natps, tot
+    GROUP BY ps_partkey, total, nparts
+    HAVING sum(value) > 2.0 * total / nparts
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11's scalar-subquery
+    HAVING: parts whose national inventory value exceeds a
+    threshold).  The spec's fixed FRACTION is 0.0001/SF — scaled by
+    hand per run; here the threshold is 2x the MEAN per-part value
+    (total/nparts from the same scalar subquery), which keeps the
+    selectivity character stable at every SF without a per-SF
+    constant.
+
+    Shape: one partkey-grouped aggregation over the nation-filtered
+    partsupp slice, then the 1-row totals crossJoined in (broadcast
+    nested loop over one row — the catalog's scalar pattern) and the
+    HAVING applied as a filter.  The nation filter reaches partsupp
+    THROUGH the supplier join (a fixed 1/|nation| of suppliers —
+    scales with SF, unhinted)."""
+    ps = partsupp(spark, sf_dir)
+    su = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7"
+    ).select("n_nationkey")
+    natps = (
+        ps.join(su, ps.ps_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"),
+        )
+    )
+    tot = natps.agg(
+        F.sum("value").alias("_total"),
+        F.countDistinct("ps_partkey").alias("_nparts"),
+    )
+    return (
+        natps.groupBy("ps_partkey")
+        .agg(F.sum("value").alias("_value"))
+        .crossJoin(F.broadcast(tot))
+        .where(
+            F.col("_value") > 2.0 * F.col("_total") / F.col("_nparts")
+        )
+        .select(
+            "ps_partkey", F.round("_value", 4).alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle=f"""
+    WITH {PARTSUPP_CTE},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{D_1996_01_01}'
+        AND l_shipdate <  TIMESTAMP '{D_1997_01_01}'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    qualifying AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+      JOIN part    ON p_partkey = ps_partkey AND p_name LIKE 'red%'
+      JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE ps_availqty > 0.5 * qty
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN qualifying ON ps_suppkey = s_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential-part-promotion (TPC-H Q20's nested semi-join chain:
+    EUROPE suppliers holding excess stock — availqty above half of
+    what they shipped in 1996 — of some 'red...' part).
+
+    The two nested IN-subqueries flatten into a join chain that
+    reduces BEFORE touching supplier: lineitem aggregates to
+    (partkey, suppkey, qty) behind its pushed 1996 shipdate filter,
+    partsupp semi-reduces through the red-part join, and the
+    excess-stock comparison is an inner join on the composite key
+    (spec semantics: a pair with NO 1996 shipments compares NULL and
+    drops).  The final DISTINCT suppkey set is dim-sized, so the
+    supplier join broadcasts by AQE measurement — unhinted, since
+    qualifying suppliers scale with SF."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ntz(D_1996_01_01))
+        & (F.col("l_shipdate") < _ntz(D_1997_01_01))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("_qty")
+    )
+    pa = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    ps = partsupp(spark, sf_dir)
+    qualifying = (
+        ps.join(pa, ps.ps_partkey == pa.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    re = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    return (
+        su.join(qualifying, su.s_suppkey == F.col("ps_suppkey"))
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )

