@@ -116,6 +116,14 @@ HEADLINE = [
     "tpch_q9",
     "tpch_q11",
     "tpch_q20",
+    # round-6 cont.: LLM-pipeline additions (stratified splits,
+    # DSIR importance weights, perplexity filter, embedding
+    # outliers, BPE pair scan)
+    "stratified_split",
+    "dsir_weights",
+    "char_lm_perplexity",
+    "embedding_outliers",
+    "bpe_pair_counts",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

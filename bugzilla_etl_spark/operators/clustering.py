@@ -140,3 +140,108 @@ def kmeans_lloyd(
             )
 
     return t.mapInPandas(label, schema="vec_id long, cluster long, d2s long")
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    z_cut: float = 2.0,
+) -> DataFrame:
+    """Centroid-distance outlier flagging per label group — the
+    embedding-space quality filter (mislabeled / off-manifold vectors
+    sit far from their group centroid; z-score > ``z_cut`` flags
+    them).
+
+    Exactness contract (same family as kmeans_lloyd): vectors
+    quantize to the 1e-4 grid, per-label centroids are EXACT integer
+    (n, per-dim sum) models, and each vector's distance is computed
+    from the exact integer numerator  Σ_d (iv_d·n − s_d)²  — so
+    ``dist`` is bit-identical on any engine (sqrt and the final
+    division are single correctly-rounded IEEE ops).  Only the
+    mean/std fold over distances is float, absorbed by the rounded
+    z.  Integer bound: |iv|·n ≲ 3e4·n must stay under 3e9 (n ≤ 1e5
+    rows per label) for the squared sum of 64 dims to fit int64 —
+    document-scale embedding groups beyond that need a second
+    quantization stage.
+
+    Scale shape: one map-only Arrow pass emits ≤ |labels| partial-sum
+    rows per batch (the bounded model fold — no per-dim explode, no
+    corpus shuffle), one map-only scoring pass against the broadcast
+    model, then a |labels|-row stats dim joined back broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    t = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * SCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("iv"),
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for lbl, grp in pdf.groupby("lbl"):
+                V = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in grp["iv"]]
+                )
+                yield pd.DataFrame(
+                    {
+                        "lbl": [int(lbl)],
+                        "n": [int(V.shape[0])],
+                        "s": [V.sum(axis=0)],
+                    }
+                )
+
+    parts = t.mapInPandas(
+        partials, schema="lbl long, n long, s array<long>"
+    ).collect()  # bounded: <= |labels| rows per Arrow batch
+    model: dict[int, tuple] = {}
+    for r in parts:
+        n0, s0 = model.get(r.lbl, (0, None))
+        s = np.asarray(r.s, dtype=np.int64)
+        model[r.lbl] = (n0 + r.n, s if s0 is None else s0 + s)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids, lbls, dists = [], [], []
+            for vid, lbl, iv in zip(pdf["vid"], pdf["lbl"], pdf["iv"]):
+                n, s = model[lbl]
+                d = np.asarray(iv, dtype=np.int64) * n - s
+                num = int((d * d).sum())
+                vids.append(vid)
+                lbls.append(lbl)
+                dists.append(float(np.sqrt(num)) / (n * float(SCALE)))
+            yield pd.DataFrame(
+                {"vec_id": pd.Series(vids, dtype="int64"),
+                 "label": pd.Series(lbls, dtype="int64"),
+                 "dist": pd.Series(dists, dtype="float64")}
+            )
+
+    scored = t.mapInPandas(
+        score, schema="vec_id long, label long, dist double"
+    )
+    stats = scored.groupBy("label").agg(
+        F.avg("dist").alias("_m"),
+        F.stddev_samp("dist").alias("_sd"),
+    )
+    z = F.round((F.col("dist") - F.col("_m")) / F.col("_sd"), 4)
+    return (
+        scored.join(F.broadcast(stats), on="label")
+        .select(
+            "vec_id",
+            "label",
+            F.round("dist", 6).alias("dist"),
+            z.alias("z"),
+            F.when(z > z_cut, 1).otherwise(0).alias("is_outlier"),
+        )
+    )

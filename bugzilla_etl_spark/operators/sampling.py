@@ -166,3 +166,118 @@ def mix_weights(
         F.round(target, 6).alias("target"),
         F.round(target / natural, 4).alias("repeat_factor"),
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    cuts: tuple[tuple[str, int], ...] = (("train", 8), ("val", 1), ("test", 1)),
+    salt: str = "sp:",
+) -> DataFrame:
+    """Deterministic stratified train/val/test split: within each
+    stratum, rows rank by the portable hash of ``key`` and the split
+    boundaries are EXACT integer cuts of the stratum size (``cuts``
+    are integer weights, e.g. 8/1/1 = 80/10/10) — so every stratum
+    lands within one row of its target proportion, unlike
+    independent-coin-flip splits whose small strata can end up with
+    an empty val set.
+
+    Determinism contract (the property training pipelines need): a
+    row's (hash, key) sort position — hence usually its split — is
+    stable under corpus growth, and re-running at any scale is
+    byte-identical.  One shuffle (window on ``strata``); the stratum
+    size rides the same window as a count(*) — no second pass, no
+    join.  Output: input columns + ``split``.
+    """
+    total = sum(w for _, w in cuts)
+    w = Window.partitionBy(strata).orderBy(
+        _keyed(key, salt).asc(), F.col(key).asc()
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(strata))
+    rk = F.row_number().over(w)
+    # integer cut points: cum_w/total of n, floor — identical
+    # arithmetic on the SQL side ((n * cum) // total)
+    expr = None
+    cum = 0
+    for name, weight in cuts[:-1]:
+        cum += weight
+        cond = rk <= ((n * cum - (n * cum) % total) / total).cast("long")
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(cuts[-1][0]) if expr is None else expr.otherwise(cuts[-1][0])
+    )
+    return df.select("*", expr.alias("split"))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    key: str,
+    text: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "f:",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    featurize every document into hashed token-unigram+bigram buckets,
+    fit two smoothed bucket distributions — the TARGET domain's and
+    the RAW corpus's — and weight each raw document by its
+    log-likelihood ratio  Σ_grams [ln p_target(b) − ln p_raw(b)].
+    High weight = looks like the target domain; downstream sampling
+    keeps raw docs with probability ∝ exp(weight).
+
+    Scale shape: the two distributions are BOUNDED models
+    (``n_buckets`` rows each — here 1024), built by one map-side-
+    combined aggregation per side and collected to the driver like
+    IVF centroids; scoring is then a SINGLE map-only pass — the
+    per-doc gram stream folds against the broadcast log-ratio array
+    via aggregate(), zero fact shuffles, no explode of the 100 TB
+    corpus.  Output: ``key``, n_grams, weight (log-LR, rounded 4).
+    """
+    from bugzilla_etl_spark.operators.text import ngrams, tokens
+
+    def grams(col):
+        tk = tokens(col)
+        return F.concat(tk, ngrams(tk, 2))
+
+    bucket = lambda g: hash64(F.concat(F.lit(salt), g)) % n_buckets  # noqa: E731
+
+    def bucket_counts(frame) -> list:
+        counts = (
+            frame.select(
+                F.explode(grams(F.col(text))).alias("g")
+            )
+            .select(bucket(F.col("g")).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        arr = [0] * n_buckets
+        for r in counts:
+            arr[r["b"]] = r["c"]
+        return arr
+
+    import math
+
+    t_counts = bucket_counts(target)
+    r_counts = bucket_counts(df)
+    t_total = sum(t_counts) + n_buckets
+    r_total = sum(r_counts) + n_buckets
+    log_ratio = [
+        math.log((t_counts[b] + 1) / t_total)
+        - math.log((r_counts[b] + 1) / r_total)
+        for b in range(n_buckets)
+    ]
+    ratio_arr = F.array(*[F.lit(v) for v in log_ratio])
+    g = grams(F.col(text))
+    weight = F.aggregate(
+        F.transform(g, lambda x: F.element_at(ratio_arr, (bucket(x) + 1).cast("int"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return df.select(
+        key,
+        F.size(g).cast("long").alias("n_grams"),
+        F.round(weight, 4).alias("weight"),
+    )

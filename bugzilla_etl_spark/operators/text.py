@@ -314,3 +314,103 @@ def winnow_pairs(
             ).alias("containment"),
         )
     )
+
+
+def char_bigram_lm(
+    ref, text_col: str = "text"
+) -> tuple[dict, dict, int]:
+    """Fit a Laplace-smoothed character-bigram language model on a
+    reference corpus (the CCNet recipe's KenLM role, scaled down to
+    an in-engine model): returns (bigram_counts, context_counts, V)
+    where V = |distinct chars participating in any reference bigram|.
+
+    The MODEL is bounded (≤ V² bigrams — a few thousand entries for
+    natural text) regardless of reference size: the aggregation is
+    one explode + map-side-combined groupBy of skinny (bigram, count)
+    rows, then a bounded collect — the same contract as IVF
+    centroids.  At 100 TB the reference corpus (a curated wiki-class
+    sample) is orders smaller than the corpus being scored, and this
+    agg touches only the reference."""
+    # all adjacent char pairs: substr windows over the text column
+    pairs = F.expr(
+        f"transform(sequence(1, greatest(length(lower(trim({text_col}))) - 1, 0)),"
+        f" i -> substring(lower(trim({text_col})), i, 2))"
+    )
+    bc = (
+        ref.select(F.explode(pairs).alias("ab"))
+        .groupBy("ab")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    bigram_c = {r["ab"]: r["c"] for r in bc}
+    ctx_c: dict = {}
+    chars: set = set()
+    for ab, c in bigram_c.items():
+        ctx_c[ab[0]] = ctx_c.get(ab[0], 0) + c
+        chars.update(ab)
+    return bigram_c, ctx_c, len(chars)
+
+
+def char_lm_score(
+    docs,
+    bigram_c: dict,
+    ctx_c: dict,
+    v: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Score every document's mean negative log-likelihood under a
+    char-bigram LM (perplexity filtering: high nll = unlike the
+    reference corpus — the CCNet quality signal).  Docs with no
+    transition (len < 2 after trim/lower) drop out.
+
+    p(b|a) = (c[ab]+1) / (ctx[a]+V), unseen context ⇒ 1/V.  Scoring
+    is ONE map-only Arrow pass: the bounded model ships in the task
+    closure as a numpy log-prob matrix and each batch scores via
+    vectorized gather — zero shuffles over the scored corpus."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    idx = {c: i for i, c in enumerate(sorted(set(ctx_c) | {a[1] for a in bigram_c}))}
+    n = len(idx)
+    # log p for every (known a, known b); row n = unseen context,
+    # col n = unseen char (c=0 everywhere there)
+    logp = np.empty((n + 1, n + 1), dtype=np.float64)
+    for a, ia in idx.items():
+        denom = ctx_c.get(a, 0) + v
+        logp[ia, :] = math.log(1.0 / denom)
+        for b, ib in idx.items():
+            c = bigram_c.get(a + b, 0)
+            if c:
+                logp[ia, ib] = math.log((c + 1.0) / denom)
+    logp[n, :] = math.log(1.0 / v)
+    logp[:, n][:-1] = [
+        math.log(1.0 / (ctx_c.get(a, 0) + v)) for a in sorted(idx, key=idx.get)
+    ]
+
+    def score(batches):
+        for pdf in batches:
+            ids, n_trans, nll = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                t = (txt or "").strip().lower()
+                if len(t) < 2:
+                    continue
+                arr = np.fromiter(
+                    (idx.get(ch, n) for ch in t), dtype=np.int64, count=len(t)
+                )
+                lps = logp[arr[:-1], arr[1:]]
+                ids.append(did)
+                n_trans.append(len(lps))
+                nll.append(round(-float(lps.mean()), 4))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "n_trans": pd.Series(n_trans, dtype="int64"),
+                 "nll": pd.Series(nll, dtype="float64")}
+            )
+
+    return docs.select(
+        F.col(id_col), F.col(text_col)
+    ).mapInPandas(score, schema="doc_id long, n_trans long, nll double")
+

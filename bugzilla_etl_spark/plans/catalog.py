@@ -71,6 +71,12 @@ _PRIORITY = (
     "tpch_q9",
     "tpch_q11",
     "tpch_q20",
+    # -- round-6 cont. LLM-pipeline additions
+    "stratified_split",
+    "dsir_weights",
+    "char_lm_perplexity",
+    "embedding_outliers",
+    "bpe_pair_counts",
     "trunc_uncertain",
     # round-6: behavior-touching code changes — must re-test
     # (q10 broadcast-hint removal; alias canonicalization composed

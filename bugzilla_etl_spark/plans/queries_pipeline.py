@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from bugzilla_etl_spark.functions.hashing import duckdb_hash64
 from bugzilla_etl_spark.operators import dedup as D
+from bugzilla_etl_spark.operators import sampling as S2
 from bugzilla_etl_spark.operators import similarity as SIM
 from bugzilla_etl_spark.operators import text as T
 from bugzilla_etl_spark.plans.catalog import register
@@ -569,3 +570,169 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_of").isNull().alias("kept"),
         )
     )
+
+
+_H_DSIR_B = duckdb_hash64("('f:' || gram)") + " % 1024"
+
+
+@register(
+    "dsir_weights",
+    oracle=f"""
+    WITH tkt AS (SELECT doc_id, source, {DUCK_TOKENS} AS tk
+                 FROM documents),
+    g AS (
+        SELECT doc_id, source,
+               unnest(tk || CASE WHEN len(tk) >= 2
+                   THEN list_transform(range(1, len(tk)),
+                                       i -> tk[i] || ' ' || tk[i+1])
+                   ELSE [] END) AS gram
+        FROM tkt
+    ),
+    b AS (SELECT doc_id, source, {_H_DSIR_B} AS b FROM g),
+    t AS (SELECT b, count(*) AS c FROM b WHERE source = 'src0'
+          GROUP BY b),
+    r AS (SELECT b, count(*) AS c FROM b GROUP BY b),
+    tt AS (SELECT sum(c) + 1024 AS tot FROM t),
+    rt AS (SELECT sum(c) + 1024 AS tot FROM r),
+    lr AS (
+        SELECT r.b,
+               ln((coalesce(t.c, 0) + 1) / tt.tot)
+               - ln((r.c + 1) / rt.tot) AS lr
+        FROM r LEFT JOIN t USING (b), tt, rt
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           round(sum(lr), 4) AS weight
+    FROM b JOIN lr USING (b)
+    GROUP BY doc_id
+    """,
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: every document scored by the
+    log-likelihood ratio of two hashed-ngram bucket distributions —
+    the TARGET domain's (source='src0' plays the high-quality
+    reference) vs the RAW corpus's.  See
+    operators.sampling.dsir_weights: the distributions are bounded
+    1024-bucket models collected like IVF centroids, and scoring is
+    ONE map-only pass folding each doc's gram stream against the
+    broadcast log-ratio array — zero fact shuffles, no corpus
+    explode (the oracle explodes because SQL has no such fold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return S2.dsir_weights(docs, target, key="doc_id")
+
+
+@register(
+    "char_lm_perplexity",
+    oracle="""
+    WITH ref AS (
+        SELECT lower(trim(text)) AS t FROM documents
+        WHERE source = 'src0'
+    ),
+    big AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> substr(t, i, 2))) AS ab
+        FROM ref WHERE len(t) >= 2
+    ),
+    bc AS (SELECT ab, count(*) AS c FROM big GROUP BY ab),
+    ctx AS (SELECT substr(ab, 1, 1) AS a, sum(c) AS ca
+            FROM bc GROUP BY 1),
+    v AS (
+        SELECT count(DISTINCT ch) AS v FROM (
+            SELECT substr(ab, 1, 1) AS ch FROM bc
+            UNION ALL
+            SELECT substr(ab, 2, 1) AS ch FROM bc
+        )
+    ),
+    d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+    trans AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                             i -> substr(t, i, 2))) AS ab
+        FROM d WHERE len(t) >= 2
+    ),
+    scored AS (
+        SELECT doc_id,
+               ln((coalesce(bc.c, 0) + 1)
+                  / (coalesce(ctx.ca, 0) + v.v)) AS lp
+        FROM trans
+        LEFT JOIN bc  USING (ab)
+        LEFT JOIN ctx ON substr(trans.ab, 1, 1) = ctx.a, v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+           round(-avg(lp), 4) AS nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter (the CCNet recipe with an
+    in-engine model): a Laplace-smoothed char-bigram LM fitted on the
+    source='src0' slice (the curated-reference stand-in), every doc
+    scored by mean negative log-likelihood — high nll = unlike the
+    reference.  The model is BOUNDED (V² ≈ a few k entries) and
+    collected like IVF centroids; scoring is one map-only Arrow pass
+    with a numpy log-prob gather — zero shuffles over the scored
+    corpus (the oracle explodes transitions because SQL has no
+    closure-shipped model)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source") == "src0")
+    bc, ctx, v = T.char_bigram_lm(ref)
+    scored = T.char_lm_score(docs, bc, ctx, v)
+    return scored.select(
+        "doc_id", "n_trans", F.round("nll", 4).alias("nll")
+    )
+
+
+@register(
+    "embedding_outliers",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS iv
+        FROM embeddings
+    ),
+    sums AS (SELECT label, count(*) AS n FROM t GROUP BY label),
+    dimsums AS (
+        SELECT label, d, sum(iv[d]) AS s
+        FROM t, (SELECT unnest(range(1, 65)) AS d) g
+        GROUP BY label, d
+    ),
+    num AS (
+        SELECT t.vec_id, t.label,
+               sum((t.iv[ds.d] * sc.n - ds.s)
+                   * (t.iv[ds.d] * sc.n - ds.s)) AS num,
+               any_value(sc.n) AS n
+        FROM t
+        JOIN dimsums ds USING (label)
+        JOIN sums sc USING (label)
+        GROUP BY t.vec_id, t.label
+    ),
+    dist AS (
+        SELECT vec_id, label,
+               sqrt(CAST(num AS DOUBLE)) / (n * 10000.0) AS dist
+        FROM num
+    ),
+    stats AS (
+        SELECT label, avg(dist) AS m, stddev_samp(dist) AS sd
+        FROM dist GROUP BY label
+    )
+    SELECT vec_id, d.label, round(dist, 6) AS dist,
+           round((dist - m) / sd, 4) AS z,
+           CASE WHEN round((dist - m) / sd, 4) > 2.0 THEN 1 ELSE 0 END
+               AS is_outlier
+    FROM dist d JOIN stats USING (label)
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance outlier flags over the embedding
+    corpus — the embedding-space quality filter (off-manifold /
+    mislabeled vectors).  See operators.clustering.embedding_outliers
+    for the exact-integer distance contract and the bounded
+    partial-sum model fold (no per-dim explode of the corpus — the
+    oracle explodes dims because SQL has no closure-shipped
+    model)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from bugzilla_etl_spark.operators.clustering import (
+        embedding_outliers as _op,
+    )
+
+    return _op(emb)

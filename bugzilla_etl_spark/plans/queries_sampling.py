@@ -225,3 +225,36 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).alias("red_len"),
         F.substring(F.md5(redacted), 1, 8).alias("red_sig"),
     )
+
+
+_H_SPLIT = duckdb_hash64("('sp:' || CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "stratified_split",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN rk <= (n * 8) // 10 THEN 'train'
+                WHEN rk <= (n * 9) // 10 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY {_H_SPLIT} ASC, doc_id ASC)
+                   AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    """,
+)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split stratified by
+    source: exact integer cuts of each stratum's hash-ranked order,
+    so every stratum holds its proportions to within one row (an
+    independent-coin split leaves small strata with empty val/test).
+    One window shuffle on source; the stratum size rides the same
+    partition as a count(*) window — no join, no second pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return S.stratified_split(
+        docs, strata="source", key="doc_id"
+    ).select("doc_id", "source", "split")

@@ -363,3 +363,59 @@ def heavy_hitters_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
         .limit(20)
     )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH v AS (
+        SELECT term, count(*) AS f
+        FROM (SELECT unnest({DUCK_TOKENS}) AS term FROM documents)
+        GROUP BY term
+    ),
+    p AS (
+        SELECT unnest(list_transform(range(1, len(term)),
+                                     i -> substr(term, i, 2))) AS pair,
+               f
+        FROM v WHERE len(term) >= 2
+    )
+    SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent symbol-pair frequencies — the first merge
+    scan of BPE tokenizer training (the top pair is the first merge
+    rule; re-running after a merge is the same plan over the updated
+    vocab).
+
+    Scale shape: the corpus compresses to its VOCABULARY first (one
+    map-side-combined token count — the only corpus-grain shuffle,
+    carrying already-collapsed (term, count) partials), and the
+    char-pair explode then runs over vocab-sized input with counts as
+    weights — at 100 TB the vocab is millions of rows where the
+    token stream is trillions, so pair generation costs ~nothing.
+    Top-50 is a TakeOrderedAndProject (no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(T.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = vocab.where(F.length("term") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(term) - 1),"
+                " i -> substring(term, i, 2))"
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(50)
+    )

@@ -607,3 +607,89 @@ def test_decontam_neardup_catches_paraphrase(spark):
     assert (1, 100) in got and got[(1, 100)] == 1.0
     assert (2, 100) in got and 0.5 <= got[(2, 100)] < 1.0
     assert all(doc != 3 for doc, _ in got)
+
+
+def test_char_lm_scores_gibberish_higher(spark):
+    """A char-bigram LM fitted on a repetitive reference must score
+    an in-distribution doc lower (better) than gibberish, and drop
+    docs with no transition."""
+    from bugzilla_etl_spark.operators.text import (
+        char_bigram_lm,
+        char_lm_score,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    bc, ctx, v = char_bigram_lm(ref)
+    assert v > 0 and bc and ctx
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zq xv qj zz"), (3, "a")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.nll for r in char_lm_score(docs, bc, ctx, v).collect()}
+    assert 3 not in out  # single char: no transition
+    assert out[2] > out[1], out
+
+
+def test_char_lm_scoring_is_map_only(spark, sf_dir):
+    """Scoring a 100 TB corpus must not shuffle it: the scored frame
+    is scan -> project -> Arrow map, zero exchanges."""
+    import re
+
+    from bugzilla_etl_spark.operators.text import (
+        char_bigram_lm,
+        char_lm_score,
+    )
+    from bugzilla_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bc, ctx, v = char_bigram_lm(docs.where(F.col("source") == "src0"))
+    plan_df = char_lm_score(docs, bc, ctx, v)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", buf.getvalue())) == 0
+
+
+def test_dsir_scoring_is_map_only(spark, sf_dir):
+    """Same contract for DSIR: once the bounded bucket models are
+    folded, per-doc scoring is one map-only pass."""
+    import re
+
+    from bugzilla_etl_spark.operators.sampling import dsir_weights
+    from bugzilla_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    out = dsir_weights(docs, target, key="doc_id")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", buf.getvalue())) == 0
+
+
+def test_embedding_outliers_flags_planted_vector(spark):
+    """A vector far off its label's manifold must flag; the cluster
+    members must not."""
+    from bugzilla_etl_spark.operators.clustering import embedding_outliers
+
+    base = [
+        (i, [1.0 + 0.001 * i] + [0.0] * 63, 0) for i in range(12)
+    ]
+    planted = [(99, [50.0] + [0.0] * 63, 0)]
+    emb = spark.createDataFrame(
+        base + planted,
+        "vec_id long, embedding array<float>, label long",
+    )
+    out = {r.vec_id: r for r in embedding_outliers(emb).collect()}
+    assert out[99].is_outlier == 1, out[99]
+    assert all(out[i].is_outlier == 0 for i in range(12))
+    # planted distance is exact: centroid pulled toward it, but its
+    # own distance must dwarf every base vector's
+    assert out[99].dist > 10 * max(out[i].dist for i in range(12))

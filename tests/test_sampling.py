@@ -122,3 +122,44 @@ def test_pii_scrub_redacts_all_planted(spark, sf_dir):
             assert r.n_ips >= 1
         if r.doc_id % 6 == 0:
             assert r.n_phones >= 1
+
+
+def test_stratified_split_exact_proportions_and_partition(spark, sf_dir):
+    """Each stratum holds its 80/10/10 proportions to within one row
+    (integer-cut property), the three splits partition the corpus
+    exactly, and re-running is byte-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = S.stratified_split(docs, strata="source", key="doc_id")
+    rows = out.select("doc_id", "source", "split").collect()
+    assert len(rows) == docs.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r.source, {"train": 0, "val": 0, "test": 0})
+        per[r.source][r.split] += 1
+    for src, c in per.items():
+        n = sum(c.values())
+        assert c["train"] == (n * 8) // 10, (src, c)
+        assert c["val"] == (n * 9) // 10 - (n * 8) // 10, (src, c)
+    again = out.select("doc_id", "split").collect()
+    assert {(r.doc_id, r.split) for r in again} == {
+        (r.doc_id, r.split) for r in rows
+    }
+
+
+def test_dsir_weights_prefer_target_domain(spark, sf_dir):
+    """Importance weights must rank the target domain above the rest
+    on average — the defining property of the log-likelihood ratio
+    (target docs look like the target distribution)."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    w = S.dsir_weights(docs, target, key="doc_id")
+    j = w.join(docs.select("doc_id", "source"), on="doc_id")
+    means = {
+        r.source: r.m
+        for r in j.groupBy("source")
+        .agg(F.avg(F.col("weight") / F.col("n_grams")).alias("m"))
+        .collect()
+    }
+    others = [v for k, v in means.items() if k != "src0"]
+    assert means["src0"] > max(others) - 1e-9, means
