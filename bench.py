@@ -124,6 +124,8 @@ HEADLINE = [
     "char_lm_perplexity",
     "embedding_outliers",
     "bpe_pair_counts",
+    "filter_funnel",
+    "date_normalize",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

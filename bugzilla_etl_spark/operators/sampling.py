@@ -212,7 +212,7 @@ def stratified_split(
 
 def dsir_weights(
     df: DataFrame,
-    target: DataFrame,
+    target_cond,
     key: str,
     text: str = "text",
     n_buckets: int = 1024,
@@ -221,19 +221,21 @@ def dsir_weights(
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling" — public method):
     featurize every document into hashed token-unigram+bigram buckets,
-    fit two smoothed bucket distributions — the TARGET domain's and
-    the RAW corpus's — and weight each raw document by its
-    log-likelihood ratio  Σ_grams [ln p_target(b) − ln p_raw(b)].
-    High weight = looks like the target domain; downstream sampling
-    keeps raw docs with probability ∝ exp(weight).
+    fit two smoothed bucket distributions — the TARGET domain's
+    (rows matching ``target_cond``) and the RAW corpus's — and weight
+    each raw document by its log-likelihood ratio
+    Σ_grams [ln p_target(b) − ln p_raw(b)].  High weight = looks like
+    the target domain; downstream sampling keeps raw docs with
+    probability ∝ exp(weight).
 
-    Scale shape: the two distributions are BOUNDED models
-    (``n_buckets`` rows each — here 1024), built by one map-side-
-    combined aggregation per side and collected to the driver like
-    IVF centroids; scoring is then a SINGLE map-only pass — the
-    per-doc gram stream folds against the broadcast log-ratio array
-    via aggregate(), zero fact shuffles, no explode of the 100 TB
-    corpus.  Output: ``key``, n_grams, weight (log-LR, rounded 4).
+    Scale shape: BOTH bounded distributions (``n_buckets`` rows each
+    — here 1024) come from ONE map-side-combined conditional
+    aggregation over a single corpus scan (raw count + target count
+    per bucket), collected to the driver like IVF centroids; scoring
+    is then a SINGLE map-only pass — the per-doc gram stream folds
+    against the broadcast log-ratio array via aggregate(), zero fact
+    shuffles, no second scan, no explode left in the hot path.
+    Output: ``key``, n_grams, weight (log-LR, rounded 4).
     """
     from bugzilla_etl_spark.operators.text import ngrams, tokens
 
@@ -243,25 +245,26 @@ def dsir_weights(
 
     bucket = lambda g: hash64(F.concat(F.lit(salt), g)) % n_buckets  # noqa: E731
 
-    def bucket_counts(frame) -> list:
-        counts = (
-            frame.select(
-                F.explode(grams(F.col(text))).alias("g")
-            )
-            .select(bucket(F.col("g")).alias("b"))
-            .groupBy("b")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        arr = [0] * n_buckets
-        for r in counts:
-            arr[r["b"]] = r["c"]
-        return arr
-
     import math
 
-    t_counts = bucket_counts(target)
-    r_counts = bucket_counts(df)
+    counts = (
+        df.select(
+            target_cond.alias("_t"),
+            F.explode(grams(F.col(text))).alias("g"),
+        )
+        .select("_t", bucket(F.col("g")).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.count_if(F.col("_t")).alias("c_tgt"),
+        )
+        .collect()
+    )
+    t_counts = [0] * n_buckets
+    r_counts = [0] * n_buckets
+    for r in counts:
+        r_counts[r["b"]] = r["c_raw"]
+        t_counts[r["b"]] = r["c_tgt"]
     t_total = sum(t_counts) + n_buckets
     r_total = sum(r_counts) + n_buckets
     log_ratio = [
@@ -269,15 +272,30 @@ def dsir_weights(
         - math.log((r_counts[b] + 1) / r_total)
         for b in range(n_buckets)
     ]
+    # Bind the log-ratio table as a per-ROW array column BEFORE the
+    # lambda: expressions inside higher-order functions re-evaluate
+    # per ELEMENT (no folding/CSE there — the shingles() lesson), so
+    # an inline 1024-literal CreateArray would rebuild the whole
+    # array once per gram (O(|grams|·1024) — measured ~3x the whole
+    # query).  As a column it materializes once per row and the
+    # lambda's element_at is a cheap bound-reference gather.
     ratio_arr = F.array(*[F.lit(v) for v in log_ratio])
     g = grams(F.col(text))
     weight = F.aggregate(
-        F.transform(g, lambda x: F.element_at(ratio_arr, (bucket(x) + 1).cast("int"))),
+        F.transform(
+            F.col("_g"),
+            lambda x: F.element_at(
+                F.col("_lr"), (bucket(x) + 1).cast("int")
+            ),
+        ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return df.select(
-        key,
-        F.size(g).cast("long").alias("n_grams"),
-        F.round(weight, 4).alias("weight"),
+    return (
+        df.select(F.col(key), g.alias("_g"), ratio_arr.alias("_lr"))
+        .select(
+            key,
+            F.size("_g").cast("long").alias("n_grams"),
+            F.round(weight, 4).alias("weight"),
+        )
     )

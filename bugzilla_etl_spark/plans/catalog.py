@@ -58,12 +58,20 @@ _loaded = False
 # greens, oldest first; (3) the local gate (tools/verify_local.py,
 # driver-strict canonicalizer, committed as LOCAL_GATE_rN.json)
 # covers ALL queries every round regardless of window position.
-# r7 window plan: the 20 round-6 additions with no driver row yet
-# (tpch_q7/q14/q15/q17, canonical_fields, the late TPC-H batch
-# q4/q8/q12/q13/q16/q19/q21/q22, heavy_hitters_ngrams,
+# r6-window composition (this file is read by the r6 driver run):
+# the 11 round-6-continuation additions with no driver row yet
+# (tpch_q2/q9/q11/q20, stratified_split, dsir_weights,
+# char_lm_perplexity, embedding_outliers, bpe_pair_counts,
+# filter_funnel, date_normalize) lead, then trunc_uncertain + the 7
+# behavior-touched queries, then the r4-rowed refreshes up to the
+# 50-row cap (the refresh tail past #50 stays local-gate-covered).
+# r7 window plan: the ~20 earlier round-6 additions still without a
+# driver row (tpch_q7/q14/q15/q17, canonical_fields, the late TPC-H
+# batch q4/q8/q12/q13/q16/q19/q21/q22, heavy_hitters_ngrams,
 # stream_heavy_hitters, cc_fuzzy_match, decontam_neardup, semdedup,
-# flag_fuzzy_match) + 30 of the 45 r5-rowed _DEPRIORITY entries;
-# r8 takes the remaining 15 plus the 42 r6-rowed refreshes.
+# flag_fuzzy_match) + any refresh tail cut from the r6 window + the
+# oldest-rowed greens; r8 takes the remainder — a full cycle is
+# ceil(124/50) = 3 windows.
 _PRIORITY = (
     # round-6: never driver-tested (new this round)
     # -- the partsupp four (derived relation; 22/22 TPC-H shapes)
@@ -77,6 +85,9 @@ _PRIORITY = (
     "char_lm_perplexity",
     "embedding_outliers",
     "bpe_pair_counts",
+    "filter_funnel",
+    "date_normalize",
+    "stream_neardup_ingest",
     "trunc_uncertain",
     # round-6: behavior-touching code changes — must re-test
     # (q10 broadcast-hint removal; alias canonicalization composed

@@ -908,3 +908,108 @@ def flag_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
     )
     return flag_tiered_match(cur, rem, entity="user_id", value="value")
+
+
+@register(
+    "date_normalize",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, date_trunc('second', ts) AS base
+        FROM events
+    ),
+    raws AS (
+        SELECT event_id,
+               CASE event_id % 4
+                   WHEN 0 THEN CAST(epoch_ms(base) AS VARCHAR)
+                   WHEN 1 THEN strftime(base, '%Y/%m/%d %H:%M:%S')
+                               || '.000'
+                   WHEN 2 THEN strftime(base, '%Y/%m/%d %H:%M:%S')
+                   ELSE strftime(base, '%Y-%m-%d %H:%M')
+               END AS raw
+        FROM b
+    )
+    SELECT event_id, raw,
+           CASE
+               WHEN regexp_matches(raw, '^[0-9]{12,13}$')
+                   THEN CAST(raw AS BIGINT)
+               WHEN regexp_matches(raw,
+                   '^[0-9]{4}/[0-9]{2}/[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\\.[0-9]{3}$')
+                   THEN epoch_ms(strptime(raw,
+                        '%Y/%m/%d %H:%M:%S.%g'))
+               WHEN regexp_matches(raw,
+                   '^[0-9]{4}/[0-9]{2}/[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$')
+                   THEN epoch_ms(strptime(raw, '%Y/%m/%d %H:%M:%S'))
+               WHEN regexp_matches(raw, '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+                   THEN epoch_ms(strptime(substr(raw, 1, 10),
+                                          '%Y-%m-%d'))
+           END AS epoch_ms
+    FROM raws
+    """,
+)
+def date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's multi-format date coercion
+    (transform_bugzilla.py:105-131: deadline / cf_due_date /
+    cf_last_resolved arrive as epoch-millis numbers, strict
+    'YYYY/MM/DD HH:MM:SS.mmm', strict-short without millis, or
+    relaxed 'YYYY-MM-DD...' — bugs 856732/643420/726635) — every
+    branch normalized to epoch-ms exactly as the reference's
+    DATE_PATTERN_STRICT / _STRICT_SHORT / _RELAXED dispatch does,
+    with the relaxed branch keeping only the date part.
+
+    The four raw renderings derive deterministically from events.ts
+    (the synth-dirty-input pattern this module uses throughout); the
+    operator under test is the branch dispatch + parsing.  Pure
+    map-side column expressions — regexp probes and to_timestamp are
+    codegen'd JVM builtins, zero shuffles, and the whole pass pushes
+    down to the scan at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    base = F.date_trunc("second", F.col("ts"))
+    raw = (
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.unix_millis(base).cast("string"),
+        )
+        .when(
+            F.col("event_id") % 4 == 1,
+            F.concat(
+                F.date_format(base, "yyyy/MM/dd HH:mm:ss"),
+                F.lit(".000"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 4 == 2,
+            F.date_format(base, "yyyy/MM/dd HH:mm:ss"),
+        )
+        .otherwise(F.date_format(base, "yyyy-MM-dd HH:mm"))
+    )
+    r = F.col("raw")
+    epoch = (
+        F.when(
+            r.rlike(r"^[0-9]{12,13}$"), r.cast("long")
+        )
+        .when(
+            r.rlike(
+                r"^[0-9]{4}/[0-9]{2}/[0-9]{2}"
+                r" [0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3}$"
+            ),
+            F.unix_millis(
+                F.to_timestamp(r, "yyyy/MM/dd HH:mm:ss.SSS")
+            ),
+        )
+        .when(
+            r.rlike(
+                r"^[0-9]{4}/[0-9]{2}/[0-9]{2}"
+                r" [0-9]{2}:[0-9]{2}:[0-9]{2}$"
+            ),
+            F.unix_millis(F.to_timestamp(r, "yyyy/MM/dd HH:mm:ss")),
+        )
+        .when(
+            r.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}"),
+            F.unix_millis(
+                F.to_timestamp(F.substring(r, 1, 10), "yyyy-MM-dd")
+            ),
+        )
+    )
+    return ev.select("event_id", raw.alias("raw")).select(
+        "event_id", "raw", epoch.alias("epoch_ms")
+    )

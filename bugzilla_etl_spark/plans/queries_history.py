@@ -1161,3 +1161,111 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("ngram", "cnt")
     )
+
+
+@register(
+    "stream_neardup_ingest",
+    oracle="""
+    WITH tkt AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(tk) >= 3 THEN
+                   list_transform(range(1, len(tk)-1),
+                       i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+                   ELSE [] END) AS sh
+        FROM tkt
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform(range(0,16), s -> list_min(list_transform(
+                   sh, x -> ('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT
+                        + s * (('0x' || substr(md5(x), 17, 15))
+                               ::UBIGINT::BIGINT % 4294967296)))) AS sig
+        FROM t WHERE len(sh) > 0
+    ),
+    banded AS (
+        SELECT doc_id, unnest(generate_series(0,3)) AS band_id,
+               unnest(bands) AS band_key
+        FROM (SELECT doc_id,
+                     list_transform(range(0,4), b ->
+                         list_aggregate(list_slice(sig, 4*b+1, 4*b+4),
+                                        'string_agg', ',')) AS bands
+              FROM sig)
+    ),
+    statb AS (
+        SELECT DISTINCT band_id, band_key FROM banded
+        WHERE doc_id % 5 <> 0
+    ),
+    inc AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
+    hits AS (
+        SELECT inc.doc_id, count(*) AS n_hits
+        FROM inc JOIN statb USING (band_id, band_key)
+        GROUP BY inc.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+               AS is_neardup
+    FROM (SELECT DISTINCT doc_id FROM inc) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup screening as a REAL multi-batch
+    streaming run: docs with doc_id % 5 == 0 play the incoming crawl
+    (landed as two files → two micro-batches under
+    maxFilesPerTrigger=1), the other 80% are the existing corpus
+    whose LSH band index is the static join side — the incremental
+    dedup gate that keeps a 100 TB corpus clean WITHOUT re-banding
+    it per crawl.  Banding is the SAME code as the batch operator
+    (streaming/neardup_stream.py), so the oracle is the pure batch
+    computation: each incoming doc's band-bucket collision count
+    against the static index."""
+    import os
+    import shutil
+    import tempfile
+
+    from bugzilla_etl_spark.streaming.neardup_stream import (
+        band_index,
+        run_neardup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    static = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+
+    landing = tempfile.mkdtemp(prefix="bes_ndl_")
+    out_dir = tempfile.mkdtemp(prefix="bes_ndo_")
+    ckpt = tempfile.mkdtemp(prefix="bes_ndc_")
+    shutil.rmtree(out_dir)
+    for tag, part in (
+        ("a", incoming.where(F.col("doc_id") % 10 == 0)),
+        ("b", incoming.where(F.col("doc_id") % 10 == 5)),
+    ):
+        tmp = os.path.join(landing, f"_stage_{tag}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(tmp, src),
+            os.path.join(landing, f"incoming_{tag}.parquet"),
+        )
+        shutil.rmtree(tmp)
+
+    index = band_index(static).persist()
+    index.count()  # materialize once; both micro-batches reuse it
+    try:
+        run_neardup_ingest(
+            spark, landing, docs.schema, index, out_dir, ckpt
+        )
+        return (
+            spark.read.parquet(out_dir)
+            .select("doc_id", "n_hits", "is_neardup")
+        )
+    finally:
+        index.unpersist()

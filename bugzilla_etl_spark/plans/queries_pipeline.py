@@ -617,8 +617,9 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast log-ratio array — zero fact shuffles, no corpus
     explode (the oracle explodes because SQL has no such fold)."""
     docs = load_table(spark, sf_dir, "documents")
-    target = docs.where(F.col("source") == "src0")
-    return S2.dsir_weights(docs, target, key="doc_id")
+    return S2.dsir_weights(
+        docs, F.col("source") == "src0", key="doc_id"
+    )
 
 
 @register(
@@ -736,3 +737,139 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _op(emb)
+
+
+@register(
+    "filter_funnel",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 4 = 0 THEN
+                 ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END AS text
+        FROM documents
+    ),
+    t AS (SELECT doc_id, text, {DUCK_TOKENS} AS tk FROM d),
+    f AS (
+        SELECT
+            CASE WHEN len(list_filter(tk,
+                     x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                     / greatest(len(tk), 1) >= 0.05
+                 THEN 1 ELSE 0 END AS f1,
+            CASE WHEN len(tk) BETWEEN 10 AND 5000 THEN 1 ELSE 0 END AS f2,
+            CASE WHEN len(list_distinct(tk)) / greatest(len(tk), 1) >= 0.35
+                  AND 1.0 - len(list_distinct(
+                          list_transform(range(1, len(tk)),
+                                         i -> tk[i] || ' ' || tk[i+1])))
+                      / greatest(len(tk) - 1, 1) <= 0.05
+                 THEN 1 ELSE 0 END AS f3,
+            CASE WHEN len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) = 0
+                 THEN 1 ELSE 0 END AS f4
+        FROM t
+    ),
+    agg AS (
+        SELECT count(*) AS total,
+               sum(f1) AS k1, sum(f1*f2) AS k2,
+               sum(f1*f2*f3) AS k3, sum(f1*f2*f3*f4) AS k4
+        FROM f
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage_idx, 'lang' AS stage,
+               CAST(total AS BIGINT) AS n_in, CAST(k1 AS BIGINT) AS n_kept,
+               round(1.0 - k1 / greatest(total, 1), 4) AS drop_frac
+        FROM agg
+        UNION ALL
+        SELECT 2, 'length', CAST(k1 AS BIGINT), CAST(k2 AS BIGINT),
+               round(1.0 - k2 / greatest(k1, 1), 4) FROM agg
+        UNION ALL
+        SELECT 3, 'repetition', CAST(k2 AS BIGINT), CAST(k3 AS BIGINT),
+               round(1.0 - k3 / greatest(k2, 1), 4) FROM agg
+        UNION ALL
+        SELECT 4, 'pii', CAST(k3 AS BIGINT), CAST(k4 AS BIGINT),
+               round(1.0 - k4 / greatest(k3, 1), 4) FROM agg
+    ) ORDER BY stage_idx
+    """,
+)
+def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline attrition report: how many docs each quality
+    filter removes, applied in sequence (lang -> length -> repetition
+    -> planted-PII), as every curation run logs before committing a
+    recipe.  Every 4th doc gets a planted email so the PII stage has
+    real attrition.
+
+    Shape: ALL stage flags are row-local column expressions computed
+    in ONE projection over ONE scan (stopword density, token bounds,
+    distinct-token and distinct-bigram ratios via array functions, a
+    regexp probe) folded by a single 1-row aggregate, then unpivoted
+    to 4 rows with stack() — at 100 TB this is a scan-bound map +
+    one 5-number reduce, the cheapest possible audit of a filter
+    recipe.  Cumulative AND semantics (stage i sees stage i-1's
+    survivors), matching how the filters run in production."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+    )
+    tk = T.tokens(text)
+    n = F.size(tk)
+    bg = T.bigrams(tk)
+    f1 = (
+        T.stopword_hits(tk) / F.greatest(n, F.lit(1)) >= 0.05
+    ).cast("long")
+    f2 = n.between(10, 5000).cast("long")
+    f3 = (
+        (F.size(F.array_distinct(tk)) / F.greatest(n, F.lit(1)) >= 0.35)
+        & (
+            1.0
+            - F.size(F.array_distinct(bg))
+            / F.greatest(n - 1, F.lit(1))
+            <= 0.05
+        )
+    ).cast("long")
+    f4 = (
+        F.size(
+            F.regexp_extract_all(
+                text,
+                F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+                F.lit(0),
+            )
+        )
+        == 0
+    ).cast("long")
+    agg = docs.select(
+        f1.alias("f1"), f2.alias("f2"), f3.alias("f3"), f4.alias("f4")
+    ).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum("f1").alias("k1"),
+        F.sum(F.col("f1") * F.col("f2")).alias("k2"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3")).alias("k3"),
+        F.sum(
+            F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4")
+        ).alias("k4"),
+    )
+    stages = agg.selectExpr(
+        "stack(4,"
+        " 1, 'lang',       total, k1,"
+        " 2, 'length',     k1,    k2,"
+        " 3, 'repetition', k2,    k3,"
+        " 4, 'pii',        k3,    k4"
+        ") AS (stage_idx, stage, n_in, n_kept)"
+    )
+    return stages.select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.round(
+            1.0 - F.col("n_kept") / F.greatest(F.col("n_in"), F.lit(1)), 4
+        ).alias("drop_frac"),
+    ).orderBy("stage_idx")

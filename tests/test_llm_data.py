@@ -664,8 +664,7 @@ def test_dsir_scoring_is_map_only(spark, sf_dir):
     from bugzilla_etl_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    target = docs.where(F.col("source") == "src0")
-    out = dsir_weights(docs, target, key="doc_id")
+    out = dsir_weights(docs, F.col("source") == "src0", key="doc_id")
     import contextlib, io
 
     buf = io.StringIO()
@@ -693,3 +692,28 @@ def test_embedding_outliers_flags_planted_vector(spark):
     # planted distance is exact: centroid pulled toward it, but its
     # own distance must dwarf every base vector's
     assert out[99].dist > 10 * max(out[i].dist for i in range(12))
+
+
+def test_filter_funnel_is_a_chain(spark, sf_dir):
+    """Funnel invariants: stage i's input is stage i-1's survivors,
+    kept counts are monotone non-increasing, fractions in [0,1], and
+    stage 1 sees the whole corpus."""
+    from bugzilla_etl_spark.plans import catalog
+    from bugzilla_etl_spark.sources import load_table
+
+    catalog.load_all()
+    rows = sorted(
+        catalog.QUERIES["filter_funnel"](spark, sf_dir).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert [r.stage for r in rows] == [
+        "lang", "length", "repetition", "pii",
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    assert rows[0].n_in == docs.count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_in == prev.n_kept
+        assert cur.n_kept <= cur.n_in
+    assert all(0.0 <= r.drop_frac <= 1.0 for r in rows)
+    # the planted-email stage must actually drop the planted quarter
+    assert rows[3].drop_frac > 0.2, rows[3]

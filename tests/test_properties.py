@@ -380,3 +380,55 @@ def test_q21_window_rewrite_matches_exists_form(rows):
         # (given the line is late, |late set|==1 <=> late set == {sk})
         rewrite = late and n_supp >= 2 and len(late_supps) == 1
         assert rewrite == reference, (ok, sk, late, lines)
+
+
+def test_date_normalize_branches_match_reference_examples(spark):
+    """Literal transcription of transform_bugzilla.py:105-131: the
+    same instant in all four reference arrival formats (the bug
+    856732 / 643420 / 726635 cases) must normalize to one epoch-ms
+    value; the relaxed branch keeps only the date part."""
+    from pyspark.sql import functions as F
+
+    midnight = 1325376000000  # 2012-01-01T00:00:00Z
+    cases = [
+        ("1325376000000", midnight),
+        ("2012/01/01 00:00:00.000", midnight),
+        ("2012/01/01 00:00:00", midnight),
+        ("2012-01-01", midnight),
+        ("2012-01-01 07:30", midnight),  # relaxed: time DROPPED
+        ("garbage", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i long, raw string"
+    )
+    r = F.col("raw")
+    epoch = (
+        F.when(r.rlike(r"^[0-9]{12,13}$"), r.cast("long"))
+        .when(
+            r.rlike(
+                r"^[0-9]{4}/[0-9]{2}/[0-9]{2}"
+                r" [0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3}$"
+            ),
+            F.unix_millis(F.to_timestamp(r, "yyyy/MM/dd HH:mm:ss.SSS")),
+        )
+        .when(
+            r.rlike(
+                r"^[0-9]{4}/[0-9]{2}/[0-9]{2}"
+                r" [0-9]{2}:[0-9]{2}:[0-9]{2}$"
+            ),
+            F.unix_millis(F.to_timestamp(r, "yyyy/MM/dd HH:mm:ss")),
+        )
+        .when(
+            r.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}"),
+            F.unix_millis(
+                F.to_timestamp(F.substring(r, 1, 10), "yyyy-MM-dd")
+            ),
+        )
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = {
+        r_.i: r_.e
+        for r_ in df.select("i", epoch.alias("e")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i], got[i])

@@ -152,8 +152,7 @@ def test_dsir_weights_prefer_target_domain(spark, sf_dir):
     on average — the defining property of the log-likelihood ratio
     (target docs look like the target distribution)."""
     docs = load_table(spark, sf_dir, "documents")
-    target = docs.where(F.col("source") == "src0")
-    w = S.dsir_weights(docs, target, key="doc_id")
+    w = S.dsir_weights(docs, F.col("source") == "src0", key="doc_id")
     j = w.join(docs.select("doc_id", "source"), on="doc_id")
     means = {
         r.source: r.m

@@ -609,3 +609,69 @@ def test_recovery_never_resurrects_intentionally_emptied_bucket(tmp_path):
     assert not (state / ".del_4_3").exists()      # orphan reclaimed
     assert (state / "bucket=9" / "part-0.parquet").read_bytes() == b"stranded"
     assert not (state / ".old_4_9").exists()
+
+
+def test_neardup_ingest_multibatch_and_replay(spark, sf_dir, tmp_path):
+    """The ingest run must execute as REAL multiple micro-batches
+    (one per landed file), each batch-keyed output dir must be
+    replay-idempotent (re-running the same landing dir with a fresh
+    checkpoint produces identical screening), and batch results must
+    equal the batch-computed screen of the same docs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bugzilla_etl_spark.sources import load_table
+    from bugzilla_etl_spark.streaming.neardup_stream import (
+        band_index,
+        run_neardup_ingest,
+        screen_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    static = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for tag, part in (
+        ("a", incoming.where(F.col("doc_id") % 10 == 0)),
+        ("b", incoming.where(F.col("doc_id") % 10 == 5)),
+    ):
+        stage = str(tmp_path / f"stage_{tag}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(stage, src),
+            os.path.join(landing, f"in_{tag}.parquet"),
+        )
+    index = band_index(static).persist()
+    out1 = str(tmp_path / "out1")
+    run_neardup_ingest(
+        spark, landing, docs.schema, index, out1, str(tmp_path / "ck1")
+    )
+    batches = sorted(
+        d for d in os.listdir(out1) if d.startswith("batch=")
+    )
+    assert len(batches) == 2, batches  # maxFilesPerTrigger=1 honored
+    got = {
+        (r.doc_id, r.n_hits, r.is_neardup)
+        for r in spark.read.parquet(out1).collect()
+    }
+    want = {
+        (r.doc_id, r.n_hits, r.is_neardup)
+        for r in screen_batch(incoming, index).collect()
+    }
+    assert got == want
+    # replay with a fresh checkpoint: identical output
+    out2 = str(tmp_path / "out2")
+    run_neardup_ingest(
+        spark, landing, docs.schema, index, out2, str(tmp_path / "ck2")
+    )
+    got2 = {
+        (r.doc_id, r.n_hits, r.is_neardup)
+        for r in spark.read.parquet(out2).collect()
+    }
+    index.unpersist()
+    assert got2 == got
