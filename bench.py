@@ -126,6 +126,10 @@ HEADLINE = [
     "bpe_pair_counts",
     "filter_funnel",
     "date_normalize",
+    "dedup_containment",
+    "ngram_novelty",
+    "html_strip",
+    "range_window_load",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

@@ -163,6 +163,7 @@ def jaccard_pairs_invindex(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Full-corpus EXACT Jaccard pairs via an inverted index, computed
     entirely by COUNTING — no arrays ever cross the pair phase:
@@ -246,7 +247,17 @@ def jaccard_pairs_invindex(
     # build side at 100 TB; AQE promotes to broadcast at small SF
     # where it measures as tiny, and the pair side is already far
     # smaller than the corpus after the threshold-bound counting agg).
-    jac = F.col("c") / (F.col("sz_a") + F.col("sz_b") - F.col("c"))
+    # ``metric``: 'jaccard' = c/(|A|+|B|-c) — symmetric overlap;
+    # 'containment' = c/min(|A|,|B|) — the doc-in-doc detector (a
+    # short doc fully quoted inside a long one scores ~1.0 here but
+    # near 0 on Jaccard: the union is dominated by the long doc).
+    # Identical plan either way — only the final arithmetic differs.
+    if metric == "jaccard":
+        score = F.col("c") / (F.col("sz_a") + F.col("sz_b") - F.col("c"))
+    elif metric == "containment":
+        score = F.col("c") / F.least(F.col("sz_a"), F.col("sz_b"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     return (
         inter.join(
             sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
@@ -260,9 +271,9 @@ def jaccard_pairs_invindex(
             ),
             on="doc_b",
         )
-        .withColumn("jaccard", F.round(jac, 4))
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .withColumn(metric, F.round(score, 4))
+        .where(F.col(metric) >= threshold)
+        .select("doc_a", "doc_b", metric)
     )
 
 

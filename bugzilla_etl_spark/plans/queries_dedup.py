@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from bugzilla_etl_spark.functions.hashing import duckdb_hash64
 from bugzilla_etl_spark.operators import dedup as D
 from bugzilla_etl_spark.operators import similarity as SIM
+from bugzilla_etl_spark.operators import text as T
 from bugzilla_etl_spark.plans.catalog import register
 from bugzilla_etl_spark.sources import load_table
 
@@ -368,3 +369,62 @@ def decontam_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     evals = docs.where(F.col("doc_id") % 5 == 0)
     return D.minhash_cross_pairs(corpus, evals, threshold=0.5)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+               array_to_string(list_slice(tk, 1, 16), ' ')
+        FROM (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents)
+        WHERE doc_id % 9 = 0
+    ),
+    t AS (
+        SELECT doc_id, {_DUCK_SHH} AS shh
+        FROM (SELECT doc_id, {DUCK_SHINGLES} AS sh
+              FROM (SELECT doc_id, {DUCK_TOKENS} AS tk FROM corpus))
+    ), postings0 AS (
+        SELECT doc_id, unnest(shh) AS sh FROM t
+    ), hot AS (
+        SELECT sh FROM postings0 GROUP BY sh HAVING count(*) > 64
+    ), postings AS (
+        SELECT doc_id, sh FROM postings0
+        WHERE sh NOT IN (SELECT sh FROM hot)
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM postings a JOIN postings b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM postings GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           round(c::DOUBLE / least(sa.sz, sb.sz), 4) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(c::DOUBLE / least(sa.sz, sb.sz), 4) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc detection by shingle CONTAINMENT c/min(|A|,|B|) —
+    the asymmetric overlap Jaccard misses: a 16-token snippet fully
+    quoted inside a 150-token doc is ~1.0 containment but ~0.1
+    Jaccard (union dominated by the long doc).  Every 9th doc gets a
+    16-token excerpt planted as a synthetic short doc (id+100000,
+    same expression both engines), the quote-detection case.  Plan
+    identical to dedup_jaccard_invindex (counting inverted index,
+    df-capped) — only the final arithmetic differs; see
+    operators.dedup.jaccard_pairs_invindex(metric='containment')."""
+    docs = load_table(spark, sf_dir, "documents")
+    snip = docs.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(T.tokens("text"), 1, 16)
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(snip)
+    return D.jaccard_pairs_invindex(
+        corpus, threshold=0.8, max_df=64, metric="containment"
+    )

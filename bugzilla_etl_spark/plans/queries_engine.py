@@ -354,3 +354,38 @@ def bug_version_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_purchase_value",
         F.concat_ws("|", "seen_types").alias("seen_types"),
     )
+
+
+@register(
+    "range_window_load",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 4) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def range_window_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames (not row frames): per event, that
+    user's event count and value sum over the TRAILING HOUR — the
+    rate-limit / burst-detection shape.  RANGE frames differ from
+    ROWS at ties and gaps: all peer rows at the same instant join the
+    frame, and the hour bound is by VALUE, so sparse users get small
+    frames no matter how many rows precede.  One shuffle (user_id);
+    the frame is evaluated over the same sort the window already
+    needs.  Ordering key is integer epoch-µs on both engines, so
+    frame membership can never diverge on float rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )

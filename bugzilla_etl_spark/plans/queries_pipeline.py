@@ -873,3 +873,66 @@ def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("n_kept") / F.greatest(F.col("n_in"), F.lit(1)), 4
         ).alias("drop_frac"),
     ).orderBy("stage_idx")
+
+
+@register(
+    "ngram_novelty",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_SHH} AS shh
+        FROM (SELECT doc_id, {DUCK_SHINGLES} AS sh
+              FROM (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents))
+    ),
+    p AS (SELECT doc_id, unnest(shh) AS sh FROM t),
+    firsts AS (SELECT sh, min(doc_id) AS first_doc FROM p GROUP BY sh)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(CASE WHEN first_doc = p.doc_id THEN 1 END)
+                AS BIGINT) AS n_novel,
+           round(count(CASE WHEN first_doc = p.doc_id THEN 1 END)::DOUBLE
+                 / count(*), 4) AS novelty
+    FROM p JOIN firsts USING (sh)
+    GROUP BY p.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc content novelty: the fraction of a document's distinct
+    3-gram shingles FIRST seen in that document (arrival order =
+    doc_id here; a production pipeline uses ingest time) — the
+    contribution metric dedup recipes use to rank which near-dup of
+    a cluster to keep and to measure how much new content a crawl
+    added.  Plan: the inverted-index skeleton (skinny (sh, doc)
+    postings, one first-seen aggregation with map-side combine, one
+    count-back join) — no arrays cross the shuffle, same shape as
+    dedup_jaccard_invindex's df stats."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    # two consumers (first-seen agg + count-back side) would each
+    # recompute scan -> tokenize -> shingle -> md5: persist the
+    # skinny postings, the inverted-index pattern (measured 3.01 ->
+    # 0.74 s at sf0.1; LRU-evicted under pressure)
+    postings = D._hashed_shingled(docs, "text", "doc_id").select(
+        "doc_id", F.explode("shh").alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    firsts = postings.groupBy("sh").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    return (
+        postings.join(firsts, on="sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_if(
+                F.col("first_doc") == F.col("doc_id")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_shingles"), 4
+            ).alias("novelty"),
+        )
+    )

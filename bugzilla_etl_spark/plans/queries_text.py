@@ -419,3 +419,76 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(50)
     )
+
+
+@register(
+    "html_strip",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               '<html><body>'
+               || CASE WHEN doc_id % 3 = 0 THEN
+                    '<nav><a href="/">home</a> <a href="/x">links</a></nav>'
+                  ELSE '' END
+               || '<p>' || text || '</p><script>var t=1;</script>'
+               || '</body></html>' AS html
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, html,
+               trim(regexp_replace(regexp_replace(regexp_replace(html,
+                   '<script[^>]*>[^<]*</script>', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS clean
+        FROM h
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(html, '<[^>]+>')) AS n_tags,
+           length(clean) AS clean_len,
+           substr(md5(clean), 1, 8) AS clean_sig
+    FROM c
+    """,
+)
+def html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal — the WET-extraction stage of a crawl pipeline:
+    every doc wrapped in a deterministic HTML shell (nav boilerplate
+    on every 3rd doc — whose anchor TEXT survives stripping, which is
+    exactly why chunk-level dedup exists downstream), then script
+    blocks dropped, tags stripped, whitespace collapsed.  Pure
+    codegen map (three chained regexp_replace + a count) — zero
+    shuffles, scan-bound at 100 TB like pii_scrub; clean_sig proves
+    byte-identical extraction across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(
+                '<nav><a href="/">home</a> <a href="/x">links</a></nav>'
+            ),
+        ).otherwise(""),
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p><script>var t=1;</script></body></html>"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    html, r"<script[^>]*>[^<]*</script>", " "
+                ),
+                r"<[^>]+>",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(html, F.lit(r"<[^>]+>"), F.lit(0))
+        ).alias("n_tags"),
+        F.length(clean).alias("clean_len"),
+        F.substring(F.md5(clean), 1, 8).alias("clean_sig"),
+    )

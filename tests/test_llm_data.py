@@ -717,3 +717,31 @@ def test_filter_funnel_is_a_chain(spark, sf_dir):
     assert all(0.0 <= r.drop_frac <= 1.0 for r in rows)
     # the planted-email stage must actually drop the planted quarter
     assert rows[3].drop_frac > 0.2, rows[3]
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    """A short doc fully embedded in a long one must score ~1.0
+    containment while its Jaccard stays below any useful threshold —
+    the asymmetric case the metric exists for."""
+    from bugzilla_etl_spark.operators.dedup import jaccard_pairs_invindex
+
+    long_words = " ".join(f"w{i}" for i in range(120))
+    short = " ".join(f"w{i}" for i in range(30, 46))  # inside long
+    docs = spark.createDataFrame(
+        [(1, long_words), (2, short), (3, "zz qq xx vv unrelated run")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in jaccard_pairs_invindex(
+            docs, threshold=0.8, metric="containment"
+        ).collect()
+    }
+    assert cont.get((1, 2)) == 1.0, cont
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_invindex(
+            docs, threshold=0.0, metric="jaccard"
+        ).collect()
+    }
+    assert jac[(1, 2)] < 0.2, jac  # the union-dominated failure mode
