@@ -130,6 +130,7 @@ HEADLINE = [
     "ngram_novelty",
     "html_strip",
     "range_window_load",
+    "hll_distinct",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

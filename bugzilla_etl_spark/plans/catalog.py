@@ -94,6 +94,7 @@ _PRIORITY = (
     "ngram_novelty",
     "html_strip",
     "range_window_load",
+    "hll_distinct",
     "trunc_uncertain",
     # round-6: behavior-touching code changes — must re-test
     # (q10 broadcast-hint removal; alias canonicalization composed

@@ -389,3 +389,132 @@ def range_window_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 4).alias("sum_1h"),
     )
+
+
+# Portable HyperLogLog constants: p=10 -> m=1024 registers over the
+# 60-bit md5-derived hash (top 10 bits = register, low 50 = rank
+# field).  ALL register math is integer (rank via length(bin(rest)),
+# harmonic sum as Σ 2^(51-M[b]) scaled by 2^51 — max 1024·2^51 = 2^61,
+# exact in int64/HUGEINT on both engines), so the sketch is
+# BIT-IDENTICAL across engines and the estimate — one double division
+# from identical integers + identical literals — hash-matches at the
+# gate.  Spark's approx_count_distinct could not be oracled (DuckDB's
+# sketch differs); this one can, and the same determinism means
+# incremental re-runs merge registers consistently at 100 TB.
+_HLL_M = 1024
+_HLL_2P50 = 1 << 50
+_HLL_2P51 = 1 << 51
+# alpha_m * m^2 * 2^51 — computed once in Python, inlined as the SAME
+# literal on both engines (repr round-trips the double exactly)
+_HLL_NUM = 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * float(1 << 51)
+
+_HLL_H = "(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT)"
+
+
+@register(
+    "hll_distinct",
+    oracle=f"""
+    WITH t2 AS (
+        SELECT event_type,
+               {_HLL_H} // {_HLL_2P50} AS b,
+               {_HLL_H} % {_HLL_2P50} AS rest
+        FROM events
+    ), t3 AS (
+        SELECT event_type, b,
+               CASE WHEN rest = 0 THEN 51
+                    ELSE 51 - length(bin(rest)) END AS r
+        FROM t2
+    ), regs AS (
+        SELECT event_type, b, max(r) AS m FROM t3 GROUP BY 1, 2
+    ), agg AS (
+        SELECT event_type,
+               sum(1::BIGINT << (51 - m)) AS s_present,
+               count(*) AS n_present
+        FROM regs GROUP BY 1
+    ), e2 AS (
+        SELECT event_type,
+               CAST(s_present + (1024 - n_present)
+                    * {_HLL_2P51} AS DOUBLE) AS s,
+               1024 - n_present AS v
+        FROM agg
+    ), e3 AS (
+        SELECT event_type,
+               CASE WHEN ({_HLL_NUM!r} / s) <= 2560.0 AND v > 0
+                    THEN 1024.0 * ln(1024.0 / v)
+                    ELSE {_HLL_NUM!r} / s END AS est
+        FROM e2
+    ), ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT e3.event_type, CAST(n_exact AS BIGINT) AS n_exact,
+           round(est, 4) AS hll_est,
+           round(abs(est - n_exact) / n_exact, 4) AS rel_err
+    FROM e3 JOIN ex USING (event_type)
+    """,
+)
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type by a PORTABLE HyperLogLog sketch
+    (Flajolet et al. 2007), alongside the exact count and relative
+    error.  See the constants block: every register operation is
+    integer, so unlike approx_count_distinct the sketch itself is
+    oracle-checkable — and mergeable across engines/runs, which is
+    what a 100 TB incremental pipeline needs from a sketch (today's
+    registers max-merge with yesterday's; the estimate is one
+    O(m) fold over 1024 longs per group).  Plan: two map-side-
+    combined aggregations (rows -> registers -> per-group fold) —
+    the shuffle after the first agg carries at most m rows per
+    group, no matter the corpus."""
+    from bugzilla_etl_spark.functions.hashing import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    h = hash64(
+        F.concat(F.lit("hll:"), F.col("user_id").cast("string"))
+    )
+    t2 = ev.select("event_type", h.alias("h")).select(
+        "event_type",
+        F.expr(f"h div {_HLL_2P50}").alias("b"),
+        (F.col("h") % _HLL_2P50).alias("rest"),
+    )
+    t3 = t2.select(
+        "event_type",
+        "b",
+        F.when(F.col("rest") == 0, F.lit(51))
+        .otherwise(F.lit(51) - F.length(F.bin("rest")))
+        .cast("int")
+        .alias("r"),
+    )
+    regs = t3.groupBy("event_type", "b").agg(F.max("r").alias("m"))
+    agg = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), 51 - m)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    s = (
+        F.col("s_present")
+        + (F.lit(1024) - F.col("n_present")) * F.lit(_HLL_2P51)
+    ).cast("double")
+    v = F.lit(1024) - F.col("n_present")
+    raw = F.lit(_HLL_NUM) / s
+    est = F.when(
+        (raw <= 2560.0) & (v > 0),
+        F.lit(1024.0) * F.log(F.lit(1024.0) / v),
+    ).otherwise(raw)
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        agg.select("event_type", est.alias("est"))
+        .join(ex, on="event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round("est", 4).alias("hll_est"),
+            F.round(
+                F.abs(F.col("est") - F.col("n_exact"))
+                / F.col("n_exact"),
+                4,
+            ).alias("rel_err"),
+        )
+    )

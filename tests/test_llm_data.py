@@ -745,3 +745,19 @@ def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
         ).collect()
     }
     assert jac[(1, 2)] < 0.2, jac  # the union-dominated failure mode
+
+
+def test_hll_distinct_accuracy_and_small_range(spark, sf_dir):
+    """HLL estimates must land within ~5 standard errors of exact
+    (sigma = 1.04/sqrt(1024) ≈ 3.3% — generous bound, no flakiness),
+    and the output must carry the exact count beside the estimate."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    rows = catalog.QUERIES["hll_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rel_err <= 0.17, (r.event_type, r.n_exact, r.hll_est)
+        assert abs(r.hll_est - r.n_exact) / r.n_exact == __import__(
+            "pytest"
+        ).approx(r.rel_err, abs=1e-3)
