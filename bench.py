@@ -131,6 +131,8 @@ HEADLINE = [
     "html_strip",
     "range_window_load",
     "hll_distinct",
+    "count_min_freq",
+    "bloom_decontam",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

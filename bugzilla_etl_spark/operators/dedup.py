@@ -823,3 +823,115 @@ def minhash_cross_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_id", "eval_id", "jaccard")
     )
+
+
+BLOOM_BITS = 65536  # m = 2^16 bits = 1024 int64 words
+BLOOM_K = 4
+BLOOM_SEED0 = 100  # seed family offset for the k probe hashes
+
+
+def bloom_build(eval_docs: DataFrame, text_col: str = "text") -> list:
+    """Build a Bloom filter over the eval set's distinct shingles:
+    2048 32-bit words (stored in int64 — bit 31 max, so the
+    shiftleft can never overflow DuckDB's checked BIGINT shift),
+    k=4 portable seeded-md5 probe positions per shingle.  Like the Count-Min and HLL sketches, every operation
+    is integer (position -> word via div, bit via shiftleft, fold
+    via bit_or), so the filter is BIT-IDENTICAL on any engine; words
+    OR-merge across incremental eval additions.
+
+    The build side is eval-sized (benchmarks are MB against a 100 TB
+    corpus — the decontam_overlap asymmetry) and aggregates to ≤1024
+    rows; returned as a plain list (the bounded model, IVF-centroid
+    contract) for the map-only probe."""
+    t = _shingled(eval_docs, text_col, "doc_id")
+    sh = t.select(F.explode("sh").alias("s")).distinct()
+    words = None
+    for j in range(BLOOM_K):
+        pos = (
+            hash64(
+                F.concat(F.lit(f"{BLOOM_SEED0 + j}:"), F.col("s"))
+            )
+            % BLOOM_BITS
+        )
+        wj = sh.select(pos.alias("pos")).select(
+            F.expr("pos div 32").alias("w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"
+            ).alias("mask"),
+        )
+        words = wj if words is None else words.unionByName(wj)
+    folded = words.groupBy("w").agg(F.bit_or("mask").alias("bits"))
+    arr = [0] * (BLOOM_BITS // 32)
+    for r in folded.collect():  # bounded: <= 1024 rows
+        arr[r["w"]] = r["bits"]
+    return arr
+
+
+def bloom_probe(
+    docs: DataFrame,
+    bloom_words: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe every doc's shingles against the Bloom filter: ONE
+    map-only Arrow pass (the decontam_overlap shape, but O(m) sketch
+    memory instead of the full sorted eval-hash array — the trade
+    when the eval side outgrows the task closure).  False positives
+    are possible by design (deterministic, engine-identical — the
+    oracle computes the same bits); false negatives are not.
+    Output: (doc_id, n_shingles, n_hits, flagged)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    words = np.array(bloom_words, dtype=np.int64)  # bit 31 max
+    seeds = [f"{BLOOM_SEED0 + j}:" for j in range(BLOOM_K)]
+
+    def probe(batches):
+        for pdf in batches:
+            ids, nsh, nh = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = re.split(r"\s+", (txt or "").strip().lower())
+                shs = {
+                    " ".join(toks[i : i + 3])
+                    for i in range(len(toks) - 2)
+                }
+                hits = 0
+                for s in shs:
+                    ok = True
+                    for sd in seeds:
+                        h = int(
+                            hashlib.md5(
+                                (sd + s).encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        pos = h % BLOOM_BITS
+                        if not (
+                            int(words[pos // 32]) >> (pos % 32)
+                        ) & 1:
+                            ok = False
+                            break
+                    hits += ok
+                ids.append(did)
+                nsh.append(len(shs))
+                nh.append(hits)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_shingles": pd.Series(nsh, dtype="int64"),
+                    "n_hits": pd.Series(nh, dtype="int64"),
+                }
+            )
+
+    out = docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        probe, schema="doc_id long, n_shingles long, n_hits long"
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        F.when(F.col("n_hits") > 0, 1).otherwise(0).alias("flagged"),
+    )

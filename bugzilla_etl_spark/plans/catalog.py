@@ -59,13 +59,14 @@ _loaded = False
 # driver-strict canonicalizer, committed as LOCAL_GATE_rN.json)
 # covers ALL queries every round regardless of window position.
 # r6-window composition (this file is read by the r6 driver run):
-# the 16 round-6-continuation additions with no driver row yet
+# the 19 round-6-continuation additions with no driver row yet
 # (tpch_q2/q9/q11/q20, stratified_split, dsir_weights,
 # char_lm_perplexity, embedding_outliers, bpe_pair_counts,
 # filter_funnel, date_normalize, stream_neardup_ingest,
-# dedup_containment, ngram_novelty, html_strip, range_window_load)
-# lead, then trunc_uncertain + the 7 behavior-touched queries, then
-# the r4-rowed refreshes up to the 50-row cap (the refresh tail past
+# dedup_containment, ngram_novelty, html_strip, range_window_load,
+# hll_distinct, count_min_freq, bloom_decontam) lead, then
+# trunc_uncertain + the 7 behavior-touched queries, then the
+# r4-rowed refreshes up to the 50-row cap (the refresh tail past
 # #50 stays local-gate-covered).
 # r7 window plan: the ~20 earlier round-6 additions still without a
 # driver row (tpch_q7/q14/q15/q17, canonical_fields, the late TPC-H
@@ -95,6 +96,8 @@ _PRIORITY = (
     "html_strip",
     "range_window_load",
     "hll_distinct",
+    "count_min_freq",
+    "bloom_decontam",
     "trunc_uncertain",
     # round-6: behavior-touching code changes — must re-test
     # (q10 broadcast-hint removal; alias canonicalization composed

@@ -518,3 +518,109 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# Count-Min sketch (Cormode & Muthukrishnan 2005): d=4 seeded hash
+# rows x w=1024 counters.  Like hll_distinct, every counter is an
+# integer, so the sketch is bit-identical across engines and
+# value-oracles at the gate; counters ADD across incremental runs
+# (the merge property).  The guarantee under test: est >= true count
+# always (one-sided error), est - true bounded by the collision mass.
+_CMS_W = 1024
+_CMS_D = 4
+
+
+def _cms_duck_bucket(i: int, expr: str) -> str:
+    from bugzilla_etl_spark.functions.hashing import duckdb_hash64
+
+    return f"({duckdb_hash64(expr, seed=i)} % {_CMS_W})"
+
+
+@register(
+    "count_min_freq",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+            AS term
+        FROM documents
+    ),
+    sketch AS (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS i, {_cms_duck_bucket(i, 'term')} AS b, "
+            "count(*) AS c FROM toks GROUP BY 2"
+            for i in range(_CMS_D)
+        )}
+    ),
+    exact AS (
+        SELECT term, count(*) AS n_true FROM toks GROUP BY term
+        ORDER BY n_true DESC, term ASC LIMIT 20
+    ),
+    probes AS (
+        SELECT term, n_true, i,
+               CASE i {" ".join(
+                   f"WHEN {i} THEN {_cms_duck_bucket(i, 'term')}"
+                   for i in range(_CMS_D)
+               )} END AS b
+        FROM exact, (SELECT unnest(range(0, {_CMS_D})) AS i) g
+    )
+    SELECT term, CAST(n_true AS BIGINT) AS n_true,
+           CAST(min(c) AS BIGINT) AS cms_est,
+           CAST(min(c) - n_true AS BIGINT) AS overcount
+    FROM probes JOIN sketch USING (i, b)
+    GROUP BY term, n_true
+    """,
+)
+def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the exact top-20 tokens,
+    with the one-sided error surfaced (overcount = est − true ≥ 0
+    by construction — the sketch guarantee the unit test pins).
+
+    Scale shape: the sketch build is one explode + map-side-combined
+    aggregation — each partition collapses to ≤ d·w = 4096 counter
+    rows before the shuffle no matter the corpus, and the d bucket
+    hashes are computed in the same projection (no d-way re-scan).
+    The probe side is 20 rows × d.  At 100 TB the sketch answers
+    point-frequency queries a full GROUP BY would need a corpus
+    shuffle for; counters ADD across incremental batches."""
+    from bugzilla_etl_spark.functions.hashing import hash64_seeded
+    from bugzilla_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens("text")).alias("term")
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (hash64_seeded(F.col("term"), i) % _CMS_W).alias("b"),
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+    sketch = (
+        toks.select(F.explode(rows).alias("p"))
+        .select("p.i", "p.b")
+        .groupBy("i", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .orderBy(F.col("n_true").desc(), F.col("term").asc())
+        .limit(20)
+    )
+    probes = exact.select(
+        "term", "n_true", F.explode(rows).alias("p")
+    ).select("term", "n_true", "p.i", "p.b")
+    return (
+        probes.join(sketch, on=["i", "b"])
+        .groupBy("term", "n_true")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "term",
+            "n_true",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_true")).alias("overcount"),
+        )
+    )

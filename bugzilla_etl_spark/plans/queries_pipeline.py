@@ -936,3 +936,68 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "bloom_decontam",
+    oracle=f"""
+    WITH tkt AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
+    t AS (
+        SELECT doc_id, {DUCK_SHINGLES} AS sh FROM tkt
+    ),
+    ev AS (
+        SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % 20 = 0
+    ),
+    seeds AS (SELECT unnest(range(0, 4)) AS j),
+    pos AS (
+        SELECT CASE j WHEN 0 THEN ((('0x' || substr(md5(CAST(('100:' || CAST(s AS VARCHAR)) AS VARCHAR)), 1, 15))::UBIGINT::BIGINT) % 65536) WHEN 1 THEN ((('0x' || substr(md5(CAST(('101:' || CAST(s AS VARCHAR)) AS VARCHAR)), 1, 15))::UBIGINT::BIGINT) % 65536) WHEN 2 THEN ((('0x' || substr(md5(CAST(('102:' || CAST(s AS VARCHAR)) AS VARCHAR)), 1, 15))::UBIGINT::BIGINT) % 65536) WHEN 3 THEN ((('0x' || substr(md5(CAST(('103:' || CAST(s AS VARCHAR)) AS VARCHAR)), 1, 15))::UBIGINT::BIGINT) % 65536) END AS pos
+        FROM ev, seeds
+    ),
+    words AS (
+        SELECT pos // 32 AS w,
+               bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+        FROM pos GROUP BY 1
+    ),
+    tr AS (
+        SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % 20 <> 0
+    ),
+    trpos AS (
+        SELECT doc_id, s, j,
+               CASE j WHEN 0 THEN ((('0x' || substr(md5(CAST(('100:' || CAST(s AS VARCHAR)) AS VARCHAR)), 1, 15))::UBIGINT::BIGINT) % 65536) WHEN 1 THEN ((('0x' || substr(md5(CAST(('101:' || CAST(s AS VARCHAR)) AS VARCHAR)), 1, 15))::UBIGINT::BIGINT) % 65536) WHEN 2 THEN ((('0x' || substr(md5(CAST(('102:' || CAST(s AS VARCHAR)) AS VARCHAR)), 1, 15))::UBIGINT::BIGINT) % 65536) WHEN 3 THEN ((('0x' || substr(md5(CAST(('103:' || CAST(s AS VARCHAR)) AS VARCHAR)), 1, 15))::UBIGINT::BIGINT) % 65536) END AS pos
+        FROM tr, seeds
+    ),
+    hit_sh AS (
+        SELECT doc_id, s
+        FROM trpos JOIN words ON words.w = trpos.pos // 32
+        WHERE (bits & (1::BIGINT << CAST(pos % 32 AS INT))) <> 0
+        GROUP BY doc_id, s HAVING count(*) = 4
+    ),
+    perdoc AS (
+        SELECT doc_id, count(*) AS n_hits FROM hit_sh GROUP BY doc_id
+    ),
+    base AS (
+        SELECT doc_id, len(sh) AS n_shingles FROM t
+        WHERE doc_id % 20 <> 0
+    )
+    SELECT b.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           CASE WHEN coalesce(n_hits, 0) > 0 THEN 1 ELSE 0 END
+               AS flagged
+    FROM base b LEFT JOIN perdoc USING (doc_id)
+    """,
+)
+def bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a Bloom MEMBERSHIP sketch: the eval
+    set's shingles fold into a 65536-bit / k=4 filter (2048 32-bit words) (integer-exact,
+    engine-identical — see operators.dedup.bloom_build) and the
+    corpus probe is ONE map-only Arrow pass against the 8 KB model.
+    This is decontam_overlap's contract when the eval side outgrows
+    the task closure: O(m) sketch memory instead of the full sorted
+    hash array, at the price of deterministic false positives (the
+    oracle computes the same bits, so the gate is exact either
+    way).  Zero corpus shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    tr = docs.where(F.col("doc_id") % 20 != 0)
+    words = D.bloom_build(ev)
+    return D.bloom_probe(tr, words)

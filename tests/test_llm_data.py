@@ -761,3 +761,76 @@ def test_hll_distinct_accuracy_and_small_range(spark, sf_dir):
         assert abs(r.hll_est - r.n_exact) / r.n_exact == __import__(
             "pytest"
         ).approx(r.rel_err, abs=1e-3)
+
+
+def test_bloom_decontam_never_misses_exact_hits(spark, sf_dir):
+    """Bloom guarantee: no false negatives — every doc the EXACT
+    decontamination probe flags must also be flagged by the sketch
+    (false positives allowed, missed hits never)."""
+    from pyspark.sql import functions as F
+
+    from bugzilla_etl_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe,
+        decontam_overlap,
+    )
+    from bugzilla_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    tr = docs.where(F.col("doc_id") % 20 != 0)
+    exact_hit = {
+        r.doc_id
+        for r in decontam_overlap(tr, ev).collect()
+        if r.n_overlap > 0
+    }
+    bloom_hit = {
+        r.doc_id
+        for r in bloom_probe(tr, bloom_build(ev)).collect()
+        if r.flagged == 1
+    }
+    assert exact_hit <= bloom_hit, exact_hit - bloom_hit
+
+
+def test_hll_registers_max_merge_equals_single_pass(spark, sf_dir):
+    """The mergeability claim, proven: per-half register tables
+    max-merged equal the single-pass registers (so yesterday's
+    sketch + today's sketch == the sketch of the union — the
+    incremental contract), hence identical estimates."""
+    from pyspark.sql import functions as F
+
+    from bugzilla_etl_spark.functions.hashing import hash64
+    from bugzilla_etl_spark.plans.queries_engine import _HLL_2P50
+    from bugzilla_etl_spark.sources import load_table
+
+    def registers(ev):
+        h = hash64(
+            F.concat(F.lit("hll:"), F.col("user_id").cast("string"))
+        )
+        t = ev.select("event_type", h.alias("h")).select(
+            "event_type",
+            F.expr(f"h div {_HLL_2P50}").alias("b"),
+            (F.col("h") % _HLL_2P50).alias("rest"),
+        )
+        r = (
+            F.when(F.col("rest") == 0, F.lit(51))
+            .otherwise(F.lit(51) - F.length(F.bin("rest")))
+            .cast("int")
+        )
+        return (
+            t.select("event_type", "b", r.alias("r"))
+            .groupBy("event_type", "b")
+            .agg(F.max("r").alias("m"))
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    whole = {
+        (r.event_type, r.b): r.m for r in registers(ev).collect()
+    }
+    half_a = registers(ev.where(F.col("event_id") % 2 == 0)).collect()
+    half_b = registers(ev.where(F.col("event_id") % 2 == 1)).collect()
+    merged: dict = {}
+    for r in list(half_a) + list(half_b):
+        k = (r.event_type, r.b)
+        merged[k] = max(merged.get(k, 0), r.m)
+    assert merged == whole
