@@ -133,6 +133,7 @@ HEADLINE = [
     "hll_distinct",
     "count_min_freq",
     "bloom_decontam",
+    "hist_quantile",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

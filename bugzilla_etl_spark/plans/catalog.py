@@ -59,12 +59,13 @@ _loaded = False
 # driver-strict canonicalizer, committed as LOCAL_GATE_rN.json)
 # covers ALL queries every round regardless of window position.
 # r6-window composition (this file is read by the r6 driver run):
-# the 19 round-6-continuation additions with no driver row yet
+# the 20 round-6-continuation additions with no driver row yet
 # (tpch_q2/q9/q11/q20, stratified_split, dsir_weights,
 # char_lm_perplexity, embedding_outliers, bpe_pair_counts,
 # filter_funnel, date_normalize, stream_neardup_ingest,
 # dedup_containment, ngram_novelty, html_strip, range_window_load,
-# hll_distinct, count_min_freq, bloom_decontam) lead, then
+# hll_distinct, count_min_freq, bloom_decontam, hist_quantile)
+# lead, then
 # trunc_uncertain + the 7 behavior-touched queries, then the
 # r4-rowed refreshes up to the 50-row cap (the refresh tail past
 # #50 stays local-gate-covered).
@@ -98,6 +99,7 @@ _PRIORITY = (
     "hll_distinct",
     "count_min_freq",
     "bloom_decontam",
+    "hist_quantile",
     "trunc_uncertain",
     # round-6: behavior-touching code changes — must re-test
     # (q10 broadcast-hint removal; alias canonicalization composed

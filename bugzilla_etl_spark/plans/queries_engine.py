@@ -624,3 +624,100 @@ def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("n_true")).alias("overcount"),
         )
     )
+
+
+@register(
+    "hist_quantile",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CAST(least(floor(value), 511) AS BIGINT) AS bin,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, bin, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM h
+    ),
+    p50 AS (
+        SELECT event_type, min(bin) + 0.5 AS p50_est
+        FROM t WHERE cum >= ceil(0.5 * n) GROUP BY 1
+    ),
+    p95 AS (
+        SELECT event_type, min(bin) + 0.5 AS p95_est
+        FROM t WHERE cum >= ceil(0.95 * n) GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50_true,
+               round(quantile_cont(value, 0.95), 4) AS p95_true
+        FROM events GROUP BY 1
+    )
+    SELECT ex.event_type, p50_true, p50_est,
+           round(abs(p50_est - p50_true), 4) AS p50_err,
+           p95_true, p95_est,
+           round(abs(p95_est - p95_true), 4) AS p95_err
+    FROM ex JOIN p50 USING (event_type) JOIN p95 USING (event_type)
+    """,
+)
+def hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a fixed-grid histogram sketch (512 unit-width
+    bins), beside the exact answers and the realized error — the
+    fourth sketch: like HLL/CMS/Bloom, the bins are integers, so the
+    sketch value-oracles AND merges (bin counts ADD across
+    incremental batches; the error bound — half a bin width each
+    side — is a property of the GRID, unaffected by merging, which
+    is what t-digest-style sketches give up).  Scale shape: one
+    map-side-combined (type, bin) aggregation bounded at 512 rows
+    per group per partition regardless of corpus size, then a
+    ≤512-row window per group.  The exact side exists to surface the
+    realized error; at 100 TB you run ONLY the sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.least(F.floor("value"), F.lit(511)).cast("long")
+    h = ev.groupBy(
+        "event_type", b.alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = h.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def est(q: float, name: str):
+        return (
+            t.where(F.col("cum") >= F.ceil(q * F.col("n")))
+            .groupBy("event_type")
+            .agg((F.min("bin") + 0.5).alias(name))
+        )
+
+    ex = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_true"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_true"),
+    )
+    return (
+        ex.join(est(0.5, "p50_est"), on="event_type")
+        .join(est(0.95, "p95_est"), on="event_type")
+        .select(
+            "event_type",
+            "p50_true",
+            "p50_est",
+            F.round(
+                F.abs(F.col("p50_est") - F.col("p50_true")), 4
+            ).alias("p50_err"),
+            "p95_true",
+            "p95_est",
+            F.round(
+                F.abs(F.col("p95_est") - F.col("p95_true")), 4
+            ).alias("p95_err"),
+        )
+    )
