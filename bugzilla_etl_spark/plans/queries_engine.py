@@ -411,6 +411,56 @@ _HLL_NUM = 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * float(1 << 51)
 _HLL_H = "(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT)"
 
 
+def hll_register_frame(ev: DataFrame) -> DataFrame:
+    """(event_type, b, m) HLL register rows for a (possibly partial)
+    event frame — the mergeable state: registers from any split of
+    the data MAX-merge to the full-data registers (property-tested),
+    which is what stream_hll folds per micro-batch."""
+    from bugzilla_etl_spark.functions.hashing import hash64
+
+    h = hash64(
+        F.concat(F.lit("hll:"), F.col("user_id").cast("string"))
+    )
+    t2 = ev.select("event_type", h.alias("h")).select(
+        "event_type",
+        F.expr(f"h div {_HLL_2P50}").alias("b"),
+        (F.col("h") % _HLL_2P50).alias("rest"),
+    )
+    t3 = t2.select(
+        "event_type",
+        "b",
+        F.when(F.col("rest") == 0, F.lit(51))
+        .otherwise(F.lit(51) - F.length(F.bin("rest")))
+        .cast("int")
+        .alias("r"),
+    )
+    return t3.groupBy("event_type", "b").agg(F.max("r").alias("m"))
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """(event_type, est) from register rows — the integer-exact
+    harmonic fold plus the small-range linear-counting branch (see
+    the constants block)."""
+    agg = regs.groupBy("event_type").agg(
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), 51 - m)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    s = (
+        F.col("s_present")
+        + (F.lit(1024) - F.col("n_present")) * F.lit(_HLL_2P51)
+    ).cast("double")
+    v = F.lit(1024) - F.col("n_present")
+    raw = F.lit(_HLL_NUM) / s
+    est = F.when(
+        (raw <= 2560.0) & (v > 0),
+        F.lit(1024.0) * F.log(F.lit(1024.0) / v),
+    ).otherwise(raw)
+    return agg.select("event_type", est.alias("est"))
+
+
+
 @register(
     "hll_distinct",
     oracle=f"""
@@ -465,47 +515,12 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined aggregations (rows -> registers -> per-group fold) —
     the shuffle after the first agg carries at most m rows per
     group, no matter the corpus."""
-    from bugzilla_etl_spark.functions.hashing import hash64
-
     ev = load_table(spark, sf_dir, "events")
-    h = hash64(
-        F.concat(F.lit("hll:"), F.col("user_id").cast("string"))
-    )
-    t2 = ev.select("event_type", h.alias("h")).select(
-        "event_type",
-        F.expr(f"h div {_HLL_2P50}").alias("b"),
-        (F.col("h") % _HLL_2P50).alias("rest"),
-    )
-    t3 = t2.select(
-        "event_type",
-        "b",
-        F.when(F.col("rest") == 0, F.lit(51))
-        .otherwise(F.lit(51) - F.length(F.bin("rest")))
-        .cast("int")
-        .alias("r"),
-    )
-    regs = t3.groupBy("event_type", "b").agg(F.max("r").alias("m"))
-    agg = regs.groupBy("event_type").agg(
-        F.sum(
-            F.expr("shiftleft(cast(1 as bigint), 51 - m)")
-        ).alias("s_present"),
-        F.count(F.lit(1)).alias("n_present"),
-    )
-    s = (
-        F.col("s_present")
-        + (F.lit(1024) - F.col("n_present")) * F.lit(_HLL_2P51)
-    ).cast("double")
-    v = F.lit(1024) - F.col("n_present")
-    raw = F.lit(_HLL_NUM) / s
-    est = F.when(
-        (raw <= 2560.0) & (v > 0),
-        F.lit(1024.0) * F.log(F.lit(1024.0) / v),
-    ).otherwise(raw)
     ex = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
     return (
-        agg.select("event_type", est.alias("est"))
+        hll_estimate(hll_register_frame(ev))
         .join(ex, on="event_type")
         .select(
             "event_type",

@@ -1269,3 +1269,127 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         index.unpersist()
+
+
+@register(
+    "stream_hll",
+    oracle="""
+    WITH t2 AS (
+        SELECT event_type,
+               (('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT)
+                   // 1125899906842624 AS b,
+               (('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT)
+                   % 1125899906842624 AS rest
+        FROM events
+    ), t3 AS (
+        SELECT event_type, b,
+               CASE WHEN rest = 0 THEN 51
+                    ELSE 51 - length(bin(rest)) END AS r
+        FROM t2
+    ), regs AS (
+        SELECT event_type, b, max(r) AS m FROM t3 GROUP BY 1, 2
+    ), agg AS (
+        SELECT event_type,
+               sum(1::BIGINT << (51 - m)) AS s_present,
+               count(*) AS n_present
+        FROM regs GROUP BY 1
+    ), e2 AS (
+        SELECT event_type,
+               CAST(s_present + (1024 - n_present)
+                    * 2251799813685248 AS DOUBLE) AS s,
+               1024 - n_present AS v
+        FROM agg
+    ), e3 AS (
+        SELECT event_type,
+               CASE WHEN (1.7013287633207432e+21 / s) <= 2560.0 AND v > 0
+                    THEN 1024.0 * ln(1024.0 / v)
+                    ELSE 1.7013287633207432e+21 / s END AS est
+        FROM e2
+    ), ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT e3.event_type, CAST(n_exact AS BIGINT) AS n_exact,
+           round(est, 4) AS hll_est
+    FROM e3 JOIN ex USING (event_type)
+    """,
+)
+def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality monitor: the portable HLL's registers
+    folded ACROSS micro-batches (a real availableNow run, two files
+    → two batches) by max-merge into a tiny state table, then the
+    estimate read off the final state.  Max-merge is IDEMPOTENT, so
+    checkpoint replays and duplicate deliveries cannot corrupt the
+    state — the streaming-sketch property that lets a 100 TB ingest
+    pipeline keep per-key cardinality hot without exactly-once
+    writes.  Oracle = the BATCH register computation over all
+    events: streaming == batch because the registers merge exactly
+    (the property the batch unit test pins)."""
+    import os
+    import shutil
+    import tempfile
+
+    from bugzilla_etl_spark.plans.queries_engine import (
+        hll_estimate,
+        hll_register_frame,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(path)
+    landing = tempfile.mkdtemp(prefix="bes_hll_")
+    os.symlink(path, os.path.join(landing, "events_a.parquet"))
+    # second batch: the same file again — a REPLAY; max-merge absorbs
+    # it, which is exactly the claim under test
+    os.symlink(path, os.path.join(landing, "events_b.parquet"))
+    state_dir = tempfile.mkdtemp(prefix="bes_hlls_")
+    state_path = os.path.join(state_dir, "registers")
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        regs = hll_register_frame(batch_df)
+        if os.path.exists(state_path):
+            prev = spark.read.parquet(state_path)
+            regs = (
+                regs.unionByName(prev)
+                .groupBy("event_type", "b")
+                .agg(F.max("m").alias("m"))
+            )
+        rows = regs.collect()  # bounded: <= |types| x 1024
+        spark.createDataFrame(
+            rows, schema="event_type string, b long, m int"
+        ).coalesce(1).write.mode("overwrite").parquet(state_path)
+
+    q = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="bes_hllc_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final_regs = spark.read.parquet(state_path)
+    ev = load_table(spark, sf_dir, "events")
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    out = (
+        hll_estimate(final_regs)
+        .join(ex, on="event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round("est", 4).alias("hll_est"),
+        )
+    )
+    rows = out.collect()
+    shutil.rmtree(landing)
+    return spark.createDataFrame(
+        rows, schema="event_type string, n_exact long, hll_est double"
+    )
