@@ -134,6 +134,7 @@ HEADLINE = [
     "count_min_freq",
     "bloom_decontam",
     "hist_quantile",
+    "pagerank_trade",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

@@ -59,7 +59,7 @@ _loaded = False
 # driver-strict canonicalizer, committed as LOCAL_GATE_rN.json)
 # covers ALL queries every round regardless of window position.
 # r6-window composition (this file is read by the r6 driver run):
-# the 21 round-6-continuation additions with no driver row yet
+# the 22 round-6-continuation additions with no driver row yet
 # (tpch_q2/q9/q11/q20, stratified_split, dsir_weights,
 # char_lm_perplexity, embedding_outliers, bpe_pair_counts,
 # filter_funnel, date_normalize, stream_neardup_ingest,
@@ -101,6 +101,7 @@ _PRIORITY = (
     "bloom_decontam",
     "hist_quantile",
     "stream_hll",
+    "pagerank_trade",
     "trunc_uncertain",
     # round-6: behavior-touching code changes — must re-test
     # (q10 broadcast-hint removal; alias canonicalization composed

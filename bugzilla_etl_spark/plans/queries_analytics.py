@@ -1514,3 +1514,146 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+_PR_SCALE = 1_000_000_000_000  # 1e12 integer rank grid
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One DuckDB power-iteration CTE pair (s{i}, r{i}) from r{i-1}."""
+    return f"""
+    s{i} AS (
+        SELECT e.dst AS node, sum(r.r // o.d) AS s
+        FROM edges e
+        JOIN r{i-1} r ON r.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT n0.node,
+               (15 * ({_PR_SCALE} // nn.n)) // 100
+               + (85 * coalesce(s, 0)) // 100 AS r
+        FROM (SELECT DISTINCT src AS node FROM edges) n0
+        LEFT JOIN s{i} USING (node), nn
+    )"""
+
+
+@register(
+    "pagerank_trade",
+    oracle=f"""
+    WITH trade AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM trade
+        UNION ALL
+        SELECT dst, src FROM trade
+    ),
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT count(DISTINCT src) AS n FROM edges),
+    r0 AS (
+        SELECT src AS node, {_PR_SCALE} // n AS r
+        FROM (SELECT DISTINCT src FROM edges), nn
+    ),
+    {_pr_iter_sql(1)},
+    {_pr_iter_sql(2)},
+    {_pr_iter_sql(3)}
+    SELECT node, round(r / 1e12, 6) AS rank
+    FROM r3 ORDER BY r DESC, node ASC LIMIT 20
+    """,
+)
+def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized customer↔supplier trade graph
+    (3 power iterations, damping 0.85): the graph-centrality pass a
+    curation pipeline runs over citation/link graphs to weight
+    sources.  Symmetrizing removes dangling mass (every node has
+    out-degree ≥ 1), keeping the oracle a pure iteration chain.
+
+    Determinism contract (the kmeans/HLL rule applied to an
+    ITERATIVE float algorithm): ranks live on an integer 1e-12 grid
+    — per-edge contributions are integer floor-divisions and the
+    per-node fold is an integer sum (order-independent!) — so three
+    chained iterations stay bit-identical across engines where
+    floating-point power iteration would drift by summation order.
+
+    Scale shape: the 3 iterations build ONE static declarative DAG
+    (no driver loop state, no collect — Catalyst sees the whole
+    lineage): per iteration, one edges⋈ranks join on src (both
+    corpus-scale: co-partition edges by src and the join reuses the
+    partitioning across iterations) + one map-side-combined sum on
+    dst.  Classic BSP/Pregel as DataFrame algebra; iterations are a
+    fixed unrolled count, the deterministic-snapshot equivalent of
+    iterate-until-converged."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    trade = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    # The edge list feeds every iteration (plus outdeg/nodes/nn), so
+    # each reference re-runs the lineitem⋈orders distinct — the
+    # GraphX instinct says persist it.  MEASURED OTHERWISE at this
+    # scale: persisting planned 5.7 -> 9.3 s, because the cache
+    # materialization barrier hides size stats from AQE, turning the
+    # per-iteration edges⋈ranks joins into fixed-partition SMJs where
+    # the un-persisted plan broadcasts the (nodes-sized) rank frame
+    # from measured sizes.  At 100-TB graph scale the calculus flips
+    # — ranks stop being broadcastable, the SMJ is the intended
+    # shape, and you checkpoint the edge list once — so the persist
+    # belongs behind a scale knob, not hardcoded.
+    edges = trade.unionAll(
+        trade.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select("src").distinct().withColumnRenamed(
+        "src", "node"
+    )
+    nn = edges.agg(F.countDistinct("src").alias("nn"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "node", f"cast({_PR_SCALE} as bigint) div nn AS r", "nn"
+        )
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg, on="src")
+            .selectExpr("dst", "r div d AS c")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(nn))
+            .selectExpr(
+                "node",
+                f"(15 * (cast({_PR_SCALE} as bigint) div nn)) div 100"
+                " + (85 * coalesce(s, 0)) div 100 AS r",
+                "nn",
+            )
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), F.col("node").asc())
+        .limit(20)
+        .select(
+            "node",
+            F.round(F.col("r") / 1e12, 6).alias("rank"),
+        )
+    )

@@ -834,3 +834,24 @@ def test_hll_registers_max_merge_equals_single_pass(spark, sf_dir):
         k = (r.event_type, r.b)
         merged[k] = max(merged.get(k, 0), r.m)
     assert merged == whole
+
+
+def test_pagerank_hubs_outrank_and_mass_bounded(spark, sf_dir):
+    """On the bipartite trade graph the ~100 suppliers are the hubs
+    (every supplier trades with many customers), so the top of the
+    ranking must be all-supplier; total rank mass stays <= 1 (floor
+    division only ever loses mass, never creates it); re-running is
+    byte-identical (integer grid)."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    fn = catalog.QUERIES["pagerank_trade"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows and all(r.node.startswith("s") for r in rows[:10]), [
+        r.node for r in rows[:10]
+    ]
+    assert sum(r.rank for r in rows) <= 1.0 + 1e-9
+    again = fn(spark, sf_dir).collect()
+    assert [(r.node, r.rank) for r in again] == [
+        (r.node, r.rank) for r in rows
+    ]

@@ -194,8 +194,15 @@ def test_catalog_no_smj_no_cartesian(spark, sf_dir):
     # SMJ on the id is the safe static shape; AQE promotes to
     # broadcast at runtime when the candidate set measures small
     # (it is band-collision-bounded, but only at runtime).
+    # pagerank_trade: the per-iteration edges⋈ranks join pairs the
+    # corpus-scale edge list with a one-row-per-NODE rank frame —
+    # at graph scale neither side broadcasts (the dedup_components
+    # class), so SMJ on src is the intended shape; AQE promotes to
+    # broadcast at test SF from measured sizes when stats are
+    # visible, but the static plan may not see them.
     smj_ok = {
         "dedup_components",
+        "pagerank_trade",
         "bug_version_full",
         "tpch_q8",
         "cc_fuzzy_match",
