@@ -862,7 +862,7 @@ def bloom_build(eval_docs: DataFrame, text_col: str = "text") -> list:
         words = wj if words is None else words.unionByName(wj)
     folded = words.groupBy("w").agg(F.bit_or("mask").alias("bits"))
     arr = [0] * (BLOOM_BITS // 32)
-    for r in folded.collect():  # bounded: <= 1024 rows
+    for r in folded.collect():  # bounded: <= 2048 word rows
         arr[r["w"]] = r["bits"]
     return arr
 
@@ -876,12 +876,16 @@ def bloom_probe(
     """Probe every doc's shingles against the Bloom filter: ONE
     map-only Arrow pass (the decontam_overlap shape, but O(m) sketch
     memory instead of the full sorted eval-hash array — the trade
-    when the eval side outgrows the task closure).  False positives
-    are possible by design (deterministic, engine-identical — the
-    oracle computes the same bits); false negatives are not.
+    when the eval side outgrows the task closure).  The shingle sets
+    are computed ENGINE-SIDE (_shingled — the same expression the
+    build side and the oracle use) and only hashed in the Arrow pass
+    with the portable md5 family, the minhash_signatures_agg
+    precedent — so probe tokenization can never desynchronize from
+    the filter's.  False positives are possible by design
+    (deterministic, engine-identical — the oracle computes the same
+    bits); false negatives are not.
     Output: (doc_id, n_shingles, n_hits, flagged)."""
     import hashlib
-    import re
 
     import numpy as np
     import pandas as pd
@@ -892,19 +896,14 @@ def bloom_probe(
     def probe(batches):
         for pdf in batches:
             ids, nsh, nh = [], [], []
-            for did, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = re.split(r"\s+", (txt or "").strip().lower())
-                shs = {
-                    " ".join(toks[i : i + 3])
-                    for i in range(len(toks) - 2)
-                }
+            for did, shs in zip(pdf["doc_id"], pdf["sh"]):
                 hits = 0
-                for s in shs:
+                for sn in shs:
                     ok = True
                     for sd in seeds:
                         h = int(
                             hashlib.md5(
-                                (sd + s).encode("utf-8")
+                                (sd + sn).encode("utf-8")
                             ).hexdigest()[:15],
                             16,
                         )
@@ -926,7 +925,8 @@ def bloom_probe(
                 }
             )
 
-    out = docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    t = _shingled(docs, text_col, id_col).select("doc_id", "sh")
+    out = t.mapInPandas(
         probe, schema="doc_id long, n_shingles long, n_hits long"
     )
     return out.select(

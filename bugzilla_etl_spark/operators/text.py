@@ -394,7 +394,10 @@ def char_lm_score(
         for pdf in batches:
             ids, n_trans, nll = [], [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
-                t = (txt or "").strip().lower()
+                # engine trim() strips ASCII space ONLY — Python
+                # .strip() (all Unicode whitespace) would diverge
+                # from the oracle on tab/newline-padded text
+                t = (txt or "").strip(" ").lower()
                 if len(t) < 2:
                     continue
                 arr = np.fromiter(

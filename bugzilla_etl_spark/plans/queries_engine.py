@@ -708,20 +708,26 @@ def hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
     )
 
-    def est(q: float, name: str):
-        return (
-            t.where(F.col("cum") >= F.ceil(q * F.col("n")))
-            .groupBy("event_type")
-            .agg((F.min("bin") + 0.5).alias(name))
+    # BOTH thresholds read off ONE evaluation of t (conditional min
+    # inside a single aggregation) — a per-quantile filter+agg would
+    # re-run the corpus aggregation and windows once per quantile
+    def crossing(q: float):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(q * F.col("n")), F.col("bin")
+            )
         )
 
+    ests = t.groupBy("event_type").agg(
+        (crossing(0.5) + 0.5).alias("p50_est"),
+        (crossing(0.95) + 0.5).alias("p95_est"),
+    )
     ex = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_true"),
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_true"),
     )
     return (
-        ex.join(est(0.5, "p50_est"), on="event_type")
-        .join(est(0.95, "p95_est"), on="event_type")
+        ex.join(ests, on="event_type")
         .select(
             "event_type",
             "p50_true",

@@ -23,6 +23,12 @@ from bugzilla_etl_spark.operators import alias as AL
 from bugzilla_etl_spark.operators import flags as FL
 from bugzilla_etl_spark.operators import subentity as SUB
 from bugzilla_etl_spark.plans.catalog import register
+from bugzilla_etl_spark.plans.queries_engine import (
+    _HLL_2P50,
+    _HLL_2P51,
+    _HLL_H,
+    _HLL_NUM,
+)
 from bugzilla_etl_spark.sources import load_table
 from bugzilla_etl_spark.sources.tables import normalize_events_ts
 
@@ -1273,13 +1279,11 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_hll",
-    oracle="""
+    oracle=f"""
     WITH t2 AS (
         SELECT event_type,
-               (('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT)
-                   // 1125899906842624 AS b,
-               (('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT)
-                   % 1125899906842624 AS rest
+               {_HLL_H} // {_HLL_2P50} AS b,
+               {_HLL_H} % {_HLL_2P50} AS rest
         FROM events
     ), t3 AS (
         SELECT event_type, b,
@@ -1296,14 +1300,14 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), e2 AS (
         SELECT event_type,
                CAST(s_present + (1024 - n_present)
-                    * 2251799813685248 AS DOUBLE) AS s,
+                    * {_HLL_2P51} AS DOUBLE) AS s,
                1024 - n_present AS v
         FROM agg
     ), e3 AS (
         SELECT event_type,
-               CASE WHEN (1.7013287633207432e+21 / s) <= 2560.0 AND v > 0
+               CASE WHEN ({_HLL_NUM!r} / s) <= 2560.0 AND v > 0
                     THEN 1024.0 * ln(1024.0 / v)
-                    ELSE 1.7013287633207432e+21 / s END AS est
+                    ELSE {_HLL_NUM!r} / s END AS est
         FROM e2
     ), ex AS (
         SELECT event_type, count(DISTINCT user_id) AS n_exact
