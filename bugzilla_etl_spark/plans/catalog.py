@@ -58,32 +58,49 @@ _loaded = False
 # greens, oldest first; (3) the local gate (tools/verify_local.py,
 # driver-strict canonicalizer, committed as LOCAL_GATE_rN.json)
 # covers ALL queries every round regardless of window position.
-# r6-window composition (this file is read by the r6 driver run):
-# the 22 round-6-continuation additions with no driver row yet
-# (tpch_q2/q9/q11/q20, stratified_split, dsir_weights,
-# char_lm_perplexity, embedding_outliers, bpe_pair_counts,
-# filter_funnel, date_normalize, stream_neardup_ingest,
-# dedup_containment, ngram_novelty, html_strip, range_window_load,
-# hll_distinct, count_min_freq, bloom_decontam, hist_quantile)
-# lead, then
-# trunc_uncertain + the 7 behavior-touched queries, then the
-# r4-rowed refreshes up to the 50-row cap (the refresh tail past
-# #50 stays local-gate-covered).
-# r7 window plan: the ~20 earlier round-6 additions still without a
-# driver row (tpch_q7/q14/q15/q17, canonical_fields, the late TPC-H
-# batch q4/q8/q12/q13/q16/q19/q21/q22, heavy_hitters_ngrams,
-# stream_heavy_hitters, cc_fuzzy_match, decontam_neardup, semdedup,
-# flag_fuzzy_match) + any refresh tail cut from the r6 window + the
-# oldest-rowed greens; r8 takes the remainder — a full cycle is
-# ceil(124/50) = 3 windows.
+# r7-window composition (round 7; the expected r6 driver run never
+# happened — CORRECTNESS records stop at r5, so ALL 43 round-6
+# additions are still never-driver-tested and lead this window,
+# together with any round-7 additions prepended as they land).
+# After the never-tested block: the r6 behavior-touched queries
+# (q10 broadcast-hint removal; alias canonicalization composed into
+# build_full_docs; kmeans max_k cap; alias_store load narrowing;
+# swap_buckets retirement; the catalog-wide hint-policy sweep that
+# touched tpch_q3/q5 and the jaccard ops), then the 42 r4-rowed
+# refreshes.  The cut at 50 falls inside the behavior-touched block;
+# everything past it is local-gate green (LOCAL_GATE_r07) and
+# rotates into r8/r9 — full cycle ceil(N/50) = 3 windows.
 _PRIORITY = (
-    # round-6: never driver-tested (new this round)
-    # -- the partsupp four (derived relation; 22/22 TPC-H shapes)
+    # ---- round-7 additions (never tested; prepended as they land)
+    "triangle_count",
+    "zorder_layout",
+    "anomaly_mad",
+    "compaction_plan",
+    "cooccurrence_pmi",
+    # ---- round-6: never driver-tested (43 queries, no driver row)
     "tpch_q2",
     "tpch_q9",
     "tpch_q11",
     "tpch_q20",
-    # -- round-6 cont. LLM-pipeline additions
+    "tpch_q7",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    "canonical_fields",
+    "heavy_hitters_ngrams",
+    "stream_heavy_hitters",
+    "cc_fuzzy_match",
+    "decontam_neardup",
+    "semdedup",
+    "flag_fuzzy_match",
     "stratified_split",
     "dsir_weights",
     "char_lm_perplexity",
@@ -103,24 +120,21 @@ _PRIORITY = (
     "stream_hll",
     "pagerank_trade",
     "trunc_uncertain",
-    # round-6: behavior-touching code changes — must re-test
-    # (q10 broadcast-hint removal; alias canonicalization composed
-    # into build_full_docs for both batch and streaming flagship;
-    # kmeans max_k cap; alias_store load narrowing; swap_buckets
-    # empty-touched-bucket retirement)
+    # ---- round-6 behavior-touched (r5-green but code changed in r6;
+    # ---- must re-test; fills the window tail up to the 50 cap)
     "tpch_q10",
     "bug_version_full",
     "stream_bug_versions",
     "kmeans_embeddings",
     "alias_compact",
     "stream_snapshot",
-    # round-6 TPC-H addition with the most novel plan shape
-    # (agg-filtered semi join); q7/q14 + stream_previous_values are
-    # the r7-window front of the line, local-gate green meanwhile
+    "tpch_q3",
+    "tpch_q5",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_invindex",
     "tpch_q18",
-    # the 42 queries whose newest driver rows are r4 (rotated out of
-    # the r5 window) — rotated BACK IN so every catalog query's
-    # newest row stays <= 1 round old (round-5 verdict item 5)
+    # ---- r4-rowed refresh tail (oldest driver rows; local-gate
+    # ---- green; rotates in as window positions free up)
     "stream_rollup",
     "pivot_event_counts",
     "nested_docs",
@@ -156,22 +170,16 @@ _PRIORITY = (
     "ann_topk",
     "embedding_neardup",
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_invindex",
     "dedup_simhash",
     "alias_resolve",
     "diff_apply",
-    "tpch_q3",
-    "tpch_q5",
 )
 
 # Rotated past position 50 when the catalog exceeds the cap: every
-# entry here has a GREEN r4 driver row (CORRECTNESS_r04 50/50),
-# is unchanged this round, and is re-verified by the local gate
-# (tools/verify_local.py, driver-strict canonicalizer) every run.
+# entry here has a GREEN r5 driver row, is unchanged since, and is
+# re-verified by the local gate (tools/verify_local.py,
+# driver-strict canonicalizer) every run.
 _DEPRIORITY = (
-    # r5-green (CORRECTNESS_r05 50/50); codepaths untouched in round
-    # 6; re-verified by the local gate every run
     "previous_values",
     "ann_ivf_nprobe",
     "dedup_minhash_lsh",
@@ -215,6 +223,7 @@ _DEPRIORITY = (
     "winnow_fingerprints",
     "winnow_pairs",
     "tpch_q6",
+    "stream_previous_values",
 )
 
 

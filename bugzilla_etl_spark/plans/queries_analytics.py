@@ -1657,3 +1657,121 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("r") / 1e12, 6).alias("rank"),
         )
     )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    ),
+    ok_parts AS (
+        SELECT pk FROM ps GROUP BY pk HAVING count(*) <= 64
+    ),
+    co AS (
+        SELECT a.sk AS s1, b.sk AS s2, count(*) AS w
+        FROM ps a
+        JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+        JOIN ok_parts op ON op.pk = a.pk
+        GROUP BY a.sk, b.sk
+    ),
+    edges AS (
+        SELECT s1, s2 FROM co
+        ORDER BY w DESC, s1 ASC, s2 ASC LIMIT 5000
+    ),
+    tri AS (
+        SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.s2 = e2.s1
+        WHERE EXISTS (
+            SELECT 1 FROM edges e3
+            WHERE e3.s1 = e1.s1 AND e3.s2 = e2.s2
+        )
+    ),
+    pernode AS (
+        SELECT node, count(*) AS tri_cnt FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT node AS s_suppkey, tri_cnt
+    FROM pernode
+    ORDER BY tri_cnt DESC, s_suppkey ASC LIMIT 10
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the supplier co-supply
+    graph (edge = two suppliers carrying the same part) — the graph
+    clustering-coefficient probe beside pagerank_trade's centrality:
+    triangle-dense nodes sit in tight communities (the structure a
+    curation pipeline exploits to spot mirror farms in a link
+    graph).
+
+    Bounded at every stage, the pair-generation discipline of the
+    dedup family applied to a graph build:
+    1. per-part supplier lists are df-CAPPED (parts with > 64
+       suppliers are dropped, the hot-shingle guard — a universal
+       part contributes O(cap²), never O(suppliers²));
+    2. the projection is then SPARSIFIED to the top-5000 strongest
+       edges by co-supply weight (deterministic total order: weight
+       desc, then endpoints) — triangle counting on the backbone
+       graph, the standard sparsify-then-count shape, planned as
+       TakeOrderedAndProject (per-partition k-heap, no sort
+       shuffle);
+    3. triangles enumerate ORIENTED (s1 < s2 everywhere), so each
+       triangle is produced exactly once: wedge join on the middle
+       vertex + a semi join closing the third side — never an
+       unordered 3-way product.
+    The backbone is 5000 rows by construction, so Spark broadcasts
+    it to both sides of the wedge/closure joins regardless of
+    corpus size; the only corpus-scale work is the distinct scan
+    and the capped per-part pair agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    ok = ps.groupBy("pk").agg(F.count(F.lit(1)).alias("ns")).where(
+        F.col("ns") <= 64
+    ).select("pk")
+    a = ps.alias("a")
+    b = ps.alias("b")
+    co = (
+        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")))
+        .join(ok, on="pk")
+        .groupBy(
+            F.col("a.sk").alias("s1"), F.col("b.sk").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        co.orderBy(F.col("w").desc(), F.col("s1").asc(), F.col("s2").asc())
+        .limit(5000)
+        .select("s1", "s2")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = e1.join(e2, F.col("e1.s2") == F.col("e2.s1")).select(
+        F.col("e1.s1").alias("ta"),
+        F.col("e1.s2").alias("tb"),
+        F.col("e2.s2").alias("tc"),
+    )
+    tri = wedges.join(
+        edges.select(
+            F.col("s1").alias("ta"), F.col("s2").alias("tc")
+        ),
+        on=["ta", "tc"],
+        how="left_semi",
+    )
+    nodes = (
+        tri.select(F.col("ta").alias("node"))
+        .unionAll(tri.select(F.col("tb").alias("node")))
+        .unionAll(tri.select(F.col("tc").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_cnt"))
+        .orderBy(F.col("tri_cnt").desc(), F.col("node").asc())
+        .limit(10)
+        .select(F.col("node").alias("s_suppkey"), "tri_cnt")
+    )

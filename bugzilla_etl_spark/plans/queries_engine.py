@@ -742,3 +742,314 @@ def hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p95_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: physical-layout and robust-statistics engine surface
+# ---------------------------------------------------------------------------
+
+# 10-bit-per-dimension Morton (Z-order) interleave over RANK-
+# NORMALIZED coordinates.  Raw values interleave badly when ranges
+# differ (a constant high bit in one dimension collapses every row
+# into one bucket — measured on this very data), so both dimensions
+# are first scaled to a 0..1023 integer grid via their global
+# min/max (a 1-row broadcast aggregate).  Bit i of x lands at 2i, of
+# y at 2i+1; the 20-bit key is exact in int64 on both engines.
+_Z_SPARK = (
+    "aggregate(sequence(0, 9), cast(0 as bigint), (acc, i) -> acc"
+    " + shiftleft(shiftright(xk, i) & 1, 2 * i)"
+    " + shiftleft(shiftright(yk, i) & 1, 2 * i + 1))"
+)
+_Z_DUCK = (
+    "list_sum(list_transform(range(0, 10), i ->"
+    " (((xk >> i) & 1) << (2 * i)) + (((yk >> i) & 1) << (2 * i + 1))))"
+)
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+    WITH raw AS (
+        SELECT o_orderkey, o_custkey AS x,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS y
+        FROM orders
+    ),
+    ext AS (
+        SELECT min(x) AS xlo, max(x) AS xhi,
+               min(y) AS ylo, max(y) AS yhi
+        FROM raw
+    ),
+    keyed AS (
+        SELECT o_orderkey,
+               ((x - xlo) * 1023) // greatest(xhi - xlo, 1) AS xk,
+               ((y - ylo) * 1023) // greatest(yhi - ylo, 1) AS yk
+        FROM raw CROSS JOIN ext
+    ),
+    z AS (SELECT *, {_Z_DUCK} AS zkey FROM keyed)
+    SELECT CAST(zkey // 8192 AS BIGINT) AS zbucket,
+           count(*) AS n,
+           min(xk) AS custkey_lo, max(xk) AS custkey_hi,
+           min(yk) AS day_lo, max(yk) AS day_hi
+    FROM z GROUP BY zbucket ORDER BY zbucket
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (o_custkey, order day) and
+    the per-bucket min/max ranges a file-skipping reader would prune
+    on — the multi-dimensional clustering pass a 100 TB table gets
+    before being written (Delta/Iceberg OPTIMIZE ZORDER BY): sorting
+    by the interleaved key gives every file a narrow range in BOTH
+    dimensions, so point/range predicates on EITHER column prune,
+    where a lexicographic (custkey, day) sort only prunes the
+    leading column.
+
+    The interleave runs over RANK-NORMALIZED coordinates: each
+    dimension is scaled to a 0..1023 integer grid from its global
+    min/max first.  This is load-bearing, not cosmetic — interleaving
+    raw values put 100% of rows in ONE bucket here, because the day
+    dimension's constant high bits dominated every interleaved
+    position (the same reason production z-ordering ranks columns
+    before interleaving).  All arithmetic is integer (scale, 20 bit
+    ops folded with ``aggregate`` over ``sequence``, bucket div), so
+    keys and buckets are bit-identical on any engine.
+
+    Scale shape: one 1-row min/max aggregate broadcast back (the
+    1-row crossJoin pattern), one map-only keying pass, one
+    map-side-combined aggregation on the 128-bucket id.  The real
+    write path is ``repartitionByRange(n, zkey).sortWithinPartitions
+    (zkey).write`` — a single range-exchange, the same plan shape as
+    any global sort."""
+    od = load_table(spark, sf_dir, "orders")
+    raw = od.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("x"),
+        F.expr(
+            "cast(cast(o_orderdate as timestamp) as long) div 86400"
+        ).alias("y"),
+    )
+    ext = raw.agg(
+        F.min("x").alias("xlo"),
+        F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"),
+        F.max("y").alias("yhi"),
+    )
+    keyed = raw.crossJoin(F.broadcast(ext)).select(
+        "o_orderkey",
+        F.expr(
+            "((x - xlo) * 1023) div greatest(xhi - xlo, 1)"
+        ).alias("xk"),
+        F.expr(
+            "((y - ylo) * 1023) div greatest(yhi - ylo, 1)"
+        ).alias("yk"),
+    )
+    z = keyed.withColumn("zkey", F.expr(_Z_SPARK))
+    return (
+        z.groupBy(F.expr("zkey div 8192").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("xk").alias("custkey_lo"),
+            F.max("xk").alias("custkey_hi"),
+            F.min("yk").alias("day_lo"),
+            F.max("yk").alias("day_hi"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+@register(
+    "anomaly_mad",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, max(n) AS n,
+               sum(CASE WHEN rn = (n + 1) // 2 THEN value END)
+               + sum(CASE WHEN rn = (n + 2) // 2 THEN value END)
+                   AS med2
+        FROM ranked GROUP BY event_type
+    ),
+    dev AS (
+        SELECT r.event_type, abs(2 * r.value - m.med2) AS d,
+               row_number() OVER (
+                   PARTITION BY r.event_type
+                   ORDER BY abs(2 * r.value - m.med2), r.event_id
+               ) AS rn,
+               m.n, m.med2
+        FROM ranked r JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, max(n) AS n, max(med2) AS med2,
+               sum(CASE WHEN rn = (n + 1) // 2 THEN d END)
+               + sum(CASE WHEN rn = (n + 2) // 2 THEN d END)
+                   AS mad2
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, max(d.n) AS n,
+           round(max(d.med2) / 2, 4) AS med,
+           round(max(m.mad2) / 4, 4) AS mad,
+           CAST(sum(CASE WHEN 2 * d.d > 3 * m.mad2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen: median + MAD (median absolute
+    deviation), flagging |value − median| > 3·MAD — the
+    outlier-resistant quality gate (mean/stddev is itself dragged by
+    the outliers it should catch).
+
+    Exactness without quantization: medians are ORDER STATISTICS —
+    to stay engine-identical with no interpolation arithmetic, the
+    doubled median ``med2 = x[(n+1)//2] + x[(n+2)//2]`` (each index
+    selects exactly one row_number) is carried instead of the
+    median; deviations ``d = |2v - med2|`` are thus in DOUBLED
+    units, so their own doubled order-statistic sum ``mad2`` is
+    4x the MAD (reported as ``mad2/4``), and the outlier test compares ``2·|2v − med2|`` against
+    ``3·mad2``: a sum and small-integer multiples of data values —
+    every operation a single deterministic IEEE op, no
+    summation-order dependence anywhere.
+
+    Scale shape: two rank passes over the SAME event_type partition
+    (one exchange; the second window reuses the partitioning), the
+    per-type medians are a dim-sized frame joined back broadcast.
+    Exact per-key medians need a per-key sort — that is the
+    contract; at sparse-key 100 TB keep this form, at hot-key scale
+    switch to the mergeable ``hist_quantile`` sketch whose error
+    bound this operator oracles."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (
+            F.sum(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"), F.col("value")
+                )
+            )
+            + F.sum(
+                F.when(
+                    F.col("rn") == F.expr("(n + 2) div 2"), F.col("value")
+                )
+            )
+        ).alias("med2"),
+    )
+    dv = Window.partitionBy("event_type").orderBy("d", "event_id")
+    dev = (
+        ranked.join(
+            F.broadcast(med.select("event_type", "med2")),
+            on="event_type",
+        )
+        .select(
+            "event_type",
+            "event_id",
+            "n",
+            "med2",
+            F.abs(2 * F.col("value") - F.col("med2")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(dv))
+    )
+    mad = dev.groupBy("event_type").agg(
+        (
+            F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("d")))
+            + F.sum(
+                F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("d"))
+            )
+        ).alias("mad2"),
+    )
+    return (
+        dev.join(F.broadcast(mad), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("med2") / 2, 4).alias("med"),
+            F.round(F.max("mad2") / 4, 4).alias("mad"),
+            F.sum(
+                F.when(2 * F.col("d") > 3 * F.col("mad2"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "compaction_plan",
+    oracle="""
+    WITH sized AS (
+        SELECT source, doc_id, n_chars,
+               coalesce(sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM documents
+    )
+    SELECT source, CAST(cum_before // 16384 AS BIGINT) AS bin,
+           count(*) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS bytes,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM sized GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the maintenance job every
+    long-lived 100 TB table needs (streaming ingest and per-batch
+    overwrites leave KB-sized files; scan cost is dominated by file
+    OPEN count, not bytes).  ``documents`` stands in for the file
+    listing: (source, doc_id, n_chars) = (partition dir, file,
+    size).
+
+    Sequential-fill binning: within each partition, files in
+    name order join the current output group until the cumulative
+    size crosses the target (16 KiB here; 128 MB-1 GB in
+    production), expressed as ``exclusive-prefix-sum div target`` —
+    one window over the partition key, no driver loop.  A group may
+    overrun the target by at most one file (first-fit-in-order
+    semantics, the same rule Delta's OPTIMIZE bin-packing uses).
+
+    Scale shape: planning is one exchange on the partition dir (the
+    natural key — file listings arrive per-dir) + a map-side-
+    combined group agg; the plan output is groups-sized (≪ files).
+    Execution is then per-group ``coalesce``d rewrites driven by
+    the plan rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        sized.groupBy(
+            "source", F.expr("cum_before div 16384").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").alias("bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin")
+    )

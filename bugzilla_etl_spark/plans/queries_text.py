@@ -492,3 +492,89 @@ def html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).alias("clean_len"),
         F.substring(F.md5(clean), 1, 8).alias("clean_sig"),
     )
+
+
+@register(
+    "cooccurrence_pmi",
+    oracle=f"""
+    WITH tk AS (SELECT {DUCK_TOKENS} AS tk FROM documents),
+    uni AS (
+        SELECT term, count(*) AS c
+        FROM (SELECT unnest(tk) AS term FROM tk)
+        GROUP BY term
+    ),
+    big AS (
+        SELECT pair, count(*) AS c_ab
+        FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(tk) - 1),
+                       i -> concat_ws(' ', tk[i], tk[i+1]))) AS pair
+            FROM tk
+        )
+        GROUP BY pair HAVING count(*) >= 5
+    )
+    SELECT b.pair, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+           (b.c_ab * 1000000000000) // (ua.c * ub.c) AS score
+    FROM big b
+    JOIN uni ua ON ua.term = string_split(b.pair, ' ')[1]
+    JOIN uni ub ON ub.term = string_split(b.pair, ' ')[2]
+    ORDER BY score DESC, pair ASC LIMIT 20
+    """,
+)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token pairs by pointwise mutual information —
+    the collocation detector that separates real phrases from chance
+    adjacency (heavy_hitters_ngrams ranks by raw frequency; PMI
+    ranks by ASSOCIATION, c(ab)/(c(a)·c(b)), surfacing rare-but-
+    always-together pairs that frequency ranking buries).
+
+    Integer-exact ranking (the pagerank/kmeans rule): for a fixed
+    corpus, PMI ordering is monotone in the rational
+    c_ab/(c_a·c_b), carried as the scaled integer floor-division
+    ``c_ab·10¹² div (c_a·c_b)`` — no log, no float, bit-identical
+    across engines.  Overflow bound: c_ab ≤ 10⁶ at this scale keeps
+    the numerator < 2⁶³; at trillion-token corpora move the score
+    to log-domain doubles (ranking only, values not compared) or a
+    128-bit grid.  Pairs under 5 occurrences are dropped — PMI is
+    noise-dominated at tiny counts (a hapax bigram of two hapax
+    tokens scores the maximum).
+
+    Scale shape: two map-side-combined counting aggs (unigrams =
+    vocab-sized, bigrams ≥ 5 = collocation-sized), then the pair
+    frame joins the vocab frame twice ON THE TERM KEY — vocab is
+    millions of rows at 100 TB (never broadcast-hinted; AQE
+    promotes when it fits), and the final top-20 is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(T.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        docs.select(F.explode(T.ngrams(T.tokens("text"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    ua = uni.select(F.col("term").alias("ta"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("term").alias("tb"), F.col("c").alias("c_b"))
+    scored = (
+        big.withColumn("ta", F.split(F.col("pair"), " ").getItem(0))
+        .withColumn("tb", F.split(F.col("pair"), " ").getItem(1))
+        .join(ua, on="ta")
+        .join(ub, on="tb")
+        .select(
+            "pair",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "(c_ab * cast(1000000000000 as bigint))"
+                " div (c_a * c_b)"
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("pair").asc()
+    ).limit(20)

@@ -1,0 +1,117 @@
+"""Round-7 additions: layout, robust stats, graph, collocations.
+
+Value parity vs DuckDB is covered by test_catalog_oracle for every
+query here; these tests pin the PROPERTIES the operators promise
+(locality bounds, first-fit invariants, score arithmetic, oriented
+triangle enumeration) that a value hash alone would not explain.
+"""
+
+from __future__ import annotations
+
+from bugzilla_etl_spark.plans import catalog
+
+
+def _q(name, spark, sf_dir):
+    catalog.load_all()
+    return catalog.QUERIES[name](spark, sf_dir)
+
+
+def test_zorder_buckets_are_local_in_both_dims(spark, sf_dir):
+    """The point of z-ordering: every bucket's range is narrow in
+    BOTH dimensions.  Bucket id = top 7 bits of the 20-bit key =
+    x's top 3 bits + y's top 4 bits, so on the 0..1023 grid a
+    bucket spans <= 127 in x and <= 63 in y BY CONSTRUCTION —
+    violated means the interleave or normalization broke."""
+    rows = _q("zorder_layout", spark, sf_dir).collect()
+    assert rows, "no buckets"
+    for r in rows:
+        assert 0 <= r["zbucket"] < 128
+        assert r["custkey_hi"] - r["custkey_lo"] <= 127, r
+        assert r["day_hi"] - r["day_lo"] <= 63, r
+    # and the layout actually spreads: more than one bucket occupied
+    assert len(rows) > 8
+
+
+def test_anomaly_mad_matches_numpy(spark, sf_dir):
+    """Doubled-order-statistic median/MAD equals the classic numpy
+    formulation per event_type (numpy median interpolates the same
+    two middle elements)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    got = {
+        r["event_type"]: r
+        for r in _q("anomaly_mad", spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    for et, grp in ev.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        med = np.median(v)
+        mad = np.median(np.abs(v - med))
+        r = got[et]
+        assert r["n"] == len(v)
+        assert abs(r["med"] - med) < 1e-6, (et, r["med"], med)
+        assert abs(r["mad"] - mad) < 1e-6, (et, r["mad"], mad)
+        n_out = int((np.abs(v - med) > 3 * mad).sum())
+        assert r["n_outliers"] == n_out, (et, r["n_outliers"], n_out)
+
+
+def test_triangle_count_oriented_and_bounded_plan(spark, sf_dir):
+    """Plan shape: no cartesian product anywhere (the wedge/closure
+    joins are keyed), and the backbone sparsification survives as a
+    GlobalLimit node.  Values are oracle-checked; this pins the
+    no-all-pairs contract."""
+    df = _q("triangle_count", spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "GlobalLimit" in analyzed
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical
+    rows = df.collect()
+    # participation counts are positive and sorted desc
+    cnts = [r["tri_cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert all(c > 0 for c in cnts)
+
+
+def test_cooccurrence_pmi_score_arithmetic(spark, sf_dir):
+    """The returned score IS the documented integer rational: score
+    == c_ab * 10^12 div (c_a * c_b), and the min-count guard held."""
+    rows = _q("cooccurrence_pmi", spark, sf_dir).collect()
+    assert rows, "no collocations at this scale"
+    for r in rows:
+        assert r["c_ab"] >= 5
+        assert r["score"] == (r["c_ab"] * 10**12) // (r["c_a"] * r["c_b"])
+        a, b = r["pair"].split(" ")
+        assert a and b
+
+
+def test_compaction_plan_first_fit_invariants(spark, sf_dir):
+    """Per source: bins are contiguous from 0, doc ranges do not
+    overlap across bins, every byte is conserved, and each bin
+    except the last starts strictly below the next target boundary
+    (first-fit-in-order semantics)."""
+    rows = _q("compaction_plan", spark, sf_dir).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .agg({"n_chars": "sum", "doc_id": "count"})
+        .collect()
+    )
+    totals = {
+        r["source"]: (r["sum(n_chars)"], r["count(doc_id)"]) for r in docs
+    }
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(totals)
+    for src, bins in by_src.items():
+        bins.sort(key=lambda r: r["bin"])
+        assert [b["bin"] for b in bins] == list(range(len(bins)))
+        assert sum(b["bytes"] for b in bins) == totals[src][0]
+        assert sum(b["n_files"] for b in bins) == totals[src][1]
+        for prev, nxt in zip(bins, bins[1:]):
+            assert prev["last_doc"] < nxt["first_doc"]
