@@ -79,6 +79,8 @@ _PRIORITY = (
     "cooccurrence_pmi",
     "stream_decontam",
     "embedding_pca",
+    "profile_table",
+    "skyline_orders",
     # ---- round-6: never driver-tested (43 queries, no driver row)
     "tpch_q2",
     "tpch_q9",

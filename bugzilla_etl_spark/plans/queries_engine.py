@@ -1053,3 +1053,189 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+# (col_name, kind, num_expr, str_expr) — numeric columns profile
+# through min/max doubles (timestamps via epoch seconds: string
+# rendering of instants/floats diverges across engines, numbers
+# do not), text columns through min/max varchars.
+_PROFILE_COLS = (
+    ("o_orderkey", "num", "CAST(o_orderkey AS DOUBLE)", None),
+    ("o_custkey", "num", "CAST(o_custkey AS DOUBLE)", None),
+    ("o_totalprice", "num", "o_totalprice", None),
+    ("o_orderdate", "num", None, None),  # engine-specific epoch expr
+    ("o_orderstatus", "str", None, "o_orderstatus"),
+    ("o_orderpriority", "str", None, "o_orderpriority"),
+)
+_EPOCH_DUCK = "CAST(floor(epoch(o_orderdate)) AS DOUBLE)"
+_EPOCH_SPARK = (
+    "CAST(CAST(cast(o_orderdate as timestamp) AS LONG) AS DOUBLE)"
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, kind, num, strx in _PROFILE_COLS:
+        if name == "o_orderdate":
+            num = _EPOCH_DUCK
+        if kind == "num":
+            mn, mx = f"round(min({num}), 4)", f"round(max({num}), 4)"
+            ms, xs = "NULL", "NULL"
+        else:
+            mn, mx = "NULL", "NULL"
+            ms, xs = f"min({strx})", f"max({strx})"
+        parts.append(
+            f"""SELECT '{name}' AS col_name,
+                count(*) AS n,
+                count(*) - count({name}) AS n_null,
+                count(DISTINCT {name}) AS ndv,
+                {mn} AS min_num, {mx} AS max_num,
+                {ms} AS min_str, {xs} AS max_str
+            FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("profile_table", oracle=_profile_oracle())
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling — the ANALYZE TABLE pass every
+    pipeline runs before planning joins and quality gates: per
+    column, row count, null count, exact NDV, and min/max (numeric
+    columns as doubles — timestamps through epoch seconds — text
+    columns as varchars; string rendering of floats/instants is
+    engine-specific, their VALUES are not).
+
+    Scale shape: ONE aggregate over one scan — the multi-distinct
+    plans as Catalyst's Expand (each input row fans to one row per
+    distinct-column then partial-aggregates map-side), which keeps
+    the exchange partial-sized instead of shuffling the table once
+    per column; the alternative melt-then-groupBy(col_name) shape
+    was rejected because column-name keys make one reducer hold
+    every row of a column at 100 TB.  Exact NDV is the expensive
+    honest form; at hot scale swap in the portable HLL sketch
+    (hll_distinct) per column and keep this as its accuracy
+    oracle."""
+    od = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, kind, num, strx in _PROFILE_COLS:
+        if name == "o_orderdate":
+            num = _EPOCH_SPARK
+        aggs += [
+            F.count(F.lit(1)).alias(f"{name}__n"),
+            (F.count(F.lit(1)) - F.count(name)).alias(f"{name}__n_null"),
+            F.countDistinct(name).alias(f"{name}__ndv"),
+        ]
+        if kind == "num":
+            aggs += [
+                F.round(F.min(F.expr(num)), 4).alias(f"{name}__min_num"),
+                F.round(F.max(F.expr(num)), 4).alias(f"{name}__max_num"),
+                F.lit(None).cast("string").alias(f"{name}__min_str"),
+                F.lit(None).cast("string").alias(f"{name}__max_str"),
+            ]
+        else:
+            aggs += [
+                F.lit(None).cast("double").alias(f"{name}__min_num"),
+                F.lit(None).cast("double").alias(f"{name}__max_num"),
+                F.min(strx).alias(f"{name}__min_str"),
+                F.max(strx).alias(f"{name}__max_str"),
+            ]
+    wide = od.agg(*aggs)
+    stacks = ", ".join(
+        f"'{name}', {name}__n, {name}__n_null, {name}__ndv,"
+        f" {name}__min_num, {name}__max_num,"
+        f" {name}__min_str, {name}__max_str"
+        for name, *_ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stacks}) AS (col_name, n,"
+            " n_null, ndv, min_num, max_num, min_str, max_str)"
+        )
+    )
+
+
+@register(
+    "skyline_orders",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+               o_totalprice AS price
+        FROM orders
+    ),
+    flagged AS (
+        SELECT o_orderkey, day, price,
+               max(price) OVER (
+                   ORDER BY day
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS mx_strict,
+               max(price) OVER (
+                   ORDER BY day
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS mx_incl
+        FROM pts
+    )
+    SELECT o_orderkey, day, round(price, 4) AS price
+    FROM flagged
+    WHERE NOT (coalesce(mx_strict >= price, FALSE) OR mx_incl > price)
+    ORDER BY day, o_orderkey
+    """,
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of orders under (earlier day,
+    higher price): an order survives unless some order is at least
+    as early AND at least as expensive with one strict — the
+    multi-criteria shortlist operator (price/recency trade-off
+    curves, best-effort dedup candidates, frontier sampling).
+
+    2D skylines need no pairwise joins: sorted by day, a point is
+    dominated iff the running price max beats it — two RANGE-framed
+    window maxima (strictly-earlier days; up-to-current for
+    same-day strict-price domination) and a filter.  Comparisons
+    only, no float arithmetic, so cross-engine exact.
+
+    Scale: the pruning phase partitions by day bucket first — a
+    local skyline can only shrink (domination is transitive within
+    a bucket's day range), survivors are frontier-sized, and the
+    exact global pass runs over that small set.  Here the global
+    window is the whole plan (single-partition sort of 15k rows);
+    at 100 TB the bucket-local pass IS this same code under
+    ``partitionBy(bucket)`` feeding this global pass — documented
+    as the two-phase composition, same operators."""
+    od = load_table(spark, sf_dir, "orders")
+    pts = od.select(
+        "o_orderkey",
+        F.expr(
+            "cast(cast(o_orderdate as timestamp) as long) div 86400"
+        ).alias("day"),
+        F.col("o_totalprice").alias("price"),
+    )
+    w_strict = (
+        Window.orderBy("day")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_incl = (
+        Window.orderBy("day")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = pts.select(
+        "o_orderkey",
+        "day",
+        "price",
+        F.max("price").over(w_strict).alias("mx_strict"),
+        F.max("price").over(w_incl).alias("mx_incl"),
+    )
+    return (
+        flagged.where(
+            ~(
+                F.coalesce(
+                    F.col("mx_strict") >= F.col("price"), F.lit(False)
+                )
+                | (F.col("mx_incl") > F.col("price"))
+            )
+        )
+        .select(
+            "o_orderkey", "day", F.round("price", 4).alias("price")
+        )
+        .orderBy("day", "o_orderkey")
+    )

@@ -160,3 +160,49 @@ def test_embedding_pca_direction_quality(spark, sf_dir):
     pc1 = np.linalg.svd(C, full_matrices=False)[2][0]
     cos = abs(v @ pc1) / (np.linalg.norm(v) * np.linalg.norm(pc1))
     assert cos >= 0.9, cos
+
+
+def test_profile_table_matches_pandas(spark, sf_dir):
+    """Profile rows equal per-column pandas stats (exact NDV, null
+    count, numeric/text min-max routing)."""
+    rows = {r["col_name"]: r for r in _q("profile_table", spark, sf_dir).collect()}
+    pdf = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderstatus", "o_orderpriority",
+    }
+    for col, r in rows.items():
+        s = pdf[col]
+        assert r["n"] == len(s)
+        assert r["n_null"] == int(s.isna().sum())
+        assert r["ndv"] == s.nunique()
+        if col in ("o_orderstatus", "o_orderpriority"):
+            assert r["min_num"] is None and r["max_num"] is None
+            assert r["min_str"] == s.min() and r["max_str"] == s.max()
+        else:
+            assert r["min_str"] is None and r["max_str"] is None
+            assert r["min_num"] is not None and r["max_num"] is not None
+            assert r["min_num"] <= r["max_num"]
+
+
+def test_skyline_orders_is_exact_pareto_set(spark, sf_dir):
+    """Brute-force O(n^2) domination check: the returned set is
+    EXACTLY the Pareto frontier under (day min, price max)."""
+    import numpy as np
+
+    got = {r["o_orderkey"] for r in _q("skyline_orders", spark, sf_dir).collect()}
+    pdf = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    day = (pdf["o_orderdate"].astype("int64") // 10**9 // 86400).to_numpy()
+    price = pdf["o_totalprice"].to_numpy()
+    key = pdf["o_orderkey"].to_numpy()
+    n = len(key)
+    dominated = np.zeros(n, dtype=bool)
+    for i in range(n):
+        dom = (
+            (day <= day[i])
+            & (price >= price[i])
+            & ((day < day[i]) | (price > price[i]))
+        )
+        dominated[i] = dom.any()
+    expect = set(key[~dominated].tolist())
+    assert got == expect
