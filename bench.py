@@ -135,6 +135,16 @@ HEADLINE = [
     "bloom_decontam",
     "hist_quantile",
     "pagerank_trade",
+    # round-7 additions (stream_decontam excluded with the other
+    # streaming queries: availableNow startup dominates wall time)
+    "triangle_count",
+    "zorder_layout",
+    "anomaly_mad",
+    "compaction_plan",
+    "cooccurrence_pmi",
+    "embedding_pca",
+    "profile_table",
+    "skyline_orders",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query
