@@ -145,6 +145,7 @@ HEADLINE = [
     "embedding_pca",
     "profile_table",
     "skyline_orders",
+    "compact_store",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

@@ -81,6 +81,7 @@ _PRIORITY = (
     "embedding_pca",
     "profile_table",
     "skyline_orders",
+    "compact_store",
     # ---- round-6: never driver-tested (43 queries, no driver row)
     "tpch_q2",
     "tpch_q9",

@@ -1239,3 +1239,100 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "o_orderkey")
     )
+
+
+def compact_documents(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """Compaction EXECUTED, not just planned — the OPTIMIZE
+    maintenance cycle run against a real store (the alias_compact
+    lifecycle pattern): documents land as a deliberately fragmented
+    partitioned store (8 files per source dir), the file listing is
+    binned first-fit by the same exclusive-prefix-sum arithmetic as
+    compaction_plan (file listings are driver work in production
+    compactors too — the listing is dirs x files, never row-scale),
+    and ONE rewrite job folds each bin to ~1 file via
+    repartition(source, bin) + partitionBy.  The oracle checks the
+    invariant that makes compaction safe to run anywhere: content
+    is EXACTLY preserved (the gate compares the read-back against
+    the source table); the file-count reduction (~8x at sf0.01,
+    >=2x at the 50-doc test scale) is pinned in the unit test.
+
+    Scale shape: the rewrite is a single shuffle keyed on
+    (source, bin) — each output group is target-sized by
+    construction, so tasks are balanced regardless of the input's
+    file-size skew; no per-bin driver jobs (a bin loop is the
+    naive compactor that serializes on the driver at 100k files)."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="bes_cst_")
+    compacted = tempfile.mkdtemp(prefix="bes_cso_")
+    # fragment: 8 files per source dir
+    docs.repartition(8).write.mode("overwrite").partitionBy(
+        "source"
+    ).parquet(store)
+
+    # driver-side file listing (dirs x files — the compactor's real
+    # input; bounded by file count, never row count)
+    listing = []
+    for src in sorted(os.listdir(store)):
+        if not src.startswith("source="):
+            continue
+        d = os.path.join(store, src)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                p = os.path.join(d, f)
+                listing.append((src.split("=", 1)[1], p, os.path.getsize(p)))
+    files = spark.createDataFrame(
+        listing, schema="source STRING, path STRING, bytes BIGINT"
+    )
+    plan = files.withColumn(
+        "bin",
+        F.expr(
+            "coalesce(sum(bytes) over (partition by source"
+            " order by path rows between unbounded preceding"
+            " and 1 preceding), 0) div 65536"
+        ),
+    ).select("path", "source", "bin")
+
+    assign = F.broadcast(plan.withColumnRenamed("path", "_file"))
+    data = (
+        spark.read.parquet(store)
+        .withColumn("_file", F.input_file_name())
+        .withColumn("_file", F.regexp_replace("_file", "^file://", ""))
+        .drop("source")
+    )
+    (
+        data.join(assign, on="_file")
+        .drop("_file")
+        .repartition(F.col("source"), F.col("bin"))
+        .write.mode("overwrite")
+        .partitionBy("source", "bin")
+        .parquet(compacted)
+    )
+    files_after = sum(
+        1
+        for root, _dirs, fs in os.walk(compacted)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    out = spark.read.parquet(compacted).select(
+        "doc_id", "source", "n_chars"
+    )
+    return out, {"files_before": len(listing), "files_after": files_after}
+
+
+@register(
+    "compact_store",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM documents
+    """,
+)
+def compact_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog wrapper over compact_documents (docstring there): the
+    gate checks the compaction safety invariant — the read-back of
+    the rewritten store is value-identical to the source table."""
+    out, _stats = compact_documents(spark, sf_dir)
+    return out

@@ -206,3 +206,23 @@ def test_skyline_orders_is_exact_pareto_set(spark, sf_dir):
         dominated[i] = dom.any()
     expect = set(key[~dominated].tolist())
     assert got == expect
+
+
+def test_compact_store_reduces_files_preserves_content(spark, sf_dir):
+    """The executed compaction cycle: fewer files (>=2x at this
+    smallest scale; ~8x at sf0.01 where sources hold more docs) and
+    exact content preservation (ids a permutation, sizes conserved;
+    the catalog oracle re-checks the same invariant vs DuckDB)."""
+    from bugzilla_etl_spark.plans.queries_engine import compact_documents
+
+    out, stats = compact_documents(spark, sf_dir)
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["source"], r["n_chars"]) for r in out.collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["source"], r["n_chars"])
+        for r in src.select("doc_id", "source", "n_chars").collect()
+    )
+    assert got == want
+    assert stats["files_after"] * 2 <= stats["files_before"], stats
