@@ -146,6 +146,8 @@ HEADLINE = [
     "profile_table",
     "skyline_orders",
     "compact_store",
+    "bloom_join_prune",
+    "frequent_pairs",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

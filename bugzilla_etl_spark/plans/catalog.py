@@ -82,6 +82,8 @@ _PRIORITY = (
     "profile_table",
     "skyline_orders",
     "compact_store",
+    "bloom_join_prune",
+    "frequent_pairs",
     # ---- round-6: never driver-tested (43 queries, no driver row)
     "tpch_q2",
     "tpch_q9",

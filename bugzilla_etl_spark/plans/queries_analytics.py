@@ -1775,3 +1775,232 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(F.col("node").alias("s_suppkey"), "tri_cnt")
     )
+
+
+_BJ_SEED0 = 200  # key-Bloom seed family (shingle Bloom uses 100..103)
+
+
+def _bj_duck_pos(j: int) -> str:
+    from bugzilla_etl_spark.functions.hashing import duckdb_hash64
+
+    return f"({duckdb_hash64('c', seed=_BJ_SEED0 + j)} % 65536)"
+
+
+def _bj_oracle() -> str:
+    pos_cases = " ".join(
+        f"WHEN {j} THEN {_bj_duck_pos(j).replace('{c}', 'c')}"
+        for j in range(4)
+    )
+    return f"""
+    WITH seg AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    spos AS (
+        SELECT CASE j {pos_cases} END AS pos
+        FROM (SELECT c_custkey AS c FROM seg),
+             (SELECT unnest(range(0, 4)) AS j)
+    ),
+    words AS (
+        SELECT pos // 32 AS w,
+               bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+        FROM spos GROUP BY 1
+    ),
+    opos AS (
+        SELECT o_orderkey,
+               CASE j {pos_cases} END AS pos
+        FROM (SELECT o_orderkey, o_custkey AS c FROM orders),
+             (SELECT unnest(range(0, 4)) AS j)
+    ),
+    cand AS (
+        SELECT o_orderkey
+        FROM opos JOIN words ON words.w = opos.pos // 32
+        WHERE (bits & (1::BIGINT << CAST(pos % 32 AS INT))) <> 0
+        GROUP BY o_orderkey HAVING count(*) = 4
+    )
+    SELECT count(*) AS n_orders,
+           CAST(sum(CASE WHEN c.o_orderkey IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN s.c_custkey IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           round(sum(CASE WHEN s.c_custkey IS NOT NULL
+                     THEN o.o_totalprice ELSE 0 END), 4)
+               AS revenue_matched
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM cand) c
+           ON o.o_orderkey = c.o_orderkey
+    LEFT JOIN seg s ON o.o_custkey = s.c_custkey
+    """
+
+
+@register("bloom_join_prune", oracle=_bj_oracle())
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pushdown — the runtime-filter trick
+    that makes dim⋈fact joins cheap at 100 TB: the filtered build
+    side (BUILDING-segment customers) folds its join keys into an
+    8 KB Bloom filter, the fact scan probes it MAP-ONLY (pure
+    codegen bit tests against a literal word array — no join, no
+    shuffle), and only surviving rows reach the exact semi join
+    that removes the deterministic false positives.  Spark's own
+    runtime bloom join (spark.sql.optimizer.runtime.bloomFilter)
+    does this adaptively and invisibly; this operator makes the
+    mechanics explicit with the portable md5 hash family, so the
+    pruned counts — including the FP count, n_candidates −
+    n_matched — value-oracle exactly.
+
+    Output row: (n_orders, n_candidates, n_matched,
+    revenue_matched): the scan-reduction ratio IS the result.
+    Scale shape: build side is one dim-bounded aggregate collected
+    as the 8 KB model (the bloom_build contract); probe adds zero
+    exchanges to the fact scan; the verifying semi join runs on the
+    ~20% survivor slice instead of the full fact."""
+    from bugzilla_etl_spark.functions.hashing import hash64_seeded
+    from bugzilla_etl_spark.operators.dedup import BLOOM_BITS
+
+    cu = load_table(spark, sf_dir, "customer")
+    seg = cu.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    words_df = None
+    for j in range(4):
+        pos = hash64_seeded(F.col("c_custkey"), _BJ_SEED0 + j) % BLOOM_BITS
+        wj = seg.select(pos.alias("pos")).select(
+            F.expr("pos div 32").alias("w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"
+            ).alias("mask"),
+        )
+        words_df = wj if words_df is None else words_df.unionByName(wj)
+    folded = words_df.groupBy("w").agg(F.bit_or("mask").alias("bits"))
+    words = [0] * (BLOOM_BITS // 32)
+    for r in folded.collect():  # bounded: <= 2048 word rows
+        words[r["w"]] = r["bits"]
+
+    wlit = F.array(*[F.lit(int(x)) for x in words])
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    probe = od.withColumn("_words", wlit)
+    # materialize the four probe positions as columns once, then
+    # test word bits — all codegen, zero joins
+    for j in range(4):
+        probe = probe.withColumn(
+            f"_p{j}",
+            hash64_seeded(F.col("o_custkey"), _BJ_SEED0 + j) % BLOOM_BITS,
+        )
+    tests = [
+        F.expr(
+            f"(element_at(_words, cast(_p{j} div 32 as int) + 1)"
+            f" & shiftleft(cast(1 as bigint),"
+            f" cast(_p{j} % 32 as int))) != 0"
+        )
+        for j in range(4)
+    ]
+    cand_flag = tests[0]
+    for t in tests[1:]:
+        cand_flag = cand_flag & t
+    flagged = probe.withColumn("cand", cand_flag).drop(
+        "_words", "_p0", "_p1", "_p2", "_p3"
+    )
+    joined = flagged.join(
+        seg.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+            "_m", F.lit(1)
+        ),
+        on="o_custkey",
+        how="left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("cand"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_candidates"),
+        F.sum(F.when(F.col("_m").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("_m").isNotNull(), F.col("o_totalprice")
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("revenue_matched"),
+    )
+
+
+@register(
+    "frequent_pairs",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM b),
+    thr AS (SELECT greatest(n // 1000, 2) AS minsup FROM nb),
+    freq AS (
+        SELECT l_suppkey FROM b, thr
+        GROUP BY l_suppkey, minsup HAVING count(*) >= minsup
+    ),
+    pairs AS (
+        SELECT a.l_suppkey AS s1, c.l_suppkey AS s2, count(*) AS support
+        FROM b a
+        JOIN b c ON a.l_orderkey = c.l_orderkey
+                AND a.l_suppkey < c.l_suppkey
+        JOIN freq f1 ON f1.l_suppkey = a.l_suppkey
+        JOIN freq f2 ON f2.l_suppkey = c.l_suppkey
+        GROUP BY a.l_suppkey, c.l_suppkey
+    )
+    SELECT s1, s2, support
+    FROM pairs, thr WHERE support >= minsup
+    ORDER BY support DESC, s1 ASC, s2 ASC LIMIT 20
+    """,
+)
+def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-occurring item pairs (A-priori levels 1-2 over
+    order baskets): the market-basket probe behind co-occurrence
+    recommendations and correlated-failure analysis.  Support
+    threshold is RELATIVE (0.1% of baskets, floor 2), so the same
+    query is meaningful at every SF.
+
+    A-priori's downward-closure does the pruning work: items below
+    threshold are dropped BEFORE pair generation (a pair of
+    infrequent items cannot be frequent), so the per-basket pair
+    explode runs over frequent items only — the same
+    bound-the-pair-space discipline as the dedup family's df caps,
+    justified here by theorem instead of heuristic.  One
+    basket-keyed self-join + map-side-combined count; threshold is
+    a 1-row broadcast; top-20 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_suppkey").distinct()
+    nb = b.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    ).select(
+        F.greatest(F.expr("n div 1000"), F.lit(2)).alias("minsup")
+    )
+    freq = (
+        b.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(nb))
+        .where(F.col("cnt") >= F.col("minsup"))
+        .select("l_suppkey")
+    )
+    bf = b.join(freq, on="l_suppkey", how="left_semi")
+    a = bf.alias("a")
+    c = bf.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("c.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("c.l_suppkey").alias("s2"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nb))
+        .where(F.col("support") >= F.col("minsup"))
+        .orderBy(F.col("support").desc(), F.col("s1").asc(), F.col("s2").asc())
+        .limit(20)
+        .select("s1", "s2", "support")
+    )

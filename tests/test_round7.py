@@ -226,3 +226,50 @@ def test_compact_store_reduces_files_preserves_content(spark, sf_dir):
     )
     assert got == want
     assert stats["files_after"] * 2 <= stats["files_before"], stats
+
+
+def test_bloom_join_prune_no_false_negatives(spark, sf_dir):
+    """The Bloom prune may over-admit (deterministic FPs) but can
+    never drop a real match: n_matched equals the exact semi-join
+    count, and candidates always contain the matches."""
+    r = _q("bloom_join_prune", spark, sf_dir).collect()[0]
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    from pyspark.sql import functions as F
+
+    exact = (
+        od.join(
+            cu.where(F.col("c_mktsegment") == "BUILDING"),
+            od.o_custkey == cu.c_custkey,
+            "left_semi",
+        ).count()
+    )
+    assert r["n_matched"] == exact
+    assert r["n_candidates"] >= r["n_matched"]
+    assert r["n_orders"] == od.count()
+
+
+def test_frequent_pairs_support_and_bruteforce(spark, sf_dir):
+    """Every returned pair meets the relative support threshold, and
+    the top pair matches a brute-force pandas count."""
+    import itertools
+
+    rows = _q("frequent_pairs", spark, sf_dir).collect()
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .toPandas()
+    )
+    n_baskets = li["l_orderkey"].nunique()
+    minsup = max(n_baskets // 1000, 2)
+    counts: dict = {}
+    for _, grp in li.groupby("l_orderkey"):
+        for a, b in itertools.combinations(sorted(grp["l_suppkey"]), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    for r in rows:
+        assert r["support"] >= minsup
+        assert counts[(r["s1"], r["s2"])] == r["support"]
+    if rows and counts:
+        best = max(counts.values())
+        assert rows[0]["support"] == best
