@@ -916,9 +916,13 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     every operation a single deterministic IEEE op, no
     summation-order dependence anywhere.
 
-    Scale shape: two rank passes over the SAME event_type partition
-    (one exchange; the second window reuses the partitioning), the
-    per-type medians are a dim-sized frame joined back broadcast.
+    Scale shape: ONE event_type exchange end-to-end (plan-asserted)
+    — the medians are unbounded-frame WINDOW sums over the same
+    partitioning rather than groupBy-and-join-back branches, which
+    re-planned as FOUR shuffles of the same key before this
+    formulation; the second rank pass is a re-sort, not a
+    re-exchange, and the final aggregate's partials ride the same
+    partitioning.
     Exact per-key medians need a per-key sort — that is the
     contract; at sparse-key 100 TB keep this form, at hot-key scale
     switch to the mergeable ``hist_quantile`` sketch whose error
@@ -926,66 +930,52 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "value", "event_id"
     )
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
     ranked = ev.select(
         "event_type",
         "value",
         "event_id",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
     )
-    med = ranked.groupBy("event_type").agg(
-        F.max("n").alias("n"),
+    med = ranked.select(
+        "*",
         (
             F.sum(
-                F.when(
-                    F.col("rn") == F.expr("(n + 1) div 2"), F.col("value")
-                )
-            )
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value"))
+            ).over(wp)
             + F.sum(
-                F.when(
-                    F.col("rn") == F.expr("(n + 2) div 2"), F.col("value")
-                )
-            )
+                F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("value"))
+            ).over(wp)
         ).alias("med2"),
     )
-    dv = Window.partitionBy("event_type").orderBy("d", "event_id")
-    dev = (
-        ranked.join(
-            F.broadcast(med.select("event_type", "med2")),
-            on="event_type",
-        )
-        .select(
-            "event_type",
-            "event_id",
-            "n",
-            "med2",
-            F.abs(2 * F.col("value") - F.col("med2")).alias("d"),
-        )
-        .withColumn("rn", F.row_number().over(dv))
-    )
-    mad = dev.groupBy("event_type").agg(
+    wd = Window.partitionBy("event_type").orderBy("d", "event_id")
+    dev = med.select(
+        "event_type",
+        "event_id",
+        "n",
+        "med2",
+        F.abs(2 * F.col("value") - F.col("med2")).alias("d"),
+    ).withColumn("rn2", F.row_number().over(wd))
+    mad = dev.select(
+        "*",
         (
-            F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("d")))
+            F.sum(
+                F.when(F.col("rn2") == F.expr("(n + 1) div 2"), F.col("d"))
+            ).over(wp)
             + F.sum(
-                F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("d"))
-            )
+                F.when(F.col("rn2") == F.expr("(n + 2) div 2"), F.col("d"))
+            ).over(wp)
         ).alias("mad2"),
     )
-    return (
-        dev.join(F.broadcast(mad), on="event_type")
-        .groupBy("event_type")
-        .agg(
-            F.max("n").alias("n"),
-            F.round(F.max("med2") / 2, 4).alias("med"),
-            F.round(F.max("mad2") / 4, 4).alias("mad"),
-            F.sum(
-                F.when(2 * F.col("d") > 3 * F.col("mad2"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_outliers"),
-        )
+    return mad.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.round(F.max("med2") / 2, 4).alias("med"),
+        F.round(F.max("mad2") / 4, 4).alias("mad"),
+        F.sum(F.when(2 * F.col("d") > 3 * F.col("mad2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
     )
 
 

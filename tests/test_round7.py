@@ -273,3 +273,47 @@ def test_frequent_pairs_support_and_bruteforce(spark, sf_dir):
     if rows and counts:
         best = max(counts.values())
         assert rows[0]["support"] == best
+
+
+def test_round7_plan_shapes(spark, sf_dir):
+    """Physical-plan contracts for the round-7 family:
+    - profile_table really multi-distincts through ONE Expand (one
+      scan), not per-column scans;
+    - anomaly_mad's two rank passes + aggregates share ONE
+      event_type exchange (the snapshot-family single-shuffle
+      contract);
+    - bloom_join_prune's probe adds NO join — the only join in the
+      plan is the exact verification semi/left join;
+    - zorder_layout's normalization is a broadcast (1-row min/max),
+      never a shuffle join."""
+    plans = {
+        name: _q(name, spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        for name in (
+            "profile_table",
+            "anomaly_mad",
+            "bloom_join_prune",
+            "zorder_layout",
+        )
+    }
+    assert plans["profile_table"].count("Expand") >= 1
+    assert plans["profile_table"].count("Scan parquet") == 1
+
+    mad = plans["anomaly_mad"]
+    import re
+
+    ex_keys = re.findall(r"Exchange hashpartitioning\((\w+)#", mad)
+    assert ex_keys.count("event_type") == 1, ex_keys
+
+    bj = plans["bloom_join_prune"]
+    n_joins = sum(
+        bj.count(k)
+        for k in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, bj[:500]
+
+    zo = plans["zorder_layout"]
+    assert "BroadcastNestedLoopJoin" in zo or "BroadcastExchange" in zo
+    assert "SortMergeJoin" not in zo
