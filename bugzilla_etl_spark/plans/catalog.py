@@ -84,6 +84,7 @@ _PRIORITY = (
     "compact_store",
     "bloom_join_prune",
     "frequent_pairs",
+    "stream_attribution",
     # ---- round-6: never driver-tested (43 queries, no driver row)
     "tpch_q2",
     "tpch_q9",

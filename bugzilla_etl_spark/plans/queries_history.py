@@ -1397,3 +1397,124 @@ def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="event_type string, n_exact long, hll_est double"
     )
+
+
+@register(
+    "stream_attribution",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, c.click_id,
+           CAST((epoch_us(p.purchase_ts) - epoch_us(c.click_ts))
+                // 1000000 AS BIGINT) AS gap_s
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join — the last Structured Streaming
+    operator class the catalog lacked: purchase events join the
+    click stream per user within a 1-hour attribution window, both
+    sides watermarked so the state store can expire clicks older
+    than any possible future match (the mechanism that makes a
+    stream-stream join bounded-state at 100 TB: state size =
+    watermark horizon × arrival rate, not history).
+
+    Real multi-batch run: each side lands as 2 parquet files
+    (maxFilesPerTrigger=1 → interleaved micro-batches), inner join
+    in append mode to a memory sink under availableNow.  The join
+    condition uses the watermarked TIMESTAMP columns directly —
+    event data is µs-granular, and Spark-µs vs DuckDB-ns interval
+    arithmetic is exact at µs granularity, so the batch SQL oracle
+    (the same interval join, streaming == batch) hashes
+    identically.  The gap column divides epoch-µs integers, never
+    floats."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    sides = {
+        "click": ev.where(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        ),
+        "purchase": ev.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        ),
+    }
+    dirs = {}
+    for name, df in sides.items():
+        landing = tempfile.mkdtemp(prefix=f"bes_att_{name}_")
+        for tag, part in (
+            ("a", df.where(F.col(f"{name}_id") % 2 == 0)),
+            ("b", df.where(F.col(f"{name}_id") % 2 == 1)),
+        ):
+            tmp = os.path.join(landing, f"_stage_{tag}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(tmp, src),
+                os.path.join(landing, f"{name}_{tag}.parquet"),
+            )
+            shutil.rmtree(tmp)
+        dirs[name] = (landing, df.schema)
+
+    clicks = (
+        spark.readStream.schema(dirs["click"][1])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["click"][0])
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        spark.readStream.schema(dirs["purchase"][1])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["purchase"][0])
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (
+            clicks.click_ts
+            >= purchases.purchase_ts - F.expr("INTERVAL 1 HOUR")
+        ),
+        "inner",
+    )
+    name = f"stream_att_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.select(
+            purchases.user_id,
+            "purchase_id",
+            "click_id",
+            F.expr(
+                "(unix_micros(purchase_ts) - unix_micros(click_ts))"
+                " div 1000000"
+            ).alias("gap_s"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="bes_att_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

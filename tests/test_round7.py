@@ -317,3 +317,48 @@ def test_round7_plan_shapes(spark, sf_dir):
     zo = plans["zorder_layout"]
     assert "BroadcastNestedLoopJoin" in zo or "BroadcastExchange" in zo
     assert "SortMergeJoin" not in zo
+
+
+def test_stream_attribution_equals_batch_join(spark, sf_dir):
+    """streaming == batch for the stream-stream interval join: the
+    append-mode result set equals the batch interval join exactly
+    (same pairs, same gaps), across real interleaved micro-batches."""
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        (r["user_id"], r["purchase_id"], r["click_id"], r["gap_s"])
+        for r in _q("stream_attribution", spark, sf_dir).collect()
+    )
+    from bugzilla_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = sorted(
+        (r["user_id"], r["purchase_id"], r["click_id"], r["gap_s"])
+        for r in p.join(
+            c,
+            (p.user_id == c.cu)
+            & (c.cts <= p.pts)
+            & (c.cts >= p.pts - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            F.expr(
+                "(unix_micros(pts) - unix_micros(cts)) div 1000000"
+            ).alias("gap_s"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert got, "no attribution pairs at this scale"
