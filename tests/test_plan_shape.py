@@ -561,3 +561,57 @@ def test_tpch_q9_partsupp_derivation_map_only(spark, sf_dir):
         "StringContains(p_name,red)" in f.replace(" ", "")
         for f in pushed_part
     ), pushed_part
+
+
+def test_catalog_no_cartesian_no_row_python(spark, sf_dir):
+    """Catalog-wide anti-pattern fleet check, complementing the
+    broadcast-hint policy test:
+
+    - NO CartesianProduct anywhere: every 1-row scalar crossJoin in
+      the catalog must plan as BroadcastNestedLoopJoin (the bounded
+      side broadcasts); a CartesianProduct means a scaling relation
+      ended up on both sides un-broadcast — quadratic at 100 TB.
+    - NO row-at-a-time Python (BatchEvalPython): every Python path
+      must be Arrow-vectorized (ArrowEvalPython / mapInPandas /
+      FlatMapGroupsInPandas and friends), the 10-100x rule from the
+      operator contracts.
+
+    Streaming/lifecycle queries execute real runs on plan build and
+    are covered by their own equivalence tests; they are skipped
+    here to keep this a plan inspection, not an execution pass."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    SKIP_EXECUTING = {
+        # foreachBatch / memory-sink / store-lifecycle queries whose
+        # builder runs jobs; plan text is not a pure function of the
+        # logical query for them
+        "stream_snapshot",
+        "stream_rollup",
+        "stream_sessionize",
+        "stream_dedup",
+        "stream_previous_values",
+        "stream_bug_versions",
+        "stream_heavy_hitters",
+        "stream_neardup_ingest",
+        "stream_hll",
+        "stream_decontam",
+        "stream_attribution",
+        "alias_compact",
+        "compact_store",
+    }
+    offenders = []
+    for name, fn in sorted(catalog.QUERIES.items()):
+        if name in SKIP_EXECUTING:
+            continue
+        plan = (
+            fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders

@@ -362,3 +362,31 @@ def test_stream_attribution_equals_batch_join(spark, sf_dir):
     )
     assert got == want
     assert got, "no attribution pairs at this scale"
+
+
+def test_profile_table_merge_semantics(spark, sf_dir):
+    """Which profile columns are MERGEABLE across incremental runs:
+    count/nulls sum, min/max fold — a split profile recombines to
+    the whole-table answer for those — while exact NDV does NOT
+    merge (distinct sets overlap), which is precisely why
+    hll_distinct (max-mergeable registers) is the documented scale
+    path for the NDV column."""
+    from pyspark.sql import functions as F
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    whole = {r["col_name"]: r for r in _q("profile_table", spark, sf_dir).collect()}
+    halves = [
+        od.where(F.col("o_orderkey") % 2 == i).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("ndv"),
+            F.min("o_custkey").alias("mn"),
+            F.max("o_custkey").alias("mx"),
+        ).collect()[0]
+        for i in (0, 1)
+    ]
+    r = whole["o_custkey"]
+    assert halves[0]["n"] + halves[1]["n"] == r["n"]
+    assert min(halves[0]["mn"], halves[1]["mn"]) == r["min_num"]
+    assert max(halves[0]["mx"], halves[1]["mx"]) == r["max_num"]
+    # NDV does not merge by addition (overlapping key sets)
+    assert halves[0]["ndv"] + halves[1]["ndv"] > r["ndv"]
