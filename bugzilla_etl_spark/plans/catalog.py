@@ -71,7 +71,7 @@ _loaded = False
 # everything past it is local-gate green (LOCAL_GATE_r07) and
 # rotates into r8/r9 — full cycle ceil(N/50) = 3 windows.
 _PRIORITY = (
-    # ---- round-7 additions (never tested; prepended as they land)
+    # ---- round-7 additions (never tested; this round's claims)
     "triangle_count",
     "zorder_layout",
     "anomaly_mad",
@@ -85,23 +85,18 @@ _PRIORITY = (
     "bloom_join_prune",
     "frequent_pairs",
     "stream_attribution",
-    # ---- round-6: never driver-tested (43 queries, no driver row)
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q20",
-    "tpch_q7",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q4",
-    "tpch_q8",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q21",
-    "tpch_q22",
+    # ---- round-6 never-tested: novel-machinery claims first
+    # ---- (sketches, graph, reference-parity, streaming,
+    # ---- LLM-pipeline), then the TPC-H block whose tail takes
+    # ---- the over-50 cut (those shapes carry fleet plan tests
+    # ---- and local-gate rows; lowest marginal driver-row value)
+    "trunc_uncertain",
+    "pagerank_trade",
+    "hll_distinct",
+    "count_min_freq",
+    "bloom_decontam",
+    "hist_quantile",
+    "stream_hll",
     "canonical_fields",
     "heavy_hitters_ngrams",
     "stream_heavy_hitters",
@@ -121,15 +116,24 @@ _PRIORITY = (
     "ngram_novelty",
     "html_strip",
     "range_window_load",
-    "hll_distinct",
-    "count_min_freq",
-    "bloom_decontam",
-    "hist_quantile",
-    "stream_hll",
-    "pagerank_trade",
-    "trunc_uncertain",
-    # ---- round-6 behavior-touched (r5-green but code changed in r6;
-    # ---- must re-test; fills the window tail up to the 50 cap)
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q20",
+    "tpch_q7",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    # ---- round-6 behavior-touched, then the r4-rowed refresh
+    # ---- tail (local-gate green; rotates into r8/r9)
     "tpch_q10",
     "bug_version_full",
     "stream_bug_versions",
@@ -141,8 +145,6 @@ _PRIORITY = (
     "dedup_ngram_jaccard",
     "dedup_jaccard_invindex",
     "tpch_q18",
-    # ---- r4-rowed refresh tail (oldest driver rows; local-gate
-    # ---- green; rotates in as window positions free up)
     "stream_rollup",
     "pivot_event_counts",
     "nested_docs",
