@@ -1726,7 +1726,13 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The backbone is 5000 rows by construction, so Spark broadcasts
     it to both sides of the wedge/closure joins regardless of
     corpus size; the only corpus-scale work is the distinct scan
-    and the capped per-part pair agg."""
+    and the capped per-part pair agg — executed ONCE even though
+    three plan references consume the backbone, because Catalyst's
+    ReuseExchange deduplicates the identical subtree (measured: a
+    driver-side materialization of the 5000 rows, the PCA/kmeans
+    instinct, made the query 2x SLOWER by breaking that reuse —
+    the bounded-model collect is for iterative consumers, not for
+    fan-out within one plan)."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
