@@ -845,15 +845,31 @@ def bloom_build(eval_docs: DataFrame, text_col: str = "text") -> list:
     contract) for the map-only probe."""
     t = _shingled(eval_docs, text_col, "doc_id")
     sh = t.select(F.explode("sh").alias("s")).distinct()
+    return bloom_fold_words(sh, "s", BLOOM_SEED0)
+
+
+def bloom_fold_words(
+    values: DataFrame, col: str, seed0: int
+) -> list:
+    """The shared word-array fold behind every Bloom model in the
+    engine (shingle decontamination, key-based join pruning): k=4
+    seeded portable-md5 positions per distinct value, position ->
+    word via div, bit via shiftleft (bit 31 max — never overflows
+    DuckDB's checked BIGINT shift), fold via bit_or, collected as
+    the bounded <=2048-word model list.  ONE scan of the value
+    frame: the per-seed position frames are a union over the same
+    child, which Catalyst collapses into a single pass."""
     words = None
     for j in range(BLOOM_K):
         pos = (
             hash64(
-                F.concat(F.lit(f"{BLOOM_SEED0 + j}:"), F.col("s"))
+                F.concat(
+                    F.lit(f"{seed0 + j}:"), F.col(col).cast("string")
+                )
             )
             % BLOOM_BITS
         )
-        wj = sh.select(pos.alias("pos")).select(
+        wj = values.select(pos.alias("pos")).select(
             F.expr("pos div 32").alias("w"),
             F.expr(
                 "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"

@@ -67,9 +67,11 @@ _loaded = False
 # build_full_docs; kmeans max_k cap; alias_store load narrowing;
 # swap_buckets retirement; the catalog-wide hint-policy sweep that
 # touched tpch_q3/q5 and the jaccard ops), then the 42 r4-rowed
-# refreshes.  The cut at 50 falls inside the behavior-touched block;
-# everything past it is local-gate green (LOCAL_GATE_r07) and
-# rotates into r8/r9 — full cycle ceil(N/50) = 3 windows.
+# refreshes.  With 56 never-tested queries the cut at 50 falls
+# INSIDE the never-tested TPC-H block — tpch_q13/q16/q19/q21/q22
+# and every behavior-touched/refresh query are outside the window
+# this round, covered by fleet plan tests + LOCAL_GATE_r07, and
+# rotate into r8/r9 — full cycle ceil(N/50) = 3 windows.
 _PRIORITY = (
     # ---- round-7 additions (never tested; this round's claims)
     "triangle_count",

@@ -1794,8 +1794,7 @@ def _bj_duck_pos(j: int) -> str:
 
 def _bj_oracle() -> str:
     pos_cases = " ".join(
-        f"WHEN {j} THEN {_bj_duck_pos(j).replace('{c}', 'c')}"
-        for j in range(4)
+        f"WHEN {j} THEN {_bj_duck_pos(j)}" for j in range(4)
     )
     return f"""
     WITH seg AS (
@@ -1860,26 +1859,16 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges to the fact scan; the verifying semi join runs on the
     ~20% survivor slice instead of the full fact."""
     from bugzilla_etl_spark.functions.hashing import hash64_seeded
-    from bugzilla_etl_spark.operators.dedup import BLOOM_BITS
+    from bugzilla_etl_spark.operators.dedup import (
+        BLOOM_BITS,
+        bloom_fold_words,
+    )
 
     cu = load_table(spark, sf_dir, "customer")
     seg = cu.where(F.col("c_mktsegment") == "BUILDING").select(
         "c_custkey"
     )
-    words_df = None
-    for j in range(4):
-        pos = hash64_seeded(F.col("c_custkey"), _BJ_SEED0 + j) % BLOOM_BITS
-        wj = seg.select(pos.alias("pos")).select(
-            F.expr("pos div 32").alias("w"),
-            F.expr(
-                "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"
-            ).alias("mask"),
-        )
-        words_df = wj if words_df is None else words_df.unionByName(wj)
-    folded = words_df.groupBy("w").agg(F.bit_or("mask").alias("bits"))
-    words = [0] * (BLOOM_BITS // 32)
-    for r in folded.collect():  # bounded: <= 2048 word rows
-        words[r["w"]] = r["bits"]
+    words = bloom_fold_words(seg, "c_custkey", _BJ_SEED0)
 
     wlit = F.array(*[F.lit(int(x)) for x in words])
     od = load_table(spark, sf_dir, "orders").select(

@@ -748,8 +748,8 @@ def hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 7: physical-layout and robust-statistics engine surface
 # ---------------------------------------------------------------------------
 
-# 10-bit-per-dimension Morton (Z-order) interleave over RANK-
-# NORMALIZED coordinates.  Raw values interleave badly when ranges
+# 10-bit-per-dimension Morton (Z-order) interleave over MIN/MAX-
+# SCALED coordinates.  Raw values interleave badly when ranges
 # differ (a constant high bit in one dimension collapses every row
 # into one bucket — measured on this very data), so both dimensions
 # are first scaled to a 0..1023 integer grid via their global
@@ -803,15 +803,19 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     where a lexicographic (custkey, day) sort only prunes the
     leading column.
 
-    The interleave runs over RANK-NORMALIZED coordinates: each
-    dimension is scaled to a 0..1023 integer grid from its global
+    The interleave runs over MIN/MAX-SCALED coordinates: each
+    dimension maps to a 0..1023 integer grid from its global
     min/max first.  This is load-bearing, not cosmetic — interleaving
     raw values put 100% of rows in ONE bucket here, because the day
     dimension's constant high bits dominated every interleaved
-    position (the same reason production z-ordering ranks columns
-    before interleaving).  All arithmetic is integer (scale, 20 bit
-    ops folded with ``aggregate`` over ``sequence``, bucket div), so
-    keys and buckets are bit-identical on any engine.
+    position.  Min/max scaling fixes that collapse but NOT skew: a
+    single outlier key would compress the real keys into a few grid
+    cells, which is why production z-ordering uses rank/quantile
+    normalization — the skew-robust upgrade behind this same
+    interleave, at the cost of a sort to compute ranks.  All
+    arithmetic is integer (scale, 20 bit ops folded with
+    ``aggregate`` over ``sequence``, bucket div), so keys and
+    buckets are bit-identical on any engine.
 
     Scale shape: one 1-row min/max aggregate broadcast back (the
     1-row crossJoin pattern), one map-only keying pass, one

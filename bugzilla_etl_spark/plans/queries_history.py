@@ -1231,10 +1231,10 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/neardup_stream.py), so the oracle is the pure batch
     computation: each incoming doc's band-bucket collision count
     against the static index."""
-    import os
     import shutil
     import tempfile
 
+    from bugzilla_etl_spark.streaming.landing import land_parts
     from bugzilla_etl_spark.streaming.neardup_stream import (
         band_index,
         run_neardup_ingest,
@@ -1248,20 +1248,13 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="bes_ndo_")
     ckpt = tempfile.mkdtemp(prefix="bes_ndc_")
     shutil.rmtree(out_dir)
-    for tag, part in (
-        ("a", incoming.where(F.col("doc_id") % 10 == 0)),
-        ("b", incoming.where(F.col("doc_id") % 10 == 5)),
-    ):
-        tmp = os.path.join(landing, f"_stage_{tag}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(
-            f for f in os.listdir(tmp) if f.endswith(".parquet")
-        )
-        os.rename(
-            os.path.join(tmp, src),
-            os.path.join(landing, f"incoming_{tag}.parquet"),
-        )
-        shutil.rmtree(tmp)
+    land_parts(
+        landing,
+        [
+            ("incoming_a", incoming.where(F.col("doc_id") % 10 == 0)),
+            ("incoming_b", incoming.where(F.col("doc_id") % 10 == 5)),
+        ],
+    )
 
     index = band_index(static).persist()
     index.count()  # materialize once; both micro-batches reuse it
@@ -1428,19 +1421,30 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream join bounded-state at 100 TB: state size =
     watermark horizon × arrival rate, not history).
 
-    Real multi-batch run: each side lands as 2 parquet files
-    (maxFilesPerTrigger=1 → interleaved micro-batches), inner join
-    in append mode to a memory sink under availableNow.  The join
-    condition uses the watermarked TIMESTAMP columns directly —
-    event data is µs-granular, and Spark-µs vs DuckDB-ns interval
-    arithmetic is exact at µs granularity, so the batch SQL oracle
-    (the same interval join, streaming == batch) hashes
+    Real multi-batch run: each side lands as 3 parquet files split
+    by EVENT-TIME DECADES of the month, named in time order —
+    file-source streams list files by name, so micro-batches arrive
+    in event-time order, which is the contract a watermarked join
+    assumes of its ingest.  That ordering is load-bearing: with
+    arrival order uncorrelated with event time (an id-parity split
+    was the first draft), the watermark jumps to max_ts − 2h after
+    batch 1 and silently drops every later-arriving early-window
+    row — streaming == batch would hold only by accident of batch
+    count.  Under time-ordered arrival the 2 h watermark exceeds
+    the 1 h join window, so no needed click state is ever evicted
+    and equivalence holds for ANY number of batches (the unit test
+    runs the 3-batch shape).
+
+    The join condition uses the watermarked TIMESTAMP columns
+    directly — event data is µs-granular, and Spark-µs vs DuckDB-ns
+    interval arithmetic is exact at µs granularity, so the batch
+    SQL oracle (the same interval join, streaming == batch) hashes
     identically.  The gap column divides epoch-µs integers, never
     floats."""
-    import os
-    import shutil
     import tempfile
     import uuid
+
+    from bugzilla_etl_spark.streaming.landing import land_parts
 
     ev = load_table(spark, sf_dir, "events")
     sides = {
@@ -1458,20 +1462,16 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirs = {}
     for name, df in sides.items():
         landing = tempfile.mkdtemp(prefix=f"bes_att_{name}_")
-        for tag, part in (
-            ("a", df.where(F.col(f"{name}_id") % 2 == 0)),
-            ("b", df.where(F.col(f"{name}_id") % 2 == 1)),
-        ):
-            tmp = os.path.join(landing, f"_stage_{tag}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            os.rename(
-                os.path.join(tmp, src),
-                os.path.join(landing, f"{name}_{tag}.parquet"),
-            )
-            shutil.rmtree(tmp)
+        ts_col = F.col(f"{name}_ts")
+        day = F.dayofmonth(ts_col)
+        land_parts(
+            landing,
+            [
+                (f"{name}_a", df.where(day <= 10)),
+                (f"{name}_b", df.where((day > 10) & (day <= 20))),
+                (f"{name}_c", df.where(day > 20)),
+            ],
+        )
         dirs[name] = (landing, df.schema)
 
     clicks = (

@@ -1027,9 +1027,10 @@ def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized by the sketch contract (2048 words regardless
     of eval size), and per-batch work is map-only: zero shuffles,
     zero stream state beyond the source offsets."""
-    import os
     import shutil
     import tempfile
+
+    from bugzilla_etl_spark.streaming.landing import land_parts
 
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.where(F.col("doc_id") % 20 == 0)
@@ -1040,18 +1041,13 @@ def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="bes_sdo_")
     ckpt = tempfile.mkdtemp(prefix="bes_sdk_")
     shutil.rmtree(out_dir)
-    for tag, part in (
-        ("a", tr.where(F.col("doc_id") % 2 == 0)),
-        ("b", tr.where(F.col("doc_id") % 2 == 1)),
-    ):
-        tmp = os.path.join(landing, f"_stage_{tag}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.rename(
-            os.path.join(tmp, src),
-            os.path.join(landing, f"incoming_{tag}.parquet"),
-        )
-        shutil.rmtree(tmp)
+    land_parts(
+        landing,
+        [
+            ("incoming_a", tr.where(F.col("doc_id") % 2 == 0)),
+            ("incoming_b", tr.where(F.col("doc_id") % 2 == 1)),
+        ],
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1216,14 +1212,23 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sdiv(x, den):  # truncating division via sign decomposition
         return np.sign(x) * (np.abs(x) // den)
 
+    def guard(arr, headroom):
+        # numpy int64 WRAPS on overflow where the DuckDB oracle
+        # computes in 128-bit — fail loud long before the wrap so a
+        # bound violation can never become a silent bit-divergence
+        assert int(np.abs(arr).max(initial=0)) < (2**62) // headroom, (
+            "embedding_pca intermediate exceeds the int64 budget"
+        )
+        return arr
+
     g = sdiv(C.sum(axis=0), len(labels))
     d = C - g
     v = np.ones(64, dtype=np.int64)
     for i in range(1, _PCA_ITERS + 1):
-        sv = d @ v
+        sv = guard(d @ v, 64 * 20000)
         if i > 1:
             sv = sdiv(sv, 1024)
-        w = d.T @ sv
+        w = guard(d.T @ sv, 1000000)
         m = max(int(np.abs(w).max()), 1)
         v = sdiv(w * 1000000, m)
 

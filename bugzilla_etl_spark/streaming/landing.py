@@ -1,0 +1,36 @@
+"""Landing-dir helper for the file-source streaming queries.
+
+One copy of the write-one-file-per-part staging dance (coalesce ->
+temp dir -> rename into the landing dir) that stream_neardup_ingest,
+stream_decontam, and stream_attribution each need: under
+``maxFilesPerTrigger=1`` each landed file becomes one real
+micro-batch, which is what makes their streaming == batch oracles
+meaningful multi-batch runs instead of single-shot reads.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def land_parts(landing: str, parts: list[tuple[str, DataFrame]]) -> None:
+    """Write each (name, frame) as exactly one parquet file named
+    ``<name>.parquet`` inside ``landing``.  File-source streams list
+    files in name order, so callers control micro-batch ARRIVAL
+    ORDER by part name — event-time-ordered names keep watermark
+    advancement consistent with arrival, the contract a watermarked
+    stream assumes of its ingest."""
+    for name, part in parts:
+        tmp = os.path.join(landing, f"_stage_{name}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(tmp, src),
+            os.path.join(landing, f"{name}.parquet"),
+        )
+        shutil.rmtree(tmp)

@@ -576,9 +576,14 @@ def test_catalog_no_cartesian_no_row_python(spark, sf_dir):
       FlatMapGroupsInPandas and friends), the 10-100x rule from the
       operator contracts.
 
-    Streaming/lifecycle queries execute real runs on plan build and
-    are covered by their own equivalence tests; they are skipped
-    here to keep this a plan inspection, not an execution pass."""
+    Scope limits, stated plainly: streaming/lifecycle queries are
+    skipped (their builders run real jobs; their own equivalence
+    tests cover them), and model-collapse builders (embedding_pca,
+    bloom builds, pagerank/kmeans seeds) DO execute their bounded
+    build stage when this test constructs their frames — only the
+    FINAL plan is inspected, so an anti-pattern inside a collected
+    build stage is out of this test's sight and belongs to that
+    operator's own plan/equivalence tests."""
     from bugzilla_etl_spark.plans import catalog
 
     catalog.load_all()
