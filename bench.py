@@ -148,6 +148,7 @@ HEADLINE = [
     "compact_store",
     "bloom_join_prune",
     "frequent_pairs",
+    "partition_prune_stats",
 ]
 
 # Timed passes per query after one untimed warmup.  Reported per-query

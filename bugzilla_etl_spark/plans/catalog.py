@@ -87,6 +87,7 @@ _PRIORITY = (
     "bloom_join_prune",
     "frequent_pairs",
     "stream_attribution",
+    "partition_prune_stats",
     # ---- round-6 never-tested: novel-machinery claims first
     # ---- (sketches, graph, reference-parity, streaming,
     # ---- LLM-pipeline), then the TPC-H block whose tail takes

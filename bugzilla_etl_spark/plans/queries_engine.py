@@ -1330,3 +1330,131 @@ def compact_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rewritten store is value-identical to the source table."""
     out, _stats = compact_documents(spark, sf_dir)
     return out
+
+
+@register(
+    "partition_prune_stats",
+    oracle=f"""
+    WITH raw AS (
+        SELECT o_orderkey, o_custkey AS x,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS y
+        FROM orders
+    ),
+    ext AS (
+        SELECT min(x) AS xlo, max(x) AS xhi,
+               min(y) AS ylo, max(y) AS yhi
+        FROM raw
+    ),
+    keyed AS (
+        SELECT ((x - xlo) * 1023) // greatest(xhi - xlo, 1) AS xk,
+               ((y - ylo) * 1023) // greatest(yhi - ylo, 1) AS yk
+        FROM raw CROSS JOIN ext
+    ),
+    z AS (SELECT *, {_Z_DUCK} AS zkey FROM keyed),
+    buckets AS (
+        SELECT 'zorder' AS layout, CAST(zkey // 8192 AS BIGINT) AS b,
+               min(xk) AS xlo, max(xk) AS xhi,
+               min(yk) AS ylo, max(yk) AS yhi
+        FROM z GROUP BY 2
+        UNION ALL
+        SELECT 'xsort', CAST(xk // 8 AS BIGINT) AS b,
+               min(xk), max(xk), min(yk), max(yk)
+        FROM keyed GROUP BY 2
+    ),
+    preds AS (
+        SELECT * FROM (VALUES
+            ('x_range', 256, 358, 0, 1023),
+            ('y_range', 0, 1023, 512, 614),
+            ('both', 256, 358, 512, 614)
+        ) AS t(predicate, pxlo, pxhi, pylo, pyhi)
+    )
+    SELECT layout, predicate,
+           count(*) AS buckets_total,
+           CAST(sum(CASE WHEN xhi >= pxlo AND xlo <= pxhi
+                          AND yhi >= pylo AND ylo <= pyhi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched
+    FROM buckets CROSS JOIN preds
+    GROUP BY layout, predicate
+    ORDER BY layout, predicate
+    """,
+)
+def partition_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order claim MEASURED: for three predicate shapes
+    (x-range only, y-range only, both), how many layout buckets a
+    min/max-stat file-skipping reader must scan under (a) the
+    Morton layout and (b) a single-dimension sort — the number a
+    table-layout decision actually turns on.  On this data the
+    x-sorted layout wins x-only predicates (its buckets are pure x
+    slices) but must scan EVERY bucket for a y-only predicate,
+    while z-order stays sublinear in BOTH dimensions — the
+    multi-dimensional-locality trade stated as counts.
+
+    Pure integer arithmetic end-to-end (the zorder_layout grid and
+    key, bucket min/max folds, closed-interval overlap tests), so
+    the counts are bit-identical across engines.  Scale shape: one
+    keying pass + two map-side-combined bucket aggs (the per-file
+    stats a writer collects anyway); the 3-row predicate frame
+    cross-joins the bucket stats — stats-sized × 3, never
+    row-scale."""
+    od = load_table(spark, sf_dir, "orders")
+    raw = od.select(
+        F.col("o_custkey").alias("x"),
+        F.expr(
+            "cast(cast(o_orderdate as timestamp) as long) div 86400"
+        ).alias("y"),
+    )
+    ext = raw.agg(
+        F.min("x").alias("xlo"),
+        F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"),
+        F.max("y").alias("yhi"),
+    )
+    keyed = raw.crossJoin(F.broadcast(ext)).select(
+        F.expr("((x - xlo) * 1023) div greatest(xhi - xlo, 1)").alias(
+            "xk"
+        ),
+        F.expr("((y - ylo) * 1023) div greatest(yhi - ylo, 1)").alias(
+            "yk"
+        ),
+    )
+    z = keyed.withColumn("zkey", F.expr(_Z_SPARK))
+    zb = z.groupBy(F.expr("zkey div 8192").alias("b")).agg(
+        F.min("xk").alias("bxlo"),
+        F.max("xk").alias("bxhi"),
+        F.min("yk").alias("bylo"),
+        F.max("yk").alias("byhi"),
+    ).withColumn("layout", F.lit("zorder"))
+    xb = keyed.groupBy(F.expr("xk div 8").alias("b")).agg(
+        F.min("xk").alias("bxlo"),
+        F.max("xk").alias("bxhi"),
+        F.min("yk").alias("bylo"),
+        F.max("yk").alias("byhi"),
+    ).withColumn("layout", F.lit("xsort"))
+    buckets = zb.unionByName(xb)
+    preds = spark.createDataFrame(
+        [
+            ("x_range", 256, 358, 0, 1023),
+            ("y_range", 0, 1023, 512, 614),
+            ("both", 256, 358, 512, 614),
+        ],
+        schema="predicate STRING, pxlo INT, pxhi INT, pylo INT, pyhi INT",
+    )
+    return (
+        buckets.crossJoin(F.broadcast(preds))
+        .groupBy("layout", "predicate")
+        .agg(
+            F.count(F.lit(1)).alias("buckets_total"),
+            F.sum(
+                F.when(
+                    (F.col("bxhi") >= F.col("pxlo"))
+                    & (F.col("bxlo") <= F.col("pxhi"))
+                    & (F.col("byhi") >= F.col("pylo"))
+                    & (F.col("bylo") <= F.col("pyhi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("buckets_touched"),
+        )
+        .orderBy("layout", "predicate")
+    )

@@ -394,3 +394,28 @@ def test_profile_table_merge_semantics(spark, sf_dir):
     assert max(halves[0]["mx"], halves[1]["mx"]) == r["max_num"]
     # NDV does not merge by addition (overlapping key sets)
     assert halves[0]["ndv"] + halves[1]["ndv"] > r["ndv"]
+
+
+def test_partition_prune_stats_locality_properties(spark, sf_dir):
+    """The layout trade, as invariants rather than pinned counts:
+    an x-sorted layout cannot skip anything for a y-only predicate
+    (every bucket spans all y), z-order skips in BOTH dimensions,
+    and the conjunctive predicate touches no more z-buckets than
+    either single-dimension predicate."""
+    rows = {
+        (r["layout"], r["predicate"]): r
+        for r in _q("partition_prune_stats", spark, sf_dir).collect()
+    }
+    total = rows[("xsort", "y_range")]["buckets_total"]
+    # an x-sorted bucket spans ~the full y range with high
+    # probability (uncorrelated dims), but a sparse bucket can
+    # occasionally miss the y window — near-total, not exact-total
+    xs_y = rows[("xsort", "y_range")]["buckets_touched"]
+    z_y = rows[("zorder", "y_range")]["buckets_touched"]
+    assert xs_y >= (9 * total) // 10
+    assert z_y < xs_y  # z-order actually skips where x-sort cannot
+    zx = rows[("zorder", "x_range")]["buckets_touched"]
+    zy = z_y
+    zb = rows[("zorder", "both")]["buckets_touched"]
+    assert zb <= min(zx, zy)
+    assert rows[("xsort", "x_range")]["buckets_touched"] < total
