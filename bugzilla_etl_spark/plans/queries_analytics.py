@@ -670,26 +670,31 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier by quarterly revenue (the view + scalar-max
     shape).
 
-    The revenue aggregate is computed ONCE: the scalar max rides a
-    window over the same aggregated frame (max over an empty
-    partition spec — a 1-row broadcast-style exchange over the
-    already-tiny per-suppkey aggregate, not a second scan of
-    lineitem), then the supplier dim joins onto the one-or-few
-    surviving rows.  The date filter is pushed to the lineitem
+    The revenue aggregate is computed once per branch off a shared
+    subplan; the scalar max is a 1-row global AGGREGATE crossJoined
+    back as a broadcast (BroadcastNestedLoopJoin on one row) — NOT
+    an empty-partition window, which would funnel the entire
+    per-suppkey aggregate (supplier-sized, SF-scaling) through a
+    single task's sort.  The date filter is pushed to the lineitem
     scan."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _ntz(D_1996_01_01))
         & (F.col("l_shipdate") < _ntz(D_1996_04_01))
+        # explicit, so the supplier equi-join's inferred isnotnull
+        # lands in BOTH branches off `rev` — canonical-identical
+        # subtrees are what lets AQE reuse the suppkey exchange
+        # (one physical lineitem scan for revenue AND its max)
+        & F.col("l_suppkey").isNotNull()
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("total_revenue")
     )
-    w = Window.partitionBy()
-    top = rev.withColumn(
-        "_mx", F.max("total_revenue").over(w)
-    ).where(F.col("total_revenue") == F.col("_mx"))
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = rev.crossJoin(F.broadcast(mx)).where(
+        F.col("total_revenue") == F.col("_mx")
+    )
     su = load_table(spark, sf_dir, "supplier")
     return (
         top.join(su, top.supplier_no == su.s_suppkey)

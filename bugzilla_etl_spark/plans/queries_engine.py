@@ -1148,6 +1148,35 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skyline_pass(pts: DataFrame, part: str | None = None) -> DataFrame:
+    """One (earlier day, higher price) domination-filter pass: the
+    two RANGE-framed running price maxima (strictly-earlier days;
+    same-day-inclusive for strict-price ties) and the survivor
+    filter.  ``part=None`` is the exact global pass; a partition
+    column makes it the bucket-local pruning phase of the two-phase
+    skyline (see skyline_orders)."""
+    w = Window.partitionBy(part) if part else Window.partitionBy()
+    w_strict = w.orderBy("day").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_incl = w.orderBy("day").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = pts.select(
+        "*",
+        F.max("price").over(w_strict).alias("mx_strict"),
+        F.max("price").over(w_incl).alias("mx_incl"),
+    )
+    return flagged.where(
+        ~(
+            F.coalesce(
+                F.col("mx_strict") >= F.col("price"), F.lit(False)
+            )
+            | (F.col("mx_incl") > F.col("price"))
+        )
+    ).drop("mx_strict", "mx_incl")
+
+
 @register(
     "skyline_orders",
     oracle="""
@@ -1188,14 +1217,16 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-day strict-price domination) and a filter.  Comparisons
     only, no float arithmetic, so cross-engine exact.
 
-    Scale: the pruning phase partitions by day bucket first — a
-    local skyline can only shrink (domination is transitive within
-    a bucket's day range), survivors are frontier-sized, and the
-    exact global pass runs over that small set.  Here the global
-    window is the whole plan (single-partition sort of 15k rows);
-    at 100 TB the bucket-local pass IS this same code under
-    ``partitionBy(bucket)`` feeding this global pass — documented
-    as the two-phase composition, same operators."""
+    Scale: TWO-PHASE.  Phase 1 runs the same maxima+filter under
+    ``partitionBy(day div 64)`` — parallel bucket-local skylines
+    (a local pass only removes points, never keeps a dominated
+    maximal: domination is transitive, so every removed point's
+    dominator chain ends at a bucket survivor).  Phase 2 runs the
+    identical pass globally over the frontier-sized survivors (the
+    only unpartitioned window in the catalog — fleet-allowlisted
+    because its input is the union of per-bucket frontiers, not
+    the corpus).  Exactness of the composition is pinned by the
+    unit test comparing against the single-pass form."""
     od = load_table(spark, sf_dir, "orders")
     pts = od.select(
         "o_orderkey",
@@ -1204,30 +1235,11 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day"),
         F.col("o_totalprice").alias("price"),
     )
-    w_strict = (
-        Window.orderBy("day")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_incl = (
-        Window.orderBy("day")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    flagged = pts.select(
-        "o_orderkey",
-        "day",
-        "price",
-        F.max("price").over(w_strict).alias("mx_strict"),
-        F.max("price").over(w_incl).alias("mx_incl"),
-    )
+    local = skyline_pass(
+        pts.withColumn("bucket", F.expr("day div 64")), part="bucket"
+    ).drop("bucket")
     return (
-        flagged.where(
-            ~(
-                F.coalesce(
-                    F.col("mx_strict") >= F.col("price"), F.lit(False)
-                )
-                | (F.col("mx_incl") > F.col("price"))
-            )
-        )
+        skyline_pass(local)
         .select(
             "o_orderkey", "day", F.round("price", 4).alias("price")
         )

@@ -401,8 +401,11 @@ def test_tpch_q7_only_nation_hinted(spark, sf_dir):
 
 def test_tpch_q15_q17_no_hints_single_fact_strategy(spark, sf_dir):
     """q15/q17: no broadcast hints anywhere (supplier/part scale with
-    SF).  q15's scalar max must ride a window over the revenue
-    aggregate — ONE lineitem scan, not a second pass for the max.
+    SF).  q15's scalar max is a global aggregate crossJoined back —
+    NOT an empty-partition window (single-task sort of the
+    SF-scaling per-supplier aggregate) — and the revenue shuffle is
+    REUSED between the two branches (AQE ReusedExchange: one
+    physical lineitem scan feeds both revenue and its max).
     q17's decorrelated average is a second, column-pruned lineitem
     scan (the standard shape) — exactly two."""
     from bugzilla_etl_spark.plans import catalog
@@ -410,12 +413,24 @@ def test_tpch_q15_q17_no_hints_single_fact_strategy(spark, sf_dir):
     catalog.load_all()
     q15 = catalog.QUERIES["tpch_q15"](spark, sf_dir)
     q17 = catalog.QUERIES["tpch_q17"](spark, sf_dir)
-    for df in (q15, q17):
-        assert (
-            "ResolvedHint"
-            not in df._jdf.queryExecution().analyzed().toString()
-        )
-    assert _plan(q15).count("lineitem.parquet") == 1
+    assert (
+        "ResolvedHint"
+        not in q17._jdf.queryExecution().analyzed().toString()
+    )
+    # q15's single allowed hint is the 1-row scalar-max aggregate
+    # (bounded by construction — the catalog-wide hint-policy test
+    # checks the Aggregate-in-subtree rule for it too)
+    analyzed15 = q15._jdf.queryExecution().analyzed().toString()
+    assert analyzed15.count("ResolvedHint") == 1, analyzed15
+    q15.collect()  # AQE finalizes; reuse is a runtime decision
+    final15 = (
+        q15._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final15.count("lineitem.parquet") == 1, final15
+    assert "ReusedExchange" in final15, final15
     assert _plan(q17).count("lineitem.parquet") == 2
 
 
@@ -619,4 +634,60 @@ def test_catalog_no_cartesian_no_row_python(spark, sf_dir):
             offenders.append((name, "CartesianProduct"))
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders
+
+
+def test_catalog_no_unpartitioned_window(spark, sf_dir):
+    """Catalog-wide ban on UNPARTITIONED windows: an empty partition
+    spec funnels the window's entire input through ONE task's sort —
+    the skyline_orders round-7 defect class (and Spark itself warns
+    'No Partition Defined for Window operation').  Detection: in the
+    executed plan a windowspecdefinition whose FIRST argument is a
+    sort order (or the frame itself) has an empty partition clause.
+
+    Allowlist = windows whose input is BOUNDED by construction, with
+    the bound stated: skyline_orders' global pass runs over the
+    union of per-bucket Pareto frontiers (phase 1 output), not the
+    corpus."""
+    import re
+
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    SKIP_EXECUTING = {
+        "stream_snapshot",
+        "stream_rollup",
+        "stream_sessionize",
+        "stream_dedup",
+        "stream_previous_values",
+        "stream_bug_versions",
+        "stream_heavy_hitters",
+        "stream_neardup_ingest",
+        "stream_hll",
+        "stream_decontam",
+        "stream_attribution",
+        "stream_attribution_outer",
+        "alias_compact",
+        "compact_store",
+    }
+    BOUNDED_OK = {
+        # global pass input = union of bucket-local frontiers
+        "skyline_orders",
+    }
+    pat = re.compile(
+        r"windowspecdefinition\((?:[^(,]*\s(?:ASC|DESC)\s"
+        r"|specifiedwindowframe)"
+    )
+    offenders = []
+    for name, fn in sorted(catalog.QUERIES.items()):
+        if name in SKIP_EXECUTING or name in BOUNDED_OK:
+            continue
+        plan = (
+            fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if pat.search(plan):
+            offenders.append(name)
     assert not offenders, offenders
