@@ -857,25 +857,31 @@ def bloom_fold_words(
     word via div, bit via shiftleft (bit 31 max — never overflows
     DuckDB's checked BIGINT shift), fold via bit_or, collected as
     the bounded <=2048-word model list.  ONE scan of the value
-    frame: the per-seed position frames are a union over the same
-    child, which Catalyst collapses into a single pass."""
-    words = None
-    for j in range(BLOOM_K):
-        pos = (
+    frame FOR ANY INPUT: the k positions are one array-of-positions
+    projection exploded in place — a per-seed union would only
+    collapse to one pass when the child happens to end in a
+    reusable exchange (true for bloom_build's shuffled distinct,
+    false for bloom_join_prune's un-shuffled filter, which
+    re-scanned the source k times under the union form)."""
+    pos_arr = F.array(
+        *[
             hash64(
                 F.concat(
                     F.lit(f"{seed0 + j}:"), F.col(col).cast("string")
                 )
             )
             % BLOOM_BITS
-        )
-        wj = values.select(pos.alias("pos")).select(
-            F.expr("pos div 32").alias("w"),
-            F.expr(
-                "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"
-            ).alias("mask"),
-        )
-        words = wj if words is None else words.unionByName(wj)
+            for j in range(BLOOM_K)
+        ]
+    )
+    words = values.select(
+        F.explode(pos_arr).alias("pos")
+    ).select(
+        F.expr("pos div 32").alias("w"),
+        F.expr(
+            "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"
+        ).alias("mask"),
+    )
     folded = words.groupBy("w").agg(F.bit_or("mask").alias("bits"))
     arr = [0] * (BLOOM_BITS // 32)
     for r in folded.collect():  # bounded: <= 2048 word rows
