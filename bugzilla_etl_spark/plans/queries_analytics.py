@@ -1569,7 +1569,9 @@ def _pr_iter_sql(i: int) -> str:
     FROM r3 ORDER BY r DESC, node ASC LIMIT 20
     """,
 )
-def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_trade(
+    spark: SparkSession, sf_dir: str, persist_edges: bool = False
+) -> DataFrame:
     """PageRank over the symmetrized customer↔supplier trade graph
     (3 power iterations, damping 0.85): the graph-centrality pass a
     curation pipeline runs over citation/link graphs to weight
@@ -1618,13 +1620,16 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the un-persisted plan broadcasts the (nodes-sized) rank frame
     # from measured sizes.  At 100-TB graph scale the calculus flips
     # — ranks stop being broadcastable, the SMJ is the intended
-    # shape, and you checkpoint the edge list once — so the persist
-    # belongs behind a scale knob, not hardcoded.
+    # shape, and you materialize the edge list once — which is what
+    # persist_edges=True selects (the wired scale knob; identical
+    # results, property-tested).
     edges = trade.unionAll(
         trade.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
     )
+    if persist_edges:
+        edges = edges.persist()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = edges.select("src").distinct().withColumnRenamed(
         "src", "node"

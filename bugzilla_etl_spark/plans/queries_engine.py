@@ -411,37 +411,49 @@ _HLL_NUM = 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * float(1 << 51)
 _HLL_H = "(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT)"
 
 
-def hll_register_frame(ev: DataFrame) -> DataFrame:
-    """(event_type, b, m) HLL register rows for a (possibly partial)
-    event frame — the mergeable state: registers from any split of
-    the data MAX-merge to the full-data registers (property-tested),
-    which is what stream_hll folds per micro-batch."""
+def hll_registers(
+    df: DataFrame, key: str, val: str
+) -> DataFrame:
+    """(key, b, m) HLL register rows over an arbitrary (group key,
+    string value) frame — the mergeable state: registers from any
+    split of the data MAX-merge to the full-data registers
+    (property-tested), which is what stream_hll folds per
+    micro-batch and profile_table's hll NDV mode reuses per
+    column."""
     from bugzilla_etl_spark.functions.hashing import hash64
 
-    h = hash64(
-        F.concat(F.lit("hll:"), F.col("user_id").cast("string"))
-    )
-    t2 = ev.select("event_type", h.alias("h")).select(
-        "event_type",
+    h = hash64(F.concat(F.lit("hll:"), F.col(val).cast("string")))
+    t2 = df.select(F.col(key).alias("_k"), h.alias("h")).select(
+        "_k",
         F.expr(f"h div {_HLL_2P50}").alias("b"),
         (F.col("h") % _HLL_2P50).alias("rest"),
     )
     t3 = t2.select(
-        "event_type",
+        "_k",
         "b",
         F.when(F.col("rest") == 0, F.lit(51))
         .otherwise(F.lit(51) - F.length(F.bin("rest")))
         .cast("int")
         .alias("r"),
     )
-    return t3.groupBy("event_type", "b").agg(F.max("r").alias("m"))
+    return (
+        t3.groupBy("_k", "b")
+        .agg(F.max("r").alias("m"))
+        .withColumnRenamed("_k", key)
+    )
 
 
-def hll_estimate(regs: DataFrame) -> DataFrame:
-    """(event_type, est) from register rows — the integer-exact
-    harmonic fold plus the small-range linear-counting branch (see
-    the constants block)."""
-    agg = regs.groupBy("event_type").agg(
+def hll_register_frame(ev: DataFrame) -> DataFrame:
+    """(event_type, b, m) registers for the events frame — the
+    hll_distinct / stream_hll instantiation of hll_registers."""
+    return hll_registers(ev, key="event_type", val="user_id")
+
+
+def hll_estimate(regs: DataFrame, key: str = "event_type") -> DataFrame:
+    """(key, est) from register rows — the integer-exact harmonic
+    fold plus the small-range linear-counting branch (see the
+    constants block)."""
+    agg = regs.groupBy(key).agg(
         F.sum(
             F.expr("shiftleft(cast(1 as bigint), 51 - m)")
         ).alias("s_present"),
@@ -457,7 +469,7 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
         (raw <= 2560.0) & (v > 0),
         F.lit(1024.0) * F.log(F.lit(1024.0) / v),
     ).otherwise(raw)
-    return agg.select("event_type", est.alias("est"))
+    return agg.select(key, est.alias("est"))
 
 
 
@@ -903,7 +915,9 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY d.event_type
     """,
 )
-def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+def anomaly_mad(
+    spark: SparkSession, sf_dir: str, mode: str = "exact"
+) -> DataFrame:
     """Robust per-type outlier screen: median + MAD (median absolute
     deviation), flagging |value − median| > 3·MAD — the
     outlier-resistant quality gate (mean/stddev is itself dragged by
@@ -929,8 +943,14 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning.
     Exact per-key medians need a per-key sort — that is the
     contract; at sparse-key 100 TB keep this form, at hot-key scale
-    switch to the mergeable ``hist_quantile`` sketch whose error
-    bound this operator oracles."""
+    ``mode="hist"`` is the WIRED knob selecting the mergeable
+    histogram sketch (same columns; oracle-checked standalone as
+    anomaly_mad_hist)."""
+    if mode == "hist":
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_type", "value"
+        )
+        return _anomaly_mad_hist(ev)
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "value", "event_id"
     )
@@ -981,6 +1001,142 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+def _anomaly_mad_hist(ev: DataFrame) -> DataFrame:
+    """Histogram-sketch median/MAD (anomaly_mad's scale mode): the
+    512-unit-bin value histogram (hist_quantile's grid) gives the
+    binned median; the DEVIATION histogram then derives from the
+    value histogram itself — bins are integers, so d = |b − med_b|
+    regroups the ≤512-row histogram with NO second corpus pass —
+    and its binned median is the MAD estimate.  Outliers count
+    whole deviation bins past 3·MAD.  All integer arithmetic, so
+    the sketch value-oracles, and bin counts ADD across incremental
+    batches (the mergeability exact order statistics give up)."""
+    b = F.least(F.floor("value"), F.lit(511)).cast("long")
+    h = ev.groupBy("event_type", b.alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = h.select(
+        "event_type",
+        "b",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = t.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n + 1) div 2"), F.col("b")
+            )
+        ).alias("med_b"),
+    )
+    dh = (
+        h.join(F.broadcast(med), on="event_type")
+        .groupBy(
+            "event_type",
+            F.abs(F.col("b") - F.col("med_b")).alias("d"),
+        )
+        .agg(
+            F.sum("c").alias("c"),
+            F.max("n").alias("n"),
+            F.max("med_b").alias("med_b"),
+        )
+    )
+    wdc = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dt = dh.withColumn("cum", F.sum("c").over(wdc))
+    dm = dt.withColumn(
+        "mad_b",
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n + 1) div 2"), F.col("d")
+            )
+        ).over(Window.partitionBy("event_type")),
+    )
+    return dm.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        (F.max("med_b") + 0.5).alias("med"),
+        (F.max("mad_b") + 0.5).alias("mad"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad_b"), F.col("c"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+
+
+@register(
+    "anomaly_mad_hist",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CAST(least(floor(value), 511) AS BIGINT) AS b,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, b, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY b
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM h
+    ),
+    med AS (
+        SELECT event_type, max(n) AS n,
+               min(CASE WHEN cum >= (n + 1) // 2 THEN b END) AS med_b
+        FROM t GROUP BY 1
+    ),
+    dh AS (
+        SELECT h.event_type, abs(h.b - m.med_b) AS d,
+               sum(h.c) AS c, max(m.n) AS n, max(m.med_b) AS med_b
+        FROM h JOIN med m USING (event_type) GROUP BY 1, 2
+    ),
+    dt AS (
+        SELECT event_type, d, c, n, med_b,
+               sum(c) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM dh
+    ),
+    dm AS (
+        SELECT *, min(CASE WHEN cum >= (n + 1) // 2 THEN d END)
+                  OVER (PARTITION BY event_type) AS mad_b
+        FROM dt
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           max(med_b) + 0.5 AS med,
+           max(mad_b) + 0.5 AS mad,
+           CAST(coalesce(sum(CASE WHEN d > 3 * mad_b THEN c END), 0)
+                AS BIGINT) AS n_outliers
+    FROM dm GROUP BY 1
+    """,
+)
+def anomaly_mad_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """anomaly_mad's SCALE MODE as its own oracle-checked entry
+    (docstring at _anomaly_mad_hist): same output columns as the
+    exact form, median/MAD read off mergeable integer histograms —
+    one map-side-combined corpus aggregation bounded at 512 rows
+    per group, vs the exact form's per-key sort.  Same knob via
+    ``anomaly_mad(..., mode="hist")``; the unit test pins the
+    estimates within one bin width of the exact answers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    return _anomaly_mad_hist(ev)
 
 
 @register(
@@ -1090,8 +1246,164 @@ def _profile_oracle() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+# Canonical per-column string rendering for hashed-NDV profiling:
+# NDV must hash the SAME string on both engines, and float/instant
+# rendering is engine-specific — so prices go through exact cents
+# and timestamps through epoch seconds, keys through plain integer
+# strings.  (spark_expr, duckdb_expr) per profiled column.
+_PROFILE_VAL = {
+    "o_orderkey": (
+        "CAST(o_orderkey AS STRING)",
+        "CAST(o_orderkey AS VARCHAR)",
+    ),
+    "o_custkey": (
+        "CAST(o_custkey AS STRING)",
+        "CAST(o_custkey AS VARCHAR)",
+    ),
+    "o_totalprice": (
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)",
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
+    ),
+    "o_orderdate": (
+        "CAST(CAST(cast(o_orderdate as timestamp) AS LONG) AS STRING)",
+        "CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) AS VARCHAR)",
+    ),
+    "o_orderstatus": ("o_orderstatus", "o_orderstatus"),
+    "o_orderpriority": ("o_orderpriority", "o_orderpriority"),
+}
+
+
+def _profile_melt(od: DataFrame) -> DataFrame:
+    """(col_name, val) long frame over the profiled columns — ONE
+    Catalyst Expand pass (explode of a literal-keyed struct array),
+    the scale-safe melt: downstream HLL registers bound the shuffle
+    at m rows per column, unlike melt-then-exact-distinct which
+    serializes a column per reducer."""
+    kvs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.expr(sx).alias("val"),
+            )
+            for name, (sx, _dx) in _PROFILE_VAL.items()
+        ]
+    )
+    return (
+        od.select(F.explode(kvs).alias("kv"))
+        .select("kv.col_name", "kv.val")
+        .where(F.col("val").isNotNull())
+    )
+
+
+def _profile_hll_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(col_name, est) — portable-HLL NDV per profiled column."""
+    od = load_table(spark, sf_dir, "orders")
+    melt = _profile_melt(od)
+    return hll_estimate(
+        hll_registers(melt, key="col_name", val="val"),
+        key="col_name",
+    )
+
+
+def _profile_hll_duck_val(expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5('hll:' || {expr}), 1, 15))"
+        "::UBIGINT::BIGINT)"
+    )
+
+
+@register(
+    "profile_table_hll",
+    oracle=f"""
+    WITH vals AS (
+        {" UNION ALL ".join(
+            f"SELECT '{name}' AS col_name, {dx} AS val FROM orders"
+            for name, (_sx, dx) in _PROFILE_VAL.items()
+        )}
+    ),
+    nn AS (SELECT * FROM vals WHERE val IS NOT NULL),
+    t2 AS (
+        SELECT col_name,
+               {_profile_hll_duck_val("val")} // {_HLL_2P50} AS b,
+               {_profile_hll_duck_val("val")} % {_HLL_2P50} AS rest
+        FROM nn
+    ), t3 AS (
+        SELECT col_name, b,
+               CASE WHEN rest = 0 THEN 51
+                    ELSE 51 - length(bin(rest)) END AS r
+        FROM t2
+    ), regs AS (
+        SELECT col_name, b, max(r) AS m FROM t3 GROUP BY 1, 2
+    ), agg AS (
+        SELECT col_name,
+               sum(1::BIGINT << (51 - m)) AS s_present,
+               count(*) AS n_present
+        FROM regs GROUP BY 1
+    ), e2 AS (
+        SELECT col_name,
+               CAST(s_present + (1024 - n_present)
+                    * {_HLL_2P51} AS DOUBLE) AS s,
+               1024 - n_present AS v
+        FROM agg
+    ), e3 AS (
+        SELECT col_name,
+               CASE WHEN ({_HLL_NUM!r} / s) <= 2560.0 AND v > 0
+                    THEN 1024.0 * ln(1024.0 / v)
+                    ELSE {_HLL_NUM!r} / s END AS est
+        FROM e2
+    ), ex AS (
+        SELECT col_name, count(DISTINCT val) AS ndv_exact
+        FROM nn GROUP BY 1
+    )
+    SELECT e3.col_name, CAST(ndv_exact AS BIGINT) AS ndv_exact,
+           round(est, 4) AS hll_est,
+           round(abs(est - ndv_exact) / ndv_exact, 4) AS rel_err
+    FROM e3 JOIN ex USING (col_name)
+    """,
+)
+def profile_table_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile_table's SCALE-MODE NDV, promoted to its own
+    oracle-checked entry: per-column distinct counts via the
+    portable HLL sketch (the hll_distinct register math keyed by
+    column name), beside the exact NDV of the same canonical value
+    domain and the realized error.
+
+    Scale shape: exact multi-column NDV (profile_table's default)
+    must shuffle every distinct value; this form's melt->register
+    pipeline bounds the exchange at m=1024 rows PER COLUMN no
+    matter the corpus — the 100 TB ANALYZE pass.  The melt is one
+    Expand over one scan; values hash through engine-canonical
+    strings (cents / epoch seconds — see _PROFILE_VAL), so the
+    sketch is bit-identical cross-engine and registers MAX-merge
+    across incremental runs."""
+    od = load_table(spark, sf_dir, "orders")
+    melt = _profile_melt(od)
+    ex = melt.groupBy("col_name").agg(
+        F.countDistinct("val").alias("ndv_exact")
+    )
+    return (
+        hll_estimate(
+            hll_registers(melt, key="col_name", val="val"),
+            key="col_name",
+        )
+        .join(ex, on="col_name")
+        .select(
+            "col_name",
+            "ndv_exact",
+            F.round("est", 4).alias("hll_est"),
+            F.round(
+                F.abs(F.col("est") - F.col("ndv_exact"))
+                / F.col("ndv_exact"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
 @register("profile_table", oracle=_profile_oracle())
-def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def profile_table(
+    spark: SparkSession, sf_dir: str, ndv: str = "exact"
+) -> DataFrame:
     """Column-level data profiling — the ANALYZE TABLE pass every
     pipeline runs before planning joins and quality gates: per
     column, row count, null count, exact NDV, and min/max (numeric
@@ -1106,8 +1418,10 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     per column; the alternative melt-then-groupBy(col_name) shape
     was rejected because column-name keys make one reducer hold
     every row of a column at 100 TB.  Exact NDV is the expensive
-    honest form; at hot scale swap in the portable HLL sketch
-    (hll_distinct) per column and keep this as its accuracy
+    honest form; ``ndv="hll"`` is the WIRED scale knob — it swaps
+    in the per-column portable-HLL estimate (bounded shuffle: m
+    register rows per column), whose oracle-checked form is the
+    profile_table_hll entry; this exact form stays its accuracy
     oracle."""
     od = load_table(spark, sf_dir, "orders")
     aggs = []
@@ -1140,12 +1454,32 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" {name}__min_str, {name}__max_str"
         for name, *_ in _PROFILE_COLS
     )
-    return wide.select(
+    out = wide.select(
         F.expr(
             f"stack({len(_PROFILE_COLS)}, {stacks}) AS (col_name, n,"
             " n_null, ndv, min_num, max_num, min_str, max_str)"
         )
     )
+    if ndv == "hll":
+        # the scale knob, wired: swap exact NDV for the bounded-
+        # shuffle HLL estimate (same schema; profile_table_hll is
+        # the oracle-checked form of this path)
+        est = _profile_hll_est(spark, sf_dir)
+        out = (
+            out.drop("ndv")
+            .join(F.broadcast(est), on="col_name", how="left")
+            .select(
+                "col_name",
+                "n",
+                "n_null",
+                F.round("est").cast("long").alias("ndv"),
+                "min_num",
+                "max_num",
+                "min_str",
+                "max_str",
+            )
+        )
+    return out
 
 
 def skyline_pass(pts: DataFrame, part: str | None = None) -> DataFrame:

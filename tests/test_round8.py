@@ -54,6 +54,72 @@ def test_skyline_two_phase_equals_single_pass(spark, sf_dir):
     assert n_local < pts.count() / 10
 
 
+def test_pagerank_persist_knob_identical_results(spark, sf_dir):
+    """persist_edges=True (the 100-TB form: materialize the edge
+    list once, SMJ the iterations) returns bit-identical ranks to
+    the default AQE-broadcast form — the knob changes the physical
+    strategy, never the integer-grid math."""
+    base = _q("pagerank_trade", spark, sf_dir)
+    knob = catalog.QUERIES["pagerank_trade"](
+        spark, sf_dir, persist_edges=True
+    )
+    plan = knob._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, knob.collect())
+    )
+
+
+def test_profile_table_hll_knob_schema_and_error(spark, sf_dir):
+    """ndv="hll" keeps profile_table's exact schema and lands every
+    column's NDV within 15% of exact (m=1024 registers => ~3.25%
+    standard error; sub-50 cardinalities ride the linear-counting
+    branch and are EXACT)."""
+    exact = catalog.QUERIES["profile_table"](spark, sf_dir)
+    hll = catalog.QUERIES["profile_table"](spark, sf_dir, ndv="hll")
+    assert exact.schema == hll.schema
+    ex = {r["col_name"]: r["ndv"] for r in exact.collect()}
+    hl = {r["col_name"]: r["ndv"] for r in hll.collect()}
+    assert set(ex) == set(hl)
+    for col, n in ex.items():
+        if n < 50:
+            assert hl[col] == n, (col, n, hl[col])
+        else:
+            assert abs(hl[col] - n) / n <= 0.15, (col, n, hl[col])
+
+
+def test_anomaly_mad_hist_knob_within_bin_width(spark, sf_dir):
+    """mode="hist" keeps the exact form's columns; the binned median
+    is within half a bin of the exact median (grid guarantee), MAD
+    within 1.25 (median + deviation binning compound), and the
+    outlier count within 15% (the 3-MAD threshold moves by at most
+    one bin)."""
+    exact = {
+        r["event_type"]: r
+        for r in _q("anomaly_mad", spark, sf_dir).collect()
+    }
+    hist_df = catalog.QUERIES["anomaly_mad"](
+        spark, sf_dir, mode="hist"
+    )
+    assert [f.name for f in hist_df.schema.fields] == [
+        "event_type",
+        "n",
+        "med",
+        "mad",
+        "n_outliers",
+    ]
+    hist = {r["event_type"]: r for r in hist_df.collect()}
+    assert set(exact) == set(hist)
+    for k, e in exact.items():
+        h = hist[k]
+        assert h["n"] == e["n"]
+        assert abs(h["med"] - e["med"]) <= 0.75, (k, e, h)
+        assert abs(h["mad"] - e["mad"]) <= 1.25, (k, e, h)
+        assert abs(h["n_outliers"] - e["n_outliers"]) <= max(
+            5, 0.15 * e["n_outliers"]
+        ), (k, e, h)
+
+
 def test_skyline_executed_plan_has_partitioned_phase(spark, sf_dir):
     """The two-phase structure is in the PLAN: two Window nodes, the
     first partitioned by the day bucket (the phase-1 pruning), the
