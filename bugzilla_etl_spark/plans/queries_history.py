@@ -1441,12 +1441,60 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle (the same interval join, streaming == batch) hashes
     identically.  The gap column divides epoch-µs integers, never
     floats."""
+    clicks, purchases = _attribution_streams(spark, sf_dir)
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (
+            clicks.click_ts
+            >= purchases.purchase_ts - F.expr("INTERVAL 1 HOUR")
+        ),
+        "inner",
+    )
+    out = joined.select(
+        purchases.user_id,
+        "purchase_id",
+        "click_id",
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(click_ts))"
+            " div 1000000"
+        ).alias("gap_s"),
+    )
+    return _run_attribution(spark, out)
+
+
+def _attribution_streams(
+    spark: SparkSession, sf_dir: str, sentinel: bool = False
+):
+    """(clicks, purchases) watermarked file-source streams for the
+    attribution joins, landed as 3 event-time TERCILE files per side
+    — terciles over ABSOLUTE epoch days (min/max from a 1-row agg),
+    not dayofmonth, so the name-order == event-time-order contract
+    the watermark relies on holds for ANY data span, not just the
+    generated single month.
+
+    ``sentinel=True`` appends two far-future heartbeat files per
+    side (user_id = -1, ts = max + 30/31 days): the OUTER join's
+    null-emission happens on WATERMARK PASSAGE, and eviction output
+    for batch N's watermark is emitted while processing batch N+1 —
+    so the first sentinel pushes the global watermark (the MIN over
+    both inputs, hence both sides need one) past every real row's
+    expiry, and the second gives the engine a batch in which to
+    emit them.  Callers filter the sentinels back out."""
+    import datetime
     import tempfile
-    import uuid
 
     from bugzilla_etl_spark.streaming.landing import land_parts
 
     ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_date(F.to_date("ts"))).alias("lo"),
+        F.max(F.unix_date(F.to_date("ts"))).alias("hi"),
+        F.max("ts").alias("mx"),
+    ).collect()[0]
+    span = b["hi"] - b["lo"] + 1
+    cut1, cut2 = b["lo"] + span // 3, b["lo"] + (2 * span) // 3
     sides = {
         "click": ev.where(F.col("event_type") == "click").select(
             "user_id",
@@ -1462,18 +1510,25 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirs = {}
     for name, df in sides.items():
         landing = tempfile.mkdtemp(prefix=f"bes_att_{name}_")
-        ts_col = F.col(f"{name}_ts")
-        day = F.dayofmonth(ts_col)
-        land_parts(
-            landing,
-            [
-                (f"{name}_a", df.where(day <= 10)),
-                (f"{name}_b", df.where((day > 10) & (day <= 20))),
-                (f"{name}_c", df.where(day > 20)),
-            ],
-        )
+        day = F.unix_date(F.to_date(F.col(f"{name}_ts")))
+        parts = [
+            (f"{name}_a", df.where(day < cut1)),
+            (f"{name}_b", df.where((day >= cut1) & (day < cut2))),
+            (f"{name}_c", df.where(day >= cut2)),
+        ]
+        if sentinel:
+            for tag, days in (("d", 30), ("e", 31)):
+                far = b["mx"] + datetime.timedelta(days=days)
+                parts.append(
+                    (
+                        f"{name}_{tag}",
+                        spark.createDataFrame(
+                            [(-1, -1, far)], schema=df.schema
+                        ),
+                    )
+                )
+        land_parts(landing, parts)
         dirs[name] = (landing, df.schema)
-
     clicks = (
         spark.readStream.schema(dirs["click"][1])
         .option("maxFilesPerTrigger", 1)
@@ -1486,28 +1541,18 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(dirs["purchase"][0])
         .withWatermark("purchase_ts", "2 hours")
     )
-    joined = purchases.join(
-        clicks,
-        (purchases.user_id == clicks.user_id)
-        & (clicks.click_ts <= purchases.purchase_ts)
-        & (
-            clicks.click_ts
-            >= purchases.purchase_ts - F.expr("INTERVAL 1 HOUR")
-        ),
-        "inner",
-    )
+    return clicks, purchases
+
+
+def _run_attribution(spark: SparkSession, out) -> DataFrame:
+    """Run an attribution join to a memory sink (availableNow,
+    one real micro-batch per landed file) and return the table."""
+    import tempfile
+    import uuid
+
     name = f"stream_att_{uuid.uuid4().hex[:8]}"
     q = (
-        joined.select(
-            purchases.user_id,
-            "purchase_id",
-            "click_id",
-            F.expr(
-                "(unix_micros(purchase_ts) - unix_micros(click_ts))"
-                " div 1000000"
-            ).alias("gap_s"),
-        )
-        .writeStream.format("memory")
+        out.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .option(
@@ -1518,3 +1563,82 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_attribution_outer",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, c.click_id,
+           CAST((epoch_us(p.purchase_ts) - epoch_us(c.click_ts))
+                // 1000000 AS BIGINT) AS gap_s
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_attribution_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM LEFT-OUTER interval join — the state-EVICTION
+    semantics the inner join never exercises: a purchase with no
+    click in its 1-hour window emits a null-click row only when the
+    watermark proves no matching click can still arrive.  That
+    emission mechanism is why this is the last missing Structured
+    Streaming join class: append-mode inner joins output on MATCH,
+    outer joins also output on EXPIRY, driven entirely by watermark
+    passage through the state store.
+
+    End-of-stream flush: watermark passage needs future data — with
+    a finite landing set the final window's unmatched purchases
+    would sit in state forever.  Two far-future HEARTBEAT files per
+    side (both sides: the global watermark is the min over all
+    watermarked inputs) push the watermark past every real row and
+    give the engine the extra batch that emits the evictions; the
+    sentinels filter back out by user_id = -1.  This is the
+    punctuation/heartbeat pattern production watermarked topics use
+    for exactly this reason.  Oracle = the batch LEFT JOIN:
+    streaming == batch INCLUDING null rows, which pins that no real
+    unmatched purchase was dropped OR double-emitted.
+
+    The sentinel filter runs on the MATERIALIZED result, never
+    inside the streaming plan: a deterministic ``user_id != -1``
+    there is pushed below the EventTimeWatermark node into BOTH
+    source scans (constraint propagation carries it through the
+    equi-join), so the heartbeat rows would be filtered before the
+    watermark accumulator ever saw them — silently disabling the
+    flush they exist to provide (observed: watermark pinned at
+    max−2h, the final window's null rows never emitted)."""
+    clicks, purchases = _attribution_streams(
+        spark, sf_dir, sentinel=True
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (
+            clicks.click_ts
+            >= purchases.purchase_ts - F.expr("INTERVAL 1 HOUR")
+        ),
+        "leftOuter",
+    )
+    out = joined.select(
+        purchases.user_id,
+        "purchase_id",
+        "click_id",
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(click_ts))"
+            " div 1000000"
+        ).alias("gap_s"),
+    )
+    return _run_attribution(spark, out).where(
+        F.col("user_id") != -1
+    )

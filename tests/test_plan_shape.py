@@ -617,6 +617,7 @@ def test_catalog_no_cartesian_no_row_python(spark, sf_dir):
         "stream_hll",
         "stream_decontam",
         "stream_attribution",
+        "stream_attribution_outer",
         "alias_compact",
         "compact_store",
     }

@@ -120,6 +120,36 @@ def test_anomaly_mad_hist_knob_within_bin_width(spark, sf_dir):
         ), (k, e, h)
 
 
+def test_stream_attribution_outer_evicts_null_rows(spark, sf_dir):
+    """The outer join's defining behavior: every purchase with no
+    click in its window emits EXACTLY ONE null-click row (watermark
+    eviction), and matched rows equal the inner join's — streaming
+    left-outer == batch left join, decomposed so a failure says
+    which half broke.  Also pins that no sentinel heartbeat row
+    leaks into the result."""
+    out = _q("stream_attribution_outer", spark, sf_dir).collect()
+    inner = _q("stream_attribution", spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_purch = ev.where("event_type = 'purchase'").count()
+    nulls = [r for r in out if r["click_id"] is None]
+    matched = [
+        (r["purchase_id"], r["click_id"])
+        for r in out
+        if r["click_id"] is not None
+    ]
+    assert sorted(matched) == sorted(
+        (r["purchase_id"], r["click_id"]) for r in inner
+    )
+    matched_purchases = {p for p, _c in matched}
+    assert len(nulls) == n_purch - len(matched_purchases)
+    assert all(r["gap_s"] is None for r in nulls)
+    assert all(r["user_id"] != -1 for r in out)
+    # one emission per unmatched purchase — no double-emit across
+    # the eviction batches
+    null_ids = [r["purchase_id"] for r in nulls]
+    assert len(null_ids) == len(set(null_ids))
+
+
 def test_skyline_executed_plan_has_partitioned_phase(spark, sf_dir):
     """The two-phase structure is in the PLAN: two Window nodes, the
     first partitioned by the day bucket (the phase-1 pruning), the
