@@ -351,6 +351,120 @@ def private_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "private_subentity",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, 1 + (event_id % 5) AS sub_id,
+               event_id, ts, value
+        FROM events
+        WHERE event_id % 2 = 0 AND event_type = 'error'
+    ),
+    state AS (
+        SELECT user_id, sub_id, value > 150 AS is_private FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, sub_id
+                ORDER BY ts DESC, event_id DESC
+            ) AS rn FROM m
+        ) WHERE rn = 1
+    ),
+    wm AS (
+        SELECT max(floor(epoch(ts))::BIGINT) - 604800 AS cut
+        FROM events
+    ),
+    recent AS (
+        SELECT DISTINCT user_id, sub_id FROM m, wm
+        WHERE floor(epoch(ts))::BIGINT >= wm.cut
+    ),
+    priv AS (SELECT user_id, sub_id FROM state WHERE is_private)
+    SELECT user_id, sub_id, 'screen_sub' AS action FROM priv
+    UNION ALL
+    SELECT DISTINCT r.user_id, CAST(NULL AS BIGINT) AS sub_id,
+           'refresh_entity' AS action
+    FROM recent r
+    WHERE NOT EXISTS (
+        SELECT 1 FROM priv p
+        WHERE p.user_id = r.user_id AND p.sub_id = r.sub_id
+    )
+    """,
+)
+def private_subentity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-ENTITY privacy propagation — the reference screens
+    attachment- and comment-LEVEL isprivate flips as their own
+    re-ETL signals, distinct from bug-level privacy
+    (extract_bugzilla.py:187 get_recent_private_attachments, :212
+    get_recent_private_comments, consumed at bz_etl.py:179-209):
+    a single attachment going private must scrub THAT sub-document
+    everywhere, and one going public again must refresh its parent
+    entity to restore it.
+
+    Model (the attachment_versions domain): even event_ids are
+    attachment mutations (sub_id = 1 + event_id % 5); the 'error'
+    markers among them are isprivate flips, current state = latest
+    marker per (entity, sub), private iff value > 150.  Output:
+    ``screen_sub`` per currently-private (entity, sub) — the
+    sub-document delete list — plus ``refresh_entity`` for entities
+    with a RECENT flip on a now-public sub (private_retract's
+    possible_public analogue one level down: the stale private-era
+    doc must be rebuilt).
+
+    Plan: one window over the skinny marker subset + broadcast
+    anti-join — flip lists are dim-sized by construction (privacy
+    flips are rare events), so the cycle costs nothing per
+    increment at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.where(
+        (F.col("event_id") % 2 == 0)
+        & (F.col("event_type") == "error")
+    ).select(
+        "user_id",
+        (F.lit(1) + F.col("event_id") % 5).alias("sub_id"),
+        "event_id",
+        "ts",
+        "value",
+    )
+    w = Window.partitionBy("user_id", "sub_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    state = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "sub_id",
+            (F.col("value") > 150).alias("is_private"),
+        )
+    )
+    priv = state.where(F.col("is_private")).select(
+        "user_id", "sub_id"
+    )
+    wm = ev.agg(
+        (F.max(F.col("ts").cast("long")) - F.lit(604800)).alias("cut")
+    )
+    recent = (
+        m.crossJoin(F.broadcast(wm))
+        .where(F.col("ts").cast("long") >= F.col("cut"))
+        .select("user_id", "sub_id")
+        .distinct()
+    )
+    screen = priv.select(
+        "user_id", "sub_id", F.lit("screen_sub").alias("action")
+    )
+    refresh = (
+        recent.join(
+            F.broadcast(priv), on=["user_id", "sub_id"], how="left_anti"
+        )
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(None).cast("long").alias("sub_id"),
+            F.lit("refresh_entity").alias("action"),
+        )
+    )
+    return screen.unionByName(refresh)
+
+
+@register(
     "es_docs",
     oracle="""
     SELECT CAST(user_id AS VARCHAR) || '_' ||

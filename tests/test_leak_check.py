@@ -77,3 +77,82 @@ def test_es_docs_only_from_screened_pipeline(spark, sf_dir):
         r._id for r in ids.collect() if int(r._id.split("_")[0]) in private
     ]
     assert not leaked
+
+def test_private_subentity_screen_list_scrubs_nested_docs(spark, sf_dir):
+    """Composing the sub-entity flip list with the nested-attachment
+    pipeline (the reference's re-ETL consumption of
+    get_recent_private_attachments): scrubbing the screen_sub pairs
+    out of the attachment mutation stream removes every screened
+    sub-document and ONLY those."""
+    catalog.load_all()
+    out = catalog.QUERIES["private_subentity"](spark, sf_dir)
+    screen = out.where(F.col("action") == "screen_sub").select(
+        "user_id", F.col("sub_id").alias("attach_id")
+    )
+    assert screen.count() > 0  # the check has teeth at this SF
+    ev = load_table(spark, sf_dir, "events")
+    muts = ev.where(F.col("event_id") % 2 == 0).select(
+        "user_id",
+        (F.lit(1) + F.col("event_id") % 5).alias("attach_id"),
+    )
+    scrubbed = muts.join(
+        screen, on=["user_id", "attach_id"], how="left_anti"
+    )
+    leaked = scrubbed.join(
+        screen, on=["user_id", "attach_id"], how="inner"
+    ).count()
+    assert leaked == 0
+    # and the scrub is minimal: non-screened pairs all survive
+    kept = scrubbed.select("user_id", "attach_id").distinct().count()
+    total = muts.select("user_id", "attach_id").distinct().count()
+    assert kept == total - screen.count()
+
+
+def test_private_subentity_state_is_latest_marker(spark, sf_dir):
+    """Every screen_sub pair's LATEST privacy marker is private, and
+    every refresh_entity entity has a recent flip none of whose
+    now-current states are private for that flipped sub — checked
+    against a pandas replay of the marker stream."""
+    catalog.load_all()
+    out = catalog.QUERIES["private_subentity"](spark, sf_dir)
+    rows = out.collect()
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        ev.where(
+            (F.col("event_id") % 2 == 0)
+            & (F.col("event_type") == "error")
+        )
+        .select(
+            "user_id",
+            (F.lit(1) + F.col("event_id") % 5).alias("sub_id"),
+            "event_id",
+            F.col("ts").cast("long").alias("tsl"),
+            "value",
+        )
+        .toPandas()
+    )
+    latest = (
+        m.sort_values(["tsl", "event_id"])
+        .groupby(["user_id", "sub_id"])
+        .tail(1)
+        .set_index(["user_id", "sub_id"])["value"]
+    )
+    for r in rows:
+        if r["action"] == "screen_sub":
+            assert latest[(r["user_id"], r["sub_id"])] > 150, r
+    cut = m["tsl"].max() - 604800
+    # recompute cut exactly as the query does: off ALL events
+    cut = (
+        ev.agg(F.max(F.col("ts").cast("long"))).collect()[0][0]
+        - 604800
+    )
+    recent = m[m["tsl"] >= cut]
+    refresh = {r["user_id"] for r in rows if r["action"] == "refresh_entity"}
+    for uid in refresh:
+        flips = recent[recent["user_id"] == uid]
+        assert len(flips) > 0, uid
+        ok = any(
+            latest[(uid, sid)] <= 150
+            for sid in flips["sub_id"].unique()
+        )
+        assert ok, uid
