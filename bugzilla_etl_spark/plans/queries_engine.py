@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from bugzilla_etl_spark.plans.catalog import register
 from bugzilla_etl_spark.sources import load_table
+from bugzilla_etl_spark.tmpdirs import tracked_mkdtemp
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -1604,11 +1605,10 @@ def compact_documents(
     file-size skew; no per-bin driver jobs (a bin loop is the
     naive compactor that serializes on the driver at 100k files)."""
     import os
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
-    store = tempfile.mkdtemp(prefix="bes_cst_")
-    compacted = tempfile.mkdtemp(prefix="bes_cso_")
+    store = tracked_mkdtemp(prefix="bes_cst_")
+    compacted = tracked_mkdtemp(prefix="bes_cso_")
     # fragment: 8 files per source dir
     docs.repartition(8).write.mode("overwrite").partitionBy(
         "source"

@@ -17,6 +17,7 @@ from bugzilla_etl_spark.operators import alias as A
 from bugzilla_etl_spark.operators import normalize as N
 from bugzilla_etl_spark.plans.catalog import register
 from bugzilla_etl_spark.sources import load_table
+from bugzilla_etl_spark.tmpdirs import tracked_mkdtemp
 
 
 @register(
@@ -220,7 +221,6 @@ def alias_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (u{4k+3} -> u{4k+2} -> u{4k}), so the oracle's closed-form CASE is
     exactly the chain-followed mapping.  The store write/read is the
     point of the query; the oracle checks the surviving values."""
-    import tempfile
 
     from bugzilla_etl_spark.sinks.alias_store import (
         load_aliases,
@@ -249,7 +249,7 @@ def alias_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         em(F.col("user_id")).alias("alias"),
         em(F.col("user_id") - 2).alias("canonical"),
     )
-    path = tempfile.mkdtemp(prefix="bes_alias_") + "/store"
+    path = tracked_mkdtemp(prefix="bes_alias_") + "/store"
     save_aliases(stored, path)
     loaded, _ = load_aliases(spark, path)
     return merge_aliases(loaded, fresh)

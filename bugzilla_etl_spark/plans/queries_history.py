@@ -30,6 +30,7 @@ from bugzilla_etl_spark.plans.queries_engine import (
     _HLL_NUM,
 )
 from bugzilla_etl_spark.sources import load_table
+from bugzilla_etl_spark.tmpdirs import tracked_mkdtemp
 from bugzilla_etl_spark.sources.tables import normalize_events_ts
 
 # ---- deterministic flag-change synthesis (same CASEs both engines) --
@@ -371,7 +372,6 @@ def stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     to exactly the latest event per entity.
     reference: bz_etl.py:172 incremental_etl (poll-since-watermark
     loop), ES overwrite-by-id idempotency."""
-    import tempfile
     import uuid
 
     from bugzilla_etl_spark.streaming.snapshot_stream import (
@@ -387,7 +387,7 @@ def stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental batches into)
     import os
 
-    srcdir = tempfile.mkdtemp(prefix="bes_ssrc_")
+    srcdir = tracked_mkdtemp(prefix="bes_ssrc_")
     os.symlink(path, os.path.join(srcdir, "events.parquet"))
     src = normalize_events_ts(
         spark.readStream.schema(static.schema).parquet(srcdir)
@@ -398,7 +398,7 @@ def stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bes_ss_"))
+        .option("checkpointLocation", tracked_mkdtemp(prefix="bes_ss_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -440,7 +440,6 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental loop re-emits touched bugs and relies on the sink to
     absorb duplicates."""
     import os
-    import tempfile
     import uuid
 
     from bugzilla_etl_spark.streaming.snapshot_stream import (
@@ -450,7 +449,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     static = spark.read.parquet(path)
-    srcdir = tempfile.mkdtemp(prefix="bes_sdup_")
+    srcdir = tracked_mkdtemp(prefix="bes_sdup_")
     os.symlink(path, os.path.join(srcdir, "events_a.parquet"))
     os.symlink(path, os.path.join(srcdir, "events_b.parquet"))
     src = normalize_events_ts(
@@ -462,7 +461,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bes_sd_"))
+        .option("checkpointLocation", tracked_mkdtemp(prefix="bes_sd_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -499,7 +498,6 @@ def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference: bz_etl.py:172 incremental loop (the reference
     recomputes aggregates per poll; streaming keeps them hot)."""
     import os
-    import tempfile
     import uuid
 
     from bugzilla_etl_spark.streaming.snapshot_stream import (
@@ -509,7 +507,7 @@ def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     static = spark.read.parquet(path)
-    srcdir = tempfile.mkdtemp(prefix="bes_sroll_")
+    srcdir = tracked_mkdtemp(prefix="bes_sroll_")
     os.symlink(path, os.path.join(srcdir, "events.parquet"))
     src = normalize_events_ts(
         spark.readStream.schema(static.schema).parquet(srcdir)
@@ -520,7 +518,7 @@ def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bes_sr_"))
+        .option("checkpointLocation", tracked_mkdtemp(prefix="bes_sr_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -855,7 +853,6 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference: the same incremental==full guarantee as
     stream_snapshot (bz_etl.py:172)."""
     import os
-    import tempfile
     import uuid
 
     from bugzilla_etl_spark.streaming.snapshot_stream import (
@@ -865,7 +862,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     static = spark.read.parquet(path)
-    srcdir = tempfile.mkdtemp(prefix="bes_sess_")
+    srcdir = tracked_mkdtemp(prefix="bes_sess_")
     os.symlink(path, os.path.join(srcdir, "events.parquet"))
     src = normalize_events_ts(
         spark.readStream.schema(static.schema).parquet(srcdir)
@@ -879,7 +876,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bes_sq_"))
+        .option("checkpointLocation", tracked_mkdtemp(prefix="bes_sq_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -911,14 +908,13 @@ def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild over all events — the incremental==full equivalence that
     defines the reference's incremental mode (bz_etl.py:172; any bug
     touched since the watermark is fully re-built and overwritten)."""
-    import tempfile
 
     from bugzilla_etl_spark.streaming.incremental_versions import (
         stream_full_rebuild,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="bes_incv_")
+    work = tracked_mkdtemp(prefix="bes_incv_")
     src = f"{work}/src"
     # three time-ordered slices = three incremental deliveries
     lo_hi = ev.approxQuantile("event_id", [1 / 3, 2 / 3], 0.0)
@@ -1057,7 +1053,6 @@ def stream_previous_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference: parse_bug_history.py:783 setPrevious under the
     incremental loop (bz_etl.py:172)."""
     import os
-    import tempfile
     import uuid
 
     from bugzilla_etl_spark.streaming.snapshot_stream import (
@@ -1068,7 +1063,7 @@ def stream_previous_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     static = spark.read.parquet(path)
-    srcdir = tempfile.mkdtemp(prefix="bes_pv_")
+    srcdir = tracked_mkdtemp(prefix="bes_pv_")
     os.symlink(path, os.path.join(srcdir, "events.parquet"))
     src = normalize_events_ts(
         spark.readStream.schema(static.schema).parquet(srcdir)
@@ -1083,7 +1078,7 @@ def stream_previous_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bes_pq_"))
+        .option("checkpointLocation", tracked_mkdtemp(prefix="bes_pq_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1127,7 +1122,6 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram only in batches that changed it, and counts are monotone
     per key, so the final state is each gram's max emission."""
     import os
-    import tempfile
     import uuid
 
     from pyspark.sql import Window
@@ -1136,7 +1130,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = f"{sf_dir}/documents.parquet"
     static = spark.read.parquet(path)
-    srcdir = tempfile.mkdtemp(prefix="bes_shh_")
+    srcdir = tracked_mkdtemp(prefix="bes_shh_")
     os.symlink(path, os.path.join(srcdir, "documents.parquet"))
     src = (
         spark.readStream.schema(static.schema)
@@ -1153,7 +1147,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bes_shh_ck_"))
+        .option("checkpointLocation", tracked_mkdtemp(prefix="bes_shh_ck_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1232,7 +1226,6 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation: each incoming doc's band-bucket collision count
     against the static index."""
     import shutil
-    import tempfile
 
     from bugzilla_etl_spark.streaming.landing import land_parts
     from bugzilla_etl_spark.streaming.neardup_stream import (
@@ -1244,9 +1237,9 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     static = docs.where(F.col("doc_id") % 5 != 0)
     incoming = docs.where(F.col("doc_id") % 5 == 0)
 
-    landing = tempfile.mkdtemp(prefix="bes_ndl_")
-    out_dir = tempfile.mkdtemp(prefix="bes_ndo_")
-    ckpt = tempfile.mkdtemp(prefix="bes_ndc_")
+    landing = tracked_mkdtemp(prefix="bes_ndl_")
+    out_dir = tracked_mkdtemp(prefix="bes_ndo_")
+    ckpt = tracked_mkdtemp(prefix="bes_ndc_")
     shutil.rmtree(out_dir)
     land_parts(
         landing,
@@ -1324,7 +1317,6 @@ def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the property the batch unit test pins)."""
     import os
     import shutil
-    import tempfile
 
     from bugzilla_etl_spark.plans.queries_engine import (
         hll_estimate,
@@ -1334,12 +1326,12 @@ def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     static = spark.read.parquet(path)
-    landing = tempfile.mkdtemp(prefix="bes_hll_")
+    landing = tracked_mkdtemp(prefix="bes_hll_")
     os.symlink(path, os.path.join(landing, "events_a.parquet"))
     # second batch: the same file again — a REPLAY; max-merge absorbs
     # it, which is exactly the claim under test
     os.symlink(path, os.path.join(landing, "events_b.parquet"))
-    state_dir = tempfile.mkdtemp(prefix="bes_hlls_")
+    state_dir = tracked_mkdtemp(prefix="bes_hlls_")
     state_path = os.path.join(state_dir, "registers")
 
     def fold(batch_df, batch_id):
@@ -1364,7 +1356,7 @@ def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(landing)
         .writeStream.foreachBatch(fold)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="bes_hllc_")
+            "checkpointLocation", tracked_mkdtemp(prefix="bes_hllc_")
         )
         .trigger(availableNow=True)
         .start()
@@ -1483,7 +1475,6 @@ def _attribution_streams(
     expiry, and the second gives the engine a batch in which to
     emit them.  Callers filter the sentinels back out."""
     import datetime
-    import tempfile
 
     from bugzilla_etl_spark.streaming.landing import land_parts
 
@@ -1509,7 +1500,7 @@ def _attribution_streams(
     }
     dirs = {}
     for name, df in sides.items():
-        landing = tempfile.mkdtemp(prefix=f"bes_att_{name}_")
+        landing = tracked_mkdtemp(prefix=f"bes_att_{name}_")
         day = F.unix_date(F.to_date(F.col(f"{name}_ts")))
         parts = [
             (f"{name}_a", df.where(day < cut1)),
@@ -1547,7 +1538,6 @@ def _attribution_streams(
 def _run_attribution(spark: SparkSession, out) -> DataFrame:
     """Run an attribution join to a memory sink (availableNow,
     one real micro-batch per landed file) and return the table."""
-    import tempfile
     import uuid
 
     name = f"stream_att_{uuid.uuid4().hex[:8]}"
@@ -1556,7 +1546,7 @@ def _run_attribution(spark: SparkSession, out) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="bes_att_ck_")
+            "checkpointLocation", tracked_mkdtemp(prefix="bes_att_ck_")
         )
         .trigger(availableNow=True)
         .start()

@@ -22,6 +22,7 @@ from bugzilla_etl_spark.plans.queries_dedup import (
     DUCK_TOKENS,
 )
 from bugzilla_etl_spark.sources import load_table
+from bugzilla_etl_spark.tmpdirs import tracked_mkdtemp
 
 # hashed shingle sets (mirrors dedup._hashed_shingled, order-free)
 _DUCK_SHH = "list_transform(sh, s -> " + duckdb_hash64("s") + ")"
@@ -1028,7 +1029,6 @@ def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     of eval size), and per-batch work is map-only: zero shuffles,
     zero stream state beyond the source offsets."""
     import shutil
-    import tempfile
 
     from bugzilla_etl_spark.streaming.landing import land_parts
 
@@ -1037,9 +1037,9 @@ def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = docs.where(F.col("doc_id") % 20 != 0)
     words = D.bloom_build(ev)
 
-    landing = tempfile.mkdtemp(prefix="bes_sdc_")
-    out_dir = tempfile.mkdtemp(prefix="bes_sdo_")
-    ckpt = tempfile.mkdtemp(prefix="bes_sdk_")
+    landing = tracked_mkdtemp(prefix="bes_sdc_")
+    out_dir = tracked_mkdtemp(prefix="bes_sdo_")
+    ckpt = tracked_mkdtemp(prefix="bes_sdk_")
     shutil.rmtree(out_dir)
     land_parts(
         landing,

@@ -1,0 +1,48 @@
+"""Session-scoped tempdir registry for lifecycle/streaming queries.
+
+Several catalog entries are REAL jobs by design (streaming landing
+dirs, checkpoints, the compaction rewrite's store pair): they must
+create scratch directories, and the frames they return stay lazy
+over some of them, so the dirs cannot be deleted inside the query
+builder.  Before this registry every gate/bench run leaked full
+parquet copies of the test tables into /tmp (round-7 advice).
+
+``tracked_mkdtemp`` is a drop-in for ``tempfile.mkdtemp`` that
+records the dir for cleanup; ``gc_now`` removes everything created
+so far (tests call it between invocations to prove net-zero /tmp
+growth), and an ``atexit`` hook makes every normal process exit —
+pytest, bench.py, the driver gate — clean up after itself.  Scratch
+space on a real cluster is the same contract: job-scoped dirs
+removed at application end, never accreted across runs.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+_CREATED: list[str] = []
+
+
+def tracked_mkdtemp(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _CREATED.append(d)
+    return d
+
+
+def registered() -> list[str]:
+    """Dirs created and not yet collected (a copy)."""
+    return list(_CREATED)
+
+
+def gc_now() -> int:
+    """Remove every registered dir now; returns how many."""
+    n = 0
+    while _CREATED:
+        shutil.rmtree(_CREATED.pop(), ignore_errors=True)
+        n += 1
+    return n
+
+
+atexit.register(gc_now)

@@ -162,3 +162,29 @@ def test_skyline_executed_plan_has_partitioned_phase(spark, sf_dir):
     )
     assert plan.count("Window") >= 2, plan
     assert "bucket" in plan, plan
+
+
+def test_lifecycle_tempdirs_tracked_and_net_zero(spark, sf_dir):
+    """Lifecycle/streaming queries create real scratch dirs (landing,
+    checkpoints, store pairs) that must be session-collectable: every
+    mkdtemp in the package routes through the tmpdirs registry, gc
+    removes them all, and a second invocation works from scratch —
+    repeated gate/bench runs leave /tmp net-zero (atexit runs the
+    same gc on process end)."""
+    import os
+
+    from bugzilla_etl_spark import tmpdirs
+
+    tmpdirs.gc_now()
+    out = _q("compact_store", spark, sf_dir)
+    n_rows = out.count()
+    assert n_rows > 0
+    created = tmpdirs.registered()
+    assert len(created) >= 2  # fragmented store + compacted store
+    assert all(os.path.isdir(d) for d in created)
+    n = tmpdirs.gc_now()
+    assert n == len(created)
+    assert not any(os.path.isdir(d) for d in created)
+    # clean re-run after collection: the builder recreates its world
+    assert _q("compact_store", spark, sf_dir).count() == n_rows
+    tmpdirs.gc_now()
