@@ -149,7 +149,41 @@ HEADLINE = [
     "bloom_join_prune",
     "frequent_pairs",
     "partition_prune_stats",
+    # round-8 additions (stream_attribution_outer excluded with the
+    # other streaming queries)
+    "profile_table_hll",
+    "anomaly_mad_hist",
+    "private_subentity",
 ]
+
+# The original 23-query set pinned against BASELINE.md — summed into
+# the tail `comparable23_total` field so the headline number survives
+# any front-truncation of the recorded JSON line (round-7 lesson:
+# the driver preserved only the line's tail and the comparable
+# entries fell off the front of `queries`).
+COMPARABLE23 = HEADLINE[:23]
+
+# Coarse family rollups, also emitted at the tail.
+def _family(name: str) -> str:
+    if name in COMPARABLE23:
+        return "comparable23"
+    if name.startswith("tpch_"):
+        return "tpch"
+    if name.startswith(("dedup_", "ann_", "embedding_", "winnow_")) or name in (
+        "semdedup",
+        "kmeans_embeddings",
+        "decontam_neardup",
+    ):
+        return "dedup_sim"
+    if name.startswith(
+        ("quota_", "seq_", "shuffle_", "mix_", "pii_", "curate_",
+         "stratified_", "dsir_", "char_", "bpe_", "filter_", "ngram_",
+         "html_", "token_", "heavy_", "cooccurrence_", "decontam_",
+         "quality_", "bloom_", "hll_", "count_", "hist_", "lang_",
+         "text_")
+    ):
+        return "llm_text"
+    return "engine_etl"
 
 # Timed passes per query after one untimed warmup.  Reported per-query
 # time is the MIN of the passes (with the median alongside): two
@@ -194,14 +228,28 @@ def main() -> None:
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
 
+    fam: dict[str, float] = {}
+    for name, t in timings.items():
+        f = _family(name)
+        fam[f] = round(fam.get(f, 0.0) + t, 3)
+    # Field ORDER is load-bearing: the bulky per-query dicts go
+    # FIRST and every headline summary number LAST, so a recorder
+    # that keeps only the tail of the line still preserves the
+    # totals (BENCH_r07 lost the comparable-23 entries off the
+    # front; the tail fields make that unrepeatable).
     out = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
         "runs_per_query": N_RUNS,
         "aggregation": "min",
+        "n_queries": len(timings),
+        "family_totals": fam,
+        "comparable23_total": round(
+            sum(timings.get(n, 0.0) for n in COMPARABLE23), 3
+        ),
+        "value": round(sum(timings.values()), 3),
         "sf": sf,
     }
     print(json.dumps(out))
