@@ -154,6 +154,8 @@ HEADLINE = [
     "profile_table_hll",
     "anomaly_mad_hist",
     "private_subentity",
+    "es_file_extract",
+    "es_alias_cutover",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into

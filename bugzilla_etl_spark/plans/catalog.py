@@ -80,6 +80,8 @@ _PRIORITY = (
     "private_subentity",
     "profile_table_hll",
     "anomaly_mad_hist",
+    "es_file_extract",
+    "es_alias_cutover",
     # ---- round-8 behavior-touched
     "skyline_orders",
     "tpch_q15",

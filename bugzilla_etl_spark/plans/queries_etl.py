@@ -501,6 +501,166 @@ def es_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "es_file_extract",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           nullif(nullif(nullif(
+               CASE doc_id % 5
+                   WHEN 0 THEN '--'   WHEN 1 THEN '---'
+                   WHEN 2 THEN ''     WHEN 3 THEN CAST(n_chars AS VARCHAR)
+                   ELSE 'n/a'
+               END, '--'), '---'), '') AS scrubbed
+    FROM documents
+    """,
+)
+def es_file_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-DUMP extraction — the reference's alternate source path
+    (replicate.py:46 extract_from_file): an ES bulk-dump text file
+    of JSON records is parsed line-by-line, each record normalized
+    (the null-token scrub), and loaded as typed docs.
+
+    Executed for real: the dump is WRITTEN as newline-delimited
+    JSON text files (executor-side ``to_json``, one dump part per
+    partition — the shape an ES snapshot dump has), read back with
+    the TEXT source, parsed with schema-typed ``from_json``, and
+    scrubbed.  The oracle checks parsed CONTENT, not dump bytes —
+    each engine round-trips its own JSON encoding, which is the
+    extraction contract (and why string-escaping differences
+    between engines cannot matter).
+
+    Scale shape: write and parse are both map-only (no exchange
+    anywhere); a malformed line yields a NULL struct rather than a
+    task failure (PERMISSIVE from_json), the per-block error-file
+    behavior of the reference collapsed to the engine's native
+    bad-record channel."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.expr(
+        "CASE doc_id % 5 WHEN 0 THEN '--' WHEN 1 THEN '---'"
+        " WHEN 2 THEN '' WHEN 3 THEN CAST(n_chars AS STRING)"
+        " ELSE 'n/a' END"
+    )
+    dump_dir = os.path.join(tracked_mkdtemp("bes_esfx_"), "dump")
+    (
+        docs.select(
+            F.to_json(
+                F.struct(
+                    F.col("doc_id").alias("id"),
+                    F.col("source"),
+                    F.col("n_chars"),
+                    dirty.alias("raw"),
+                )
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(dump_dir)
+    )
+    schema = "id BIGINT, source STRING, n_chars BIGINT, raw STRING"
+    parsed = (
+        spark.read.text(dump_dir)
+        .select(F.from_json("value", schema).alias("r"))
+        .select("r.id", "r.source", "r.n_chars", "r.raw")
+    )
+    return parsed.select(
+        F.col("id").alias("doc_id"),
+        "source",
+        "n_chars",
+        N.scrub_nulls("raw").alias("scrubbed"),
+    )
+
+
+def _alias_path(base: str) -> str:
+    import os
+
+    return os.path.join(base, "alias.json")
+
+
+def _set_alias(base: str, index: str) -> None:
+    """Atomic alias swap: write-then-rename, the crash-safe cut-over
+    (a reader either sees the old index or the new one, never a
+    torn pointer) — the filesystem model of ES's atomic
+    update-aliases API."""
+    import json
+    import os
+
+    tmp = _alias_path(base) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"index": index}, f)
+    os.replace(tmp, _alias_path(base))
+
+
+def _get_alias(base: str) -> str:
+    import json
+
+    with open(_alias_path(base)) as f:
+        return json.load(f)["index"]
+
+
+@register(
+    "es_alias_cutover",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS _id, source,
+           CASE WHEN doc_id % 10 = 0 THEN n_chars + 1
+                ELSE n_chars END AS n_chars,
+           CAST(2 AS BIGINT) AS index_run
+    FROM documents
+    """,
+)
+def es_alias_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX LIFECYCLE / alias cut-over — the reference's
+    index-per-run + alias-swap-at-completion pattern
+    (replicate.py:147 get_or_create_index, bz_etl.py:131 setup_es,
+    replicate.py:210-211 delete_all_but + add_alias), executed
+    against a real store: run 1 lands the corpus in its own index
+    dir and takes the alias; run 2 (a re-ETL with 10%% of docs
+    changed) lands in a NEW index dir, swaps the alias atomically
+    only after its write completes, then retires the old index —
+    readers always resolve the alias to exactly one complete
+    index, so a crash anywhere leaves the previous run serving.
+
+    The returned frame reads THROUGH the alias, and the oracle is
+    run 2's expected content: a hash match proves the swap happened
+    after completion and the reader never saw a blend.  The unit
+    test additionally pins the crash-window semantics (alias still
+    serves run 1 until the swap line) and old-index retirement.
+
+    Scale shape: each run's write is one map-only job; the alias
+    swap is O(1) metadata, never data movement — which is the whole
+    point of the pattern at 100 TB (cut-over cost is independent of
+    index size)."""
+    import os
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tracked_mkdtemp("bes_esx_")
+    run1 = os.path.join(base, "idx_run1")
+    run2 = os.path.join(base, "idx_run2")
+    v1 = docs.select(
+        F.col("doc_id").cast("string").alias("_id"),
+        "source",
+        "n_chars",
+        F.lit(1).cast("long").alias("index_run"),
+    )
+    v2 = docs.select(
+        F.col("doc_id").cast("string").alias("_id"),
+        "source",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.col("n_chars") + 1
+        )
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+        F.lit(2).cast("long").alias("index_run"),
+    )
+    v1.write.mode("overwrite").parquet(run1)
+    _set_alias(base, "idx_run1")  # run 1 completes, takes the alias
+    v2.write.mode("overwrite").parquet(run2)  # new index per run
+    _set_alias(base, "idx_run2")  # swap ONLY after write completes
+    shutil.rmtree(run1)  # delete_all_but(alias, current)
+    return spark.read.parquet(os.path.join(base, _get_alias(base)))
+
+
+@register(
     "screen_mask",
     oracle="""
     SELECT e.event_id, e.user_id,

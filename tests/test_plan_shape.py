@@ -620,6 +620,8 @@ def test_catalog_no_cartesian_no_row_python(spark, sf_dir):
         "stream_attribution_outer",
         "alias_compact",
         "compact_store",
+        "es_file_extract",
+        "es_alias_cutover",
     }
     offenders = []
     for name, fn in sorted(catalog.QUERIES.items()):
@@ -670,6 +672,8 @@ def test_catalog_no_unpartitioned_window(spark, sf_dir):
         "stream_attribution_outer",
         "alias_compact",
         "compact_store",
+        "es_file_extract",
+        "es_alias_cutover",
     }
     BOUNDED_OK = {
         # global pass input = union of bucket-local frontiers

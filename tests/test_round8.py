@@ -188,3 +188,56 @@ def test_lifecycle_tempdirs_tracked_and_net_zero(spark, sf_dir):
     # clean re-run after collection: the builder recreates its world
     assert _q("compact_store", spark, sf_dir).count() == n_rows
     tmpdirs.gc_now()
+
+
+def test_es_alias_cutover_crash_window_semantics(spark, sf_dir):
+    """The lifecycle invariant the alias pattern exists for: between
+    run 2's write and the swap line, the alias STILL resolves to the
+    complete run-1 index (a crash there leaves the previous run
+    serving); after the swap it resolves to run 2 and the retired
+    index is gone.  Reconstructed step-by-step with the same
+    helpers the query uses."""
+    import os
+    import shutil
+
+    from bugzilla_etl_spark.plans.queries_etl import (
+        _get_alias,
+        _set_alias,
+    )
+    from bugzilla_etl_spark.tmpdirs import tracked_mkdtemp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = tracked_mkdtemp("bes_esxt_")
+    run1 = os.path.join(base, "idx_run1")
+    run2 = os.path.join(base, "idx_run2")
+    docs.selectExpr("doc_id", "n_chars").write.parquet(run1)
+    _set_alias(base, "idx_run1")
+    n1 = spark.read.parquet(
+        os.path.join(base, _get_alias(base))
+    ).count()
+    # run 2 written but NOT yet swapped — the crash window
+    docs.selectExpr("doc_id", "n_chars + 1 AS n_chars").write.parquet(
+        run2
+    )
+    assert _get_alias(base) == "idx_run1"
+    assert (
+        spark.read.parquet(os.path.join(base, _get_alias(base))).count()
+        == n1
+    )
+    _set_alias(base, "idx_run2")
+    shutil.rmtree(run1)
+    after = spark.read.parquet(os.path.join(base, _get_alias(base)))
+    assert after.count() == n1
+    assert not os.path.exists(run1)
+    # and the swap file itself is atomic: no .tmp residue
+    assert not os.path.exists(os.path.join(base, "alias.json.tmp"))
+
+
+def test_es_file_extract_parses_every_dump_line(spark, sf_dir):
+    """The dump round-trip is lossless and complete: one parsed doc
+    per source row, no NULL parse structs (PERMISSIVE from_json
+    would surface malformed lines as all-null rows)."""
+    out = _q("es_file_extract", spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert out.count() == docs.count()
+    assert out.where(F.col("doc_id").isNull()).count() == 0
