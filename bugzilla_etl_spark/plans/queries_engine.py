@@ -1429,10 +1429,19 @@ def profile_table(
     for name, kind, num, strx in _PROFILE_COLS:
         if name == "o_orderdate":
             num = _EPOCH_SPARK
+        # hll mode must not pay for the exact NDV it replaces: the
+        # Expand fan-out exists ONLY to serve multi-countDistinct,
+        # so a zero placeholder keeps the wide agg a plain one-pass
+        # aggregate and the sketch supplies ndv after the stack
+        ndv_agg = (
+            F.countDistinct(name)
+            if ndv == "exact"
+            else F.max(F.lit(0)).cast("long")
+        )
         aggs += [
             F.count(F.lit(1)).alias(f"{name}__n"),
             (F.count(F.lit(1)) - F.count(name)).alias(f"{name}__n_null"),
-            F.countDistinct(name).alias(f"{name}__ndv"),
+            ndv_agg.alias(f"{name}__ndv"),
         ]
         if kind == "num":
             aggs += [

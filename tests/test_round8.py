@@ -75,7 +75,7 @@ def test_profile_table_hll_knob_schema_and_error(spark, sf_dir):
     column's NDV within 15% of exact (m=1024 registers => ~3.25%
     standard error; sub-50 cardinalities ride the linear-counting
     branch and are EXACT)."""
-    exact = catalog.QUERIES["profile_table"](spark, sf_dir)
+    exact = _q("profile_table", spark, sf_dir)
     hll = catalog.QUERIES["profile_table"](spark, sf_dir, ndv="hll")
     assert exact.schema == hll.schema
     ex = {r["col_name"]: r["ndv"] for r in exact.collect()}
