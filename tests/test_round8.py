@@ -241,3 +241,61 @@ def test_es_file_extract_parses_every_dump_line(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert out.count() == docs.count()
     assert out.where(F.col("doc_id").isNull()).count() == 0
+
+
+def test_anomaly_mad_hist_one_corpus_scan(spark, sf_dir):
+    """The sketch path's scale claim in the PLAN: the deviation
+    histogram regroups the value histogram, and AQE reuses the
+    (event_type, bin) exchange between the median branch and the
+    deviation branch — ONE physical corpus scan in the final
+    adaptive plan."""
+    df = _q("anomaly_mad_hist", spark, sf_dir)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("events.parquet") == 1, final
+    assert "ReusedExchange" in final, final
+
+
+def test_skyline_two_phase_random_points(spark):
+    """Seeded-random stress of the two-phase composition: ties in
+    both dimensions, duplicated points, and a price column with big
+    clusters — two-phase survivors == brute-force Pareto frontier.
+    Catches tie-handling drift the orders table (few exact ties)
+    would miss."""
+    import numpy as np
+
+    from bugzilla_etl_spark.plans.queries_engine import skyline_pass
+
+    rng = np.random.default_rng(42)
+    n = 3000
+    day = rng.integers(0, 400, n)
+    price = rng.integers(0, 50, n).astype("float64")  # dense ties
+    key = np.arange(n)
+    pts = spark.createDataFrame(
+        [
+            (int(k), int(d), float(p))
+            for k, d, p in zip(key, day, price)
+        ],
+        schema="o_orderkey BIGINT, day BIGINT, price DOUBLE",
+    )
+    two = skyline_pass(
+        skyline_pass(
+            pts.withColumn("bucket", F.expr("day div 64")),
+            part="bucket",
+        ).drop("bucket")
+    )
+    got = {r["o_orderkey"] for r in two.collect()}
+    dominated = np.zeros(n, dtype=bool)
+    for i in range(n):
+        dom = (
+            (day <= day[i])
+            & (price >= price[i])
+            & ((day < day[i]) | (price > price[i]))
+        )
+        dominated[i] = dom.any()
+    assert got == set(key[~dominated].tolist())
