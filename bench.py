@@ -156,6 +156,7 @@ HEADLINE = [
     "private_subentity",
     "es_file_extract",
     "es_alias_cutover",
+    "bucketed_join_zero_shuffle",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into

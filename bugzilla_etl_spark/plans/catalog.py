@@ -82,6 +82,7 @@ _PRIORITY = (
     "anomaly_mad_hist",
     "es_file_extract",
     "es_alias_cutover",
+    "bucketed_join_zero_shuffle",
     # ---- round-8 behavior-touched
     "skyline_orders",
     "tpch_q15",

@@ -1688,6 +1688,83 @@ def compact_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_join_zero_shuffle",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_zero_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BUCKETED co-located join, executed against real bucketed
+    tables: orders and lineitem land as 8-bucket Hive-layout tables
+    on the join key (``bucketBy + sortBy``, one file per bucket),
+    and the fact⋈fact join then needs NO exchange on either side —
+    the bucket layout IS the hash partitioning the SortMergeJoin
+    requires, so the only shuffle in the whole plan is the final
+    group-by.  This is the third leg of the shuffle-avoidance
+    toolkit next to broadcast (dims) and AQE (runtime sizes): for
+    the recurring big⋈big join on a stable key at 100 TB you pay
+    the shuffle ONCE at write time and never again per query —
+    exactly how production lakehouse tables co-locate fact joins.
+
+    The ``merge`` hint pins the SMJ so the demonstration is
+    deterministic at any SF (AQE prefers broadcast at test scale,
+    which would bypass the bucket layout being demonstrated); a
+    merge hint has no build side to OOM, so it sits outside the
+    bounded-broadcast-hint policy by construction.  The plan test
+    asserts exactly one exchange and bucketed scans on both sides.
+
+    Tables are EXTERNAL over a tracked scratch dir with a
+    per-invocation name (the in-memory catalog entry dies with the
+    session; the data dir is GC'd with the tempdir registry)."""
+    import os
+    import uuid
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    base = tracked_mkdtemp("bes_bkt_")
+    tag = uuid.uuid4().hex[:8]
+    names = {}
+    for stem, df, key in (
+        ("orders", od, "o_orderkey"),
+        ("lineitem", li, "l_orderkey"),
+    ):
+        name = f"bes_bkt_{stem}_{tag}"
+        (
+            df.repartition(8, F.col(key))  # one file per bucket
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, stem))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+        names[stem] = name
+    o = spark.table(names["orders"])
+    l = spark.table(names["lineitem"])
+    return (
+        o.hint("merge")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                4,
+            ).alias("rev")
+        )
+    )
+
+
+@register(
     "partition_prune_stats",
     oracle=f"""
     WITH raw AS (

@@ -85,11 +85,18 @@ def test_tpch_q5_all_dims_broadcast(spark, sf_dir):
 
 
 def _hinted_subtrees(analyzed: str):
-    """Yield the subtree lines under each ResolvedHint in an analyzed
-    plan string (tree indentation: children are deeper)."""
+    """Yield the subtree lines under each BROADCAST ResolvedHint in
+    an analyzed plan string (tree indentation: children are deeper).
+
+    strategy=merge hints are excluded by design: the bounded-subtree
+    policy exists because a forced broadcast BUILD SIDE OOMs when
+    the relation outgrows memory, but a merge hint forces
+    SortMergeJoin — no build side, graceful degradation — and is
+    exactly what pins a co-located bucketed join against AQE's
+    small-SF broadcast preference (bucketed_join_zero_shuffle)."""
     lines = analyzed.splitlines()
     for i, l in enumerate(lines):
-        if "ResolvedHint" not in l:
+        if "ResolvedHint" not in l or "strategy=merge" in l:
             continue
         indent = len(l) - len(l.lstrip(" :+-"))
         sub = []
@@ -200,6 +207,10 @@ def test_catalog_no_smj_no_cartesian(spark, sf_dir):
     # class), so SMJ on src is the intended shape; AQE promotes to
     # broadcast at test SF from measured sizes when stats are
     # visible, but the static plan may not see them.
+    # bucketed_join_zero_shuffle: the SMJ is the DEMONSTRATION — a
+    # co-located bucketed fact⋈fact join whose merge-sorted scans
+    # replace the exchange; its own plan test pins the zero-shuffle
+    # property.
     smj_ok = {
         "dedup_components",
         "pagerank_trade",
@@ -209,6 +220,7 @@ def test_catalog_no_smj_no_cartesian(spark, sf_dir):
         "semdedup",
         "flag_fuzzy_match",
         "decontam_neardup",
+        "bucketed_join_zero_shuffle",
     }
     offenders = []
     for name, fn in sorted(catalog.QUERIES.items()):
@@ -622,6 +634,7 @@ def test_catalog_no_cartesian_no_row_python(spark, sf_dir):
         "compact_store",
         "es_file_extract",
         "es_alias_cutover",
+        "bucketed_join_zero_shuffle",
     }
     offenders = []
     for name, fn in sorted(catalog.QUERIES.items()):
@@ -674,6 +687,7 @@ def test_catalog_no_unpartitioned_window(spark, sf_dir):
         "compact_store",
         "es_file_extract",
         "es_alias_cutover",
+        "bucketed_join_zero_shuffle",
     }
     BOUNDED_OK = {
         # global pass input = union of bucket-local frontiers

@@ -299,3 +299,19 @@ def test_skyline_two_phase_random_points(spark):
         )
         dominated[i] = dom.any()
     assert got == set(key[~dominated].tolist())
+
+
+def test_bucketed_join_plans_zero_join_shuffle(spark, sf_dir):
+    """The bucketing demonstration in the PLAN: the fact⋈fact SMJ
+    reads both bucketed tables directly — the ONLY exchange in the
+    whole query is the final group-by, and both scans carry bucket
+    metadata.  (Write-once shuffle, read-forever co-location.)"""
+    import re
+
+    df = _q("bucketed_join_zero_shuffle", spark, sf_dir)
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "SelectedBucketsCount" in plan, plan
