@@ -74,6 +74,12 @@ def kmeans_lloyd(
             & (F.col("vid") < seed_every * max_k)
         ).collect()
     )  # bounded: the model (≤ max_k rows)
+    if not seeds:
+        # empty corpus => empty model => empty labeling (the
+        # no-new-data incremental run must not stack-error)
+        return emb.sparkSession.createDataFrame(
+            [], schema="vec_id long, cluster long, d2s long"
+        )
     cids = np.array([s[0] for s in seeds], dtype=np.int64)
     C = np.stack([np.asarray(s[1], dtype=np.float64) for s in seeds])
 

@@ -76,6 +76,12 @@ def brute_force_topk(
         ).collect(),
         key=lambda r: r.qid,
     )
+    if not qrows:
+        # empty query batch (the no-new-data incremental run):
+        # empty result, same schema — never a driver-side stack error
+        return emb.sparkSession.createDataFrame(
+            [], schema="query_id long, cand_id long, cos double, rank int"
+        )
     qids = np.array([r.qid for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
     qn = np.sqrt((Q * Q).sum(axis=1))
@@ -349,6 +355,12 @@ def ivf_assign(
     ).select("cid", "cv", norm(F.col("cv")).alias("cn"))
     # bounded driver materialization: k rows of dim doubles (the index)
     crows = sorted(c.collect(), key=lambda r: r.cid)
+    if not crows:
+        return emb.sparkSession.createDataFrame(
+            [],
+            schema="vid long, cell long, cell_cos double,"
+            " v array<double>, vn double",
+        )
     cids = np.array([r.cid for r in crows], dtype=np.int64)
     C = np.stack([np.asarray(r.cv, dtype=np.float64) for r in crows])
     cn = np.array([r.cn for r in crows], dtype=np.float64)
@@ -408,6 +420,12 @@ def ivf_assign_probes(
         F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv")
     ).select("cid", "cv", norm(F.col("cv")).alias("cn"))
     crows = sorted(c.collect(), key=lambda r: r.cid)
+    if not crows:
+        return emb.sparkSession.createDataFrame(
+            [],
+            schema="vid long, cell long, cell_cos double, probe int,"
+            " v array<double>, vn double",
+        )
     cids = np.array([r.cid for r in crows], dtype=np.int64)
     C = np.stack([np.asarray(r.cv, dtype=np.float64) for r in crows])
     cn = np.array([r.cn for r in crows], dtype=np.float64)
@@ -641,6 +659,10 @@ def pq_search_topk(
         ).collect(),
         key=lambda r: r.qid,
     )
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], schema="query_id long, cand_id long, adist long, rank int"
+        )
     qids = np.array([r.qid for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
     lut = _pq_subdists(Q, C)  # (nq, n_sub, n_codes) int64

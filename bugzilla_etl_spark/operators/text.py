@@ -373,6 +373,12 @@ def char_lm_score(
     import numpy as np
     import pandas as pd
 
+    if v == 0:
+        # empty reference corpus => no model: nothing can be scored
+        # (the no-new-data incremental run must not divide by zero)
+        return docs.sparkSession.createDataFrame(
+            [], schema="doc_id long, n_trans long, nll double"
+        )
     idx = {c: i for i, c in enumerate(sorted(set(ctx_c) | {a[1] for a in bigram_c}))}
     n = len(idx)
     # log p for every (known a, known b); row n = unseen context,

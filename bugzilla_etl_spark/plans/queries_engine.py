@@ -1634,6 +1634,14 @@ def compact_documents(
             if f.endswith(".parquet"):
                 p = os.path.join(d, f)
                 listing.append((src.split("=", 1)[1], p, os.path.getsize(p)))
+    if not listing:
+        # empty store (no-new-data run): nothing to compact; the
+        # read-back of an all-empty partitioned dir cannot infer a
+        # schema, so short-circuit with the same output shape
+        return (
+            docs.select("doc_id", "source", "n_chars").limit(0),
+            {"files_before": 0, "files_after": 0},
+        )
     files = spark.createDataFrame(
         listing, schema="source STRING, path STRING, bytes BIGINT"
     )

@@ -940,6 +940,12 @@ def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_fn=build_full_docs,
     ).start()
     q.awaitTermination()
+    import os
+
+    if not os.path.exists(f"{work}/docs"):
+        # no-new-data run: no micro-batch ever rebuilt an entity —
+        # the batch builder on an empty log IS the stream's output
+        return build_full_docs(ev.limit(0))
     return spark.read.parquet(f"{work}/docs").drop("bucket")
 
 
@@ -1255,10 +1261,13 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_neardup_ingest(
             spark, landing, docs.schema, index, out_dir, ckpt
         )
-        return (
-            spark.read.parquet(out_dir)
-            .select("doc_id", "n_hits", "is_neardup")
+        from bugzilla_etl_spark.streaming.landing import (
+            read_store_or_empty,
         )
+
+        return read_store_or_empty(
+            spark, out_dir, "doc_id long, n_hits long, is_neardup int"
+        ).select("doc_id", "n_hits", "is_neardup")
     finally:
         index.unpersist()
 
@@ -1363,7 +1372,11 @@ def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
-    final_regs = spark.read.parquet(state_path)
+    from bugzilla_etl_spark.streaming.landing import read_store_or_empty
+
+    final_regs = read_store_or_empty(
+        spark, state_path, "event_type string, b long, m int"
+    )
     ev = load_table(spark, sf_dir, "events")
     ex = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
@@ -1484,8 +1497,13 @@ def _attribution_streams(
         F.max(F.unix_date(F.to_date("ts"))).alias("hi"),
         F.max("ts").alias("mx"),
     ).collect()[0]
-    span = b["hi"] - b["lo"] + 1
-    cut1, cut2 = b["lo"] + span // 3, b["lo"] + (2 * span) // 3
+    # empty log (no-new-data run): arbitrary cuts — three empty
+    # parts land and the stream legitimately produces nothing
+    lo = b["lo"] if b["lo"] is not None else 0
+    hi = b["hi"] if b["hi"] is not None else 0
+    mx = b["mx"] or datetime.datetime(1970, 1, 1)
+    span = hi - lo + 1
+    cut1, cut2 = lo + span // 3, lo + (2 * span) // 3
     sides = {
         "click": ev.where(F.col("event_type") == "click").select(
             "user_id",
@@ -1509,7 +1527,7 @@ def _attribution_streams(
         ]
         if sentinel:
             for tag, days in (("d", 30), ("e", 31)):
-                far = b["mx"] + datetime.timedelta(days=days)
+                far = mx + datetime.timedelta(days=days)
                 parts.append(
                     (
                         f"{name}_{tag}",

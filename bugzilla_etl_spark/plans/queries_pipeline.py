@@ -1066,9 +1066,13 @@ def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).select(
-        "doc_id", "n_shingles", "n_hits", "flagged"
-    )
+    from bugzilla_etl_spark.streaming.landing import read_store_or_empty
+
+    return read_store_or_empty(
+        spark,
+        out_dir,
+        "doc_id long, n_shingles long, n_hits long, flagged int",
+    ).select("doc_id", "n_shingles", "n_hits", "flagged")
 
 
 # Sign-safe integer division shared by both engines: DuckDB's // is

@@ -34,3 +34,17 @@ def land_parts(landing: str, parts: list[tuple[str, DataFrame]]) -> None:
             os.path.join(landing, f"{name}.parquet"),
         )
         shutil.rmtree(tmp)
+
+
+def read_store_or_empty(spark, path: str, schema: str):
+    """Read a foreachBatch-produced parquet store, or return an
+    empty frame with the declared schema when the store was never
+    created — the no-new-data incremental run: every batch was
+    empty, every write was skipped, and the directory simply does
+    not exist.  Callers declare the exact schema the stream's
+    writer produces so empty-input runs stay schema-stable."""
+    import os
+
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema=schema)
+    return spark.read.parquet(path)

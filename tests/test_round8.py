@@ -315,3 +315,65 @@ def test_bucketed_join_plans_zero_join_shuffle(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "SelectedBucketsCount" in plan, plan
+
+
+def test_catalog_survives_empty_tables(spark, sf_dir, tmp_path):
+    """The no-new-data incremental run: every operator must behave
+    on ZERO-row inputs (empty partitions and empty increments are
+    routine at 100 TB; a driver-side model collapse must produce an
+    empty model, not a stack/division error).  Covers every query
+    that failed the first full-catalog empty sweep (driver-model
+    stacks, foreachBatch stores never created, min/max None
+    arithmetic, Laplace V=0) plus one representative per family;
+    the FULL 156-query sweep was run and is clean — this guards the
+    classes that broke."""
+    import glob
+    import shutil
+
+    from bugzilla_etl_spark import tmpdirs
+
+    empty = str(tmp_path / "empty_sf")
+    (tmp_path / "empty_sf").mkdir()
+    tables = (
+        "region nation customer supplier part orders lineitem"
+        " events documents embeddings"
+    ).split()
+    for t in tables:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0)
+        stage = str(tmp_path / f"stage_{t}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(f"{stage}/*.parquet")[0]
+        shutil.copy(src, f"{empty}/{t}.parquet")
+
+    names = [
+        # the first-sweep failure set
+        "ann_topk",
+        "kmeans_embeddings",
+        "compact_store",
+        "ann_pq",
+        "char_lm_perplexity",
+        "stream_attribution",
+        "stream_attribution_outer",
+        "stream_decontam",
+        "stream_hll",
+        "stream_bug_versions",
+        "stream_neardup_ingest",
+        # one representative per family
+        "snapshot_versions",
+        "tpch_q1",
+        "dedup_minhash_lsh",
+        "hll_distinct",
+        "anomaly_mad",
+        "profile_table",
+        "skyline_orders",
+        "private_subentity",
+        "pagerank_trade",
+        "bucketed_join_zero_shuffle",
+        "es_file_extract",
+        "es_alias_cutover",
+    ]
+    catalog.load_all()
+    for name in names:
+        n = catalog.QUERIES[name](spark, empty).count()
+        assert n >= 0  # no exception; results may legitimately be empty
+        tmpdirs.gc_now()
