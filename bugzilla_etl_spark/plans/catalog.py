@@ -44,8 +44,8 @@ _loaded = False
 # catalog dict: names listed here come first, the rest keep
 # registration order, then the twice-green rotation tail.
 #
-# Rotation policy (the catalog at 153 exceeds 3x the cap; full
-# cycle = ceil(153/50) = 4 windows): (1) never-driver-tested
+# Rotation policy (the catalog exceeds 3x the 50-row cap; full
+# cycle = ceil(N/50) = 4 windows at the current 156): (1) never-driver-tested
 # queries lead, (2) then queries whose BEHAVIOR this round touched,
 # (3) then the stalest green rows, oldest driver round first; the
 # local gate (tools/verify_local.py, driver-strict canonicalizer,
@@ -55,8 +55,9 @@ _loaded = False
 #
 # r8-window composition (the round-7 verdict's ordered backlog):
 # the 7 TPC-H queries the 50-cut left without any driver row across
-# r6/r7 lead; then the 4 round-8 additions (stream-stream outer
-# join, sub-entity privacy, the two sketch-knob entries); then the
+# r6/r7 lead; then the 7 round-8 additions (stream-stream outer
+# join, sub-entity privacy, the two sketch-knob entries, the two
+# ES-lifecycle paths, the bucketed co-located join); then the
 # round-8 behavior-touched set (two-phase skyline, q15 max rewrite,
 # the bloom single-pass fold and its consumers, the attribution
 # landing split, the knob-bearing pagerank/profile/anomaly trio,
@@ -121,11 +122,11 @@ _PRIORITY = (
     "value_percentiles",
     "moving_average",
     "orders_fulfillment",
+    # ---- past the 50-cut from here: r4-rowed refreshes that
+    # ---- rotate into r9, then the r7-rowed block (freshest)
     "docs_json_roundtrip",
     "rolling_distinct_users",
     "flag_state_versions",
-    # ---- past the 50-cut from here: r4-rowed refreshes that
-    # ---- rotate into r9, then the r7-rowed block (freshest)
     "attachment_versions",
     "diff_rollback",
     "alias_minimize",

@@ -1629,7 +1629,13 @@ def pagerank_trade(
         )
     )
     if persist_edges:
+        from bugzilla_etl_spark.tmpdirs import register_cleanup
+
         edges = edges.persist()
+        # CacheManager entries are plan-keyed, never GC'd: release
+        # with the same registry that collects scratch dirs, or
+        # repeated knob invocations accumulate cached edge lists
+        register_cleanup(edges.unpersist)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = edges.select("src").distinct().withColumnRenamed(
         "src", "node"

@@ -1482,7 +1482,12 @@ def profile_table(
                 "col_name",
                 "n",
                 "n_null",
-                F.round("est").cast("long").alias("ndv"),
+                # a column with zero non-null values has no estimate
+                # row (the melt filtered it) — report 0 like exact
+                # mode does, not NULL
+                F.round(F.coalesce(F.col("est"), F.lit(0.0)))
+                .cast("long")
+                .alias("ndv"),
                 "min_num",
                 "max_num",
                 "min_str",

@@ -23,6 +23,7 @@ import shutil
 import tempfile
 
 _CREATED: list[str] = []
+_CLEANUPS: list = []
 
 
 def tracked_mkdtemp(prefix: str) -> str:
@@ -31,13 +32,30 @@ def tracked_mkdtemp(prefix: str) -> str:
     return d
 
 
+def register_cleanup(fn) -> None:
+    """Register an arbitrary zero-arg cleanup (e.g. a DataFrame's
+    ``unpersist`` for a knob-requested cache — Spark's CacheManager
+    entries are plan-keyed and never GC'd, so an unreleased persist
+    accumulates across invocations exactly like an untracked
+    tempdir).  Runs at the next ``gc_now`` / process exit."""
+    _CLEANUPS.append(fn)
+
+
 def registered() -> list[str]:
     """Dirs created and not yet collected (a copy)."""
     return list(_CREATED)
 
 
 def gc_now() -> int:
-    """Remove every registered dir now; returns how many."""
+    """Remove every registered dir and run every registered cleanup
+    now; returns how many DIRS were removed (cleanups uncounted —
+    callers assert on dir counts)."""
+    while _CLEANUPS:
+        fn = _CLEANUPS.pop()
+        try:
+            fn()
+        except Exception:  # noqa: BLE001 — exit-path best effort
+            pass
     n = 0
     while _CREATED:
         shutil.rmtree(_CREATED.pop(), ignore_errors=True)

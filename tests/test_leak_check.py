@@ -95,14 +95,18 @@ def test_private_subentity_screen_list_scrubs_nested_docs(spark, sf_dir):
         "user_id",
         (F.lit(1) + F.col("event_id") % 5).alias("attach_id"),
     )
+    # every screened pair must actually exist in the mutation stream
+    # (otherwise the kept-count arithmetic below proves nothing)
+    present = screen.join(
+        muts.distinct(), on=["user_id", "attach_id"], how="left_semi"
+    ).count()
+    assert present == screen.count()
     scrubbed = muts.join(
         screen, on=["user_id", "attach_id"], how="left_anti"
     )
-    leaked = scrubbed.join(
-        screen, on=["user_id", "attach_id"], how="inner"
-    ).count()
-    assert leaked == 0
-    # and the scrub is minimal: non-screened pairs all survive
+    # completeness + minimality in one count: the anti-join removed
+    # EXACTLY the screened pairs (a leaked pair would raise `kept`,
+    # an over-scrub would lower it)
     kept = scrubbed.select("user_id", "attach_id").distinct().count()
     total = muts.select("user_id", "attach_id").distinct().count()
     assert kept == total - screen.count()
@@ -140,8 +144,9 @@ def test_private_subentity_state_is_latest_marker(spark, sf_dir):
     for r in rows:
         if r["action"] == "screen_sub":
             assert latest[(r["user_id"], r["sub_id"])] > 150, r
-    cut = m["tsl"].max() - 604800
-    # recompute cut exactly as the query does: off ALL events
+    # cut exactly as the query computes it: off ALL events (the
+    # marker-subset max would under-count recent flips whenever the
+    # newest event is not a marker)
     cut = (
         ev.agg(F.max(F.col("ts").cast("long"))).collect()[0][0]
         - 604800
