@@ -157,6 +157,7 @@ HEADLINE = [
     "es_file_extract",
     "es_alias_cutover",
     "bucketed_join_zero_shuffle",
+    "kmv_source_overlap",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into

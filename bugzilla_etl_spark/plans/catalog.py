@@ -84,6 +84,7 @@ _PRIORITY = (
     "es_file_extract",
     "es_alias_cutover",
     "bucketed_join_zero_shuffle",
+    "kmv_source_overlap",
     # ---- round-8 behavior-touched
     "skyline_orders",
     "tpch_q15",

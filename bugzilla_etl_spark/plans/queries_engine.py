@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bugzilla_etl_spark.functions.hashing import duckdb_hash64
 from bugzilla_etl_spark.plans.catalog import register
 from bugzilla_etl_spark.sources import load_table
 from bugzilla_etl_spark.tmpdirs import tracked_mkdtemp
@@ -1698,6 +1699,264 @@ def compact_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rewritten store is value-identical to the source table."""
     out, _stats = compact_documents(spark, sf_dir)
     return out
+
+
+# K-minimum-values sketch (Bar-Yossef et al. 2002): keep the k
+# smallest distinct hash values per set.  Like HLL/CMS/Bloom it is
+# integer state, hence bit-identical cross-engine and value-oracled;
+# unlike them it supports SET OPERATIONS — merge two sketches, take
+# the k smallest of the union, and the fraction of those present in
+# BOTH inputs estimates Jaccard — which is what cross-corpus overlap
+# questions ("how much does source A share with source B?") need
+# WITHOUT a corpus⋈corpus join.
+_KMV_K = 256
+
+
+def _kmv_partial_topk(th: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """Stage 1 of the bounded sketch build: per PARTITION, the k
+    smallest distinct hashes per source — an Arrow pass holding at
+    most (k+1) hashes per source in a heap, so state is bounded no
+    matter the corpus (the skyline lesson: the scale composition
+    must be the EXECUTED plan, not prose).  Stage 2 (distinct +
+    per-source window over ≤ k x partitions rows) finishes the
+    exact k-minimum set; the two-stage result is independent of
+    partitioning because k-smallest-distinct is a semilattice
+    merge."""
+    import heapq
+
+    import pandas as pd
+
+    def partial(batches):
+        best: dict = {}  # source -> (max-heap of -h, membership set)
+        for pdf in batches:
+            for s, h in zip(pdf["source"], pdf["h"]):
+                hs, sn = best.setdefault(s, ([], set()))
+                if h in sn:
+                    continue
+                if len(hs) < k:
+                    heapq.heappush(hs, -h)
+                    sn.add(h)
+                elif h < -hs[0]:
+                    old = -heapq.heapreplace(hs, -h)
+                    sn.discard(old)
+                    sn.add(h)
+        rows_s, rows_h = [], []
+        for s, (hs, _sn) in best.items():
+            for neg in hs:
+                rows_s.append(s)
+                rows_h.append(-neg)
+        yield pd.DataFrame({"source": rows_s, "h": rows_h})
+
+    return th.mapInPandas(partial, schema="source string, h long")
+
+
+@register(
+    "kmv_source_overlap",
+    oracle=f"""
+    WITH th AS (
+        SELECT DISTINCT source,
+               {duckdb_hash64("('kmv:' || term)")} AS h
+        FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(lower(trim(text)),
+                                                '\\s+')) AS term
+            FROM documents
+        )
+    ),
+    sk AS (
+        SELECT source, h FROM (
+            SELECT source, h, row_number() OVER (
+                PARTITION BY source ORDER BY h) AS rn
+            FROM th
+        ) WHERE rn <= {_KMV_K}
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b
+        FROM (SELECT DISTINCT source FROM th) a
+        JOIN (SELECT DISTINCT source FROM th) b
+          ON a.source < b.source
+    ),
+    merged AS (
+        SELECT DISTINCT p.source_a, p.source_b, s.h
+        FROM pairs p JOIN sk s
+          ON s.source = p.source_a OR s.source = p.source_b
+    ),
+    mk AS (
+        SELECT source_a, source_b, h FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source_a, source_b ORDER BY h) AS rn
+            FROM merged
+        ) WHERE rn <= {_KMV_K}
+    ),
+    est AS (
+        SELECT mk.source_a, mk.source_b,
+               count(*) AS n_union_k,
+               sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                        THEN 1 ELSE 0 END) AS n_both
+        FROM mk
+        LEFT JOIN sk sa ON sa.source = mk.source_a AND sa.h = mk.h
+        LEFT JOIN sk sb ON sb.source = mk.source_b AND sb.h = mk.h
+        GROUP BY 1, 2
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_inter
+        FROM th a JOIN th b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    exn AS (SELECT source, count(*) AS n FROM th GROUP BY source)
+    SELECT e.source_a, e.source_b,
+           CAST(na.n AS BIGINT) AS n_a,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / (na.n + nb.n - coalesce(i.n_inter, 0)), 4)
+               AS jaccard_exact,
+           round(CAST(e.n_both AS DOUBLE) / e.n_union_k, 4)
+               AS kmv_est,
+           round(abs(CAST(e.n_both AS DOUBLE) / e.n_union_k
+                 - CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                   / (na.n + nb.n - coalesce(i.n_inter, 0))), 4)
+               AS err
+    FROM est e
+    JOIN exn na ON na.source = e.source_a
+    JOIN exn nb ON nb.source = e.source_b
+    LEFT JOIN inter i
+      ON i.source_a = e.source_a AND i.source_b = e.source_b
+    """,
+)
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap by K-minimum-values sketches: pairwise
+    token-set Jaccard between sources, estimated from k=256-hash
+    sketches beside the exact answer and realized error — the
+    "how contaminated is corpus A with corpus B" question answered
+    WITHOUT a corpus⋈corpus join (the sketch merge is k-row work
+    per pair).  Fifth sketch in the family, and the first with SET
+    OPERATIONS: HLL counts, CMS weighs, Bloom tests membership;
+    KMV intersects and unions — all integer state, bit-identical
+    cross-engine, mergeable across incremental runs (k-smallest-
+    distinct is a semilattice).
+
+    Scale shape: sketch build is the two-stage bounded top-k
+    (_kmv_partial_topk: ≤ k+1 hashes per source held per
+    partition, then distinct + window over ≤ k x partitions rows)
+    — the corpus is touched by ONE map-only Arrow pass, never
+    sorted; everything after operates on k-row sketches against a
+    |sources|² pair dim.  The exact side exists to surface the
+    realized error (the hll_distinct pattern); at 100 TB you run
+    only the sketches."""
+    from bugzilla_etl_spark.functions.hashing import hash64
+    from bugzilla_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    th = (
+        docs.select(
+            "source", F.explode(tokens("text")).alias("term")
+        )
+        .select(
+            "source",
+            hash64(F.concat(F.lit("kmv:"), F.col("term"))).alias("h"),
+        )
+    )
+    part = _kmv_partial_topk(th).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        part.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    srcs = th.select("source").distinct()
+    pairs = F.broadcast(
+        srcs.alias("a")
+        .crossJoin(srcs.alias("b"))
+        .where(F.expr("a.source < b.source"))
+        .select(
+            F.expr("a.source").alias("source_a"),
+            F.expr("b.source").alias("source_b"),
+        )
+    )
+    merged = (
+        pairs.join(
+            sk,
+            (sk.source == F.col("source_a"))
+            | (sk.source == F.col("source_b")),
+        )
+        .select("source_a", "source_b", "h")
+        .distinct()
+    )
+    wm = Window.partitionBy("source_a", "source_b").orderBy("h")
+    mk = merged.withColumn("rn", F.row_number().over(wm)).where(
+        F.col("rn") <= _KMV_K
+    )
+    sa = sk.select(
+        F.col("source").alias("source_a"), F.col("h").alias("ha")
+    )
+    sb = sk.select(
+        F.col("source").alias("source_b"), F.col("h").alias("hb")
+    )
+    est = (
+        mk.join(
+            sa, (mk.source_a == sa.source_a) & (mk.h == sa.ha), "left"
+        )
+        .drop(sa.source_a)
+        .join(
+            sb, (mk.source_b == sb.source_b) & (mk.h == sb.hb), "left"
+        )
+        .drop(sb.source_b)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_union_k"),
+            F.sum(
+                F.when(
+                    F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_both"),
+        )
+    )
+    exd = th.distinct()
+    ea = exd.select(
+        F.col("source").alias("source_a"), F.col("h").alias("ha")
+    )
+    eb = exd.select(
+        F.col("source").alias("_sb"), F.col("h").alias("hb")
+    )
+    ex = (
+        pairs.join(ea, on="source_a", how="left")
+        .join(
+            eb,
+            (F.col("source_b") == F.col("_sb"))
+            & (F.col("ha") == F.col("hb")),
+            "left",
+        )
+        .drop("_sb")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("ha").alias("n_a"),
+            F.count(
+                F.when(
+                    F.col("ha").isNotNull() & F.col("hb").isNotNull(),
+                    1,
+                )
+            ).alias("n_inter"),
+        )
+    )
+    nb = exd.groupBy(F.col("source").alias("source_b")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    jac_exact = F.col("n_inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    kmv = F.col("n_both").cast("double") / F.col("n_union_k")
+    return (
+        est.join(ex, on=["source_a", "source_b"])
+        .join(F.broadcast(nb), on="source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            F.round(jac_exact, 4).alias("jaccard_exact"),
+            F.round(kmv, 4).alias("kmv_est"),
+            F.round(F.abs(kmv - jac_exact), 4).alias("err"),
+        )
+    )
 
 
 @register(

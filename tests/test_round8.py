@@ -377,3 +377,16 @@ def test_catalog_survives_empty_tables(spark, sf_dir, tmp_path):
         n = catalog.QUERIES[name](spark, empty).count()
         assert n >= 0  # no exception; results may legitimately be empty
         tmpdirs.gc_now()
+
+
+def test_kmv_sketch_exact_when_union_fits(spark, sf_dir):
+    """KMV's defining property: when a pair's merged union has at
+    most k distinct hashes the sketch IS the union, so the estimate
+    equals exact Jaccard; larger unions stay within a loose error
+    band (k=256 => ~1/sqrt(k) ≈ 6% standard error)."""
+    rows = _q("kmv_source_overlap", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["kmv_est"] <= 1.0
+        assert abs(r["err"] - abs(r["kmv_est"] - r["jaccard_exact"])) < 1e-6
+        assert r["err"] <= 0.25, r
