@@ -211,7 +211,13 @@ def test_catalog_no_smj_no_cartesian(spark, sf_dir):
     # co-located bucketed fact⋈fact join whose merge-sorted scans
     # replace the exchange; its own plan test pins the zero-shuffle
     # property.
+    # kmv_source_overlap: the EXACT-Jaccard side joins two slices of
+    # the corpus-scale distinct (source, token-hash) relation on the
+    # hash — both sides scale with the corpus, so the key-wise SMJ
+    # is the intended big-big shape (the cc_fuzzy_match class); at
+    # 100 TB you run only the k-row sketches, which never SMJ.
     smj_ok = {
+        "kmv_source_overlap",
         "dedup_components",
         "pagerank_trade",
         "bug_version_full",
