@@ -122,9 +122,9 @@ _PRIORITY = (
     "cube_order_stats",
     "value_percentiles",
     "moving_average",
-    "orders_fulfillment",
     # ---- past the 50-cut from here: r4-rowed refreshes that
     # ---- rotate into r9, then the r7-rowed block (freshest)
+    "orders_fulfillment",
     "docs_json_roundtrip",
     "rolling_distinct_users",
     "flag_state_versions",
