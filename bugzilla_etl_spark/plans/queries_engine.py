@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from bugzilla_etl_spark.functions.hashing import duckdb_hash64
 from bugzilla_etl_spark.plans.catalog import register
 from bugzilla_etl_spark.sources import load_table
-from bugzilla_etl_spark.tmpdirs import tracked_mkdtemp
+from bugzilla_etl_spark.tmpdirs import register_cleanup, tracked_mkdtemp
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -1750,9 +1750,13 @@ def _kmv_partial_topk(th: DataFrame, k: int = _KMV_K) -> DataFrame:
     return th.mapInPandas(partial, schema="source string, h long")
 
 
-@register(
-    "kmv_source_overlap",
-    oracle=f"""
+# Shared WITH-body of the KMV oracles: corpus token hashes (th),
+# per-source k-minimum sketches (sk), the source-pair dim (pairs),
+# and the merged-sketch Jaccard estimate (est).  The exact-mode
+# oracle appends the corpus-scale exact-intersection CTEs; the
+# sketch-only oracle selects straight off ``est`` — same text, so
+# the two catalog entries cannot drift.
+_KMV_CTES = f"""
     WITH th AS (
         SELECT DISTINCT source,
                {duckdb_hash64("('kmv:' || term)")} AS h
@@ -1797,7 +1801,13 @@ def _kmv_partial_topk(th: DataFrame, k: int = _KMV_K) -> DataFrame:
         LEFT JOIN sk sa ON sa.source = mk.source_a AND sa.h = mk.h
         LEFT JOIN sk sb ON sb.source = mk.source_b AND sb.h = mk.h
         GROUP BY 1, 2
-    ),
+    )"""
+
+
+@register(
+    "kmv_source_overlap",
+    oracle=_KMV_CTES
+    + """,
     inter AS (
         SELECT a.source AS source_a, b.source AS source_b,
                count(*) AS n_inter
@@ -1823,7 +1833,9 @@ def _kmv_partial_topk(th: DataFrame, k: int = _KMV_K) -> DataFrame:
       ON i.source_a = e.source_a AND i.source_b = e.source_b
     """,
 )
-def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmv_source_overlap(
+    spark: SparkSession, sf_dir: str, *, exact: bool = True
+) -> DataFrame:
     """Cross-corpus overlap by K-minimum-values sketches: pairwise
     token-set Jaccard between sources, estimated from k=256-hash
     sketches beside the exact answer and realized error — the
@@ -1842,7 +1854,13 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted; everything after operates on k-row sketches against a
     |sources|² pair dim.  The exact side exists to surface the
     realized error (the hll_distinct pattern); at 100 TB you run
-    only the sketches."""
+    only the sketches — ``exact=False`` (the `profile_table(ndv=)`
+    knob pattern) SKIPS the exact-Jaccard side entirely: output
+    drops `n_a`/`jaccard_exact`/`err`, and the plan contains no
+    corpus-pair SortMergeJoin (asserted by the fleet plan test) —
+    the corpus is read exactly once, map-only.  The sketch-side
+    joins are hinted broadcast: every input there is sketch-sized
+    (≤ k rows per source / per pair), never corpus-sized."""
     from bugzilla_etl_spark.functions.hashing import hash64
     from bugzilla_etl_spark.operators.text import tokens
 
@@ -1863,7 +1881,22 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _KMV_K)
         .select("source", "h")
     )
-    srcs = th.select("source").distinct()
+    # Fold each source's k-minimum set into ONE array row (groupBy
+    # on the window's own partitioning — no new exchange), then the
+    # whole pairwise merge is codegen ARRAY algebra against the
+    # broadcast pair dim: mk = k smallest of the deduped union,
+    # n_both = mk members present in BOTH sketches.  ``skarr`` is
+    # the SKETCH relation — ≤ |sources| rows × k longs, corpus-size-
+    # independent — and every downstream branch (pair dim, both join
+    # sides) reads it, so it is persisted through the cleanup
+    # registry: without the cache each lazy reference physically
+    # re-runs the corpus scan + Arrow heap pass (measured: 3 heap
+    # passes in the executed plan).  One corpus pass total.
+    skarr = sk.groupBy("source").agg(
+        F.sort_array(F.collect_set("h")).alias("hs")
+    ).persist()
+    register_cleanup(skarr.unpersist)
+    srcs = skarr.select("source")
     pairs = F.broadcast(
         srcs.alias("a")
         .crossJoin(srcs.alias("b"))
@@ -1873,44 +1906,38 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("b.source").alias("source_b"),
         )
     )
-    merged = (
-        pairs.join(
-            sk,
-            (sk.source == F.col("source_a"))
-            | (sk.source == F.col("source_b")),
-        )
-        .select("source_a", "source_b", "h")
-        .distinct()
+    sa = skarr.select(
+        F.col("source").alias("source_a"), F.col("hs").alias("ha_s")
     )
-    wm = Window.partitionBy("source_a", "source_b").orderBy("h")
-    mk = merged.withColumn("rn", F.row_number().over(wm)).where(
-        F.col("rn") <= _KMV_K
-    )
-    sa = sk.select(
-        F.col("source").alias("source_a"), F.col("h").alias("ha")
-    )
-    sb = sk.select(
-        F.col("source").alias("source_b"), F.col("h").alias("hb")
+    sb = skarr.select(
+        F.col("source").alias("source_b"), F.col("hs").alias("hb_s")
     )
     est = (
-        mk.join(
-            sa, (mk.source_a == sa.source_a) & (mk.h == sa.ha), "left"
+        sa.join(F.broadcast(pairs), on="source_a")
+        .join(F.broadcast(sb), on="source_b")
+        .withColumn(
+            "mk",
+            F.slice(
+                F.array_sort(F.array_union("ha_s", "hb_s")), 1, _KMV_K
+            ),
         )
-        .drop(sa.source_a)
-        .join(
-            sb, (mk.source_b == sb.source_b) & (mk.h == sb.hb), "left"
-        )
-        .drop(sb.source_b)
-        .groupBy("source_a", "source_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_union_k"),
-            F.sum(
-                F.when(
-                    F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1
-                ).otherwise(0)
+        .select(
+            "source_a",
+            "source_b",
+            F.size("mk").alias("n_union_k"),
+            F.size(
+                F.expr(
+                    "filter(mk, x -> array_contains(ha_s, x)"
+                    " AND array_contains(hb_s, x))"
+                )
             ).alias("n_both"),
         )
     )
+    kmv = F.col("n_both").cast("double") / F.col("n_union_k")
+    if not exact:
+        return est.select(
+            "source_a", "source_b", F.round(kmv, 4).alias("kmv_est")
+        )
     exd = th.distinct()
     ea = exd.select(
         F.col("source").alias("source_a"), F.col("h").alias("ha")
@@ -1944,7 +1971,6 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac_exact = F.col("n_inter") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
-    kmv = F.col("n_both").cast("double") / F.col("n_union_k")
     return (
         est.join(ex, on=["source_a", "source_b"])
         .join(F.broadcast(nb), on="source_b")
@@ -1957,6 +1983,32 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(kmv - jac_exact), 4).alias("err"),
         )
     )
+
+
+@register(
+    "kmv_source_overlap_sketch",
+    oracle=_KMV_CTES
+    + """
+    SELECT e.source_a, e.source_b,
+           round(CAST(e.n_both AS DOUBLE) / e.n_union_k, 4)
+               AS kmv_est
+    FROM est e
+    """,
+)
+def kmv_source_overlap_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`kmv_source_overlap(exact=False)` as its own oracle-checked
+    catalog entry: the 100-TB form.  The exact-Jaccard side — the
+    corpus-pair SortMergeJoin the full entry pays to surface
+    realized error — is SKIPPED entirely; the corpus is touched by
+    exactly one map-only Arrow pass (the bounded k-heap), and every
+    join downstream is sketch-sized and broadcast.  The fleet plan
+    test asserts zero SortMergeJoin in this mode (the allowlist
+    entry for `kmv_source_overlap` covers only the exact mode).
+    Oracle = the sketch half of the same CTE text, so the two
+    entries cannot drift."""
+    return kmv_source_overlap(spark, sf_dir, exact=False)
 
 
 @register(

