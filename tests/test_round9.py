@@ -45,6 +45,58 @@ def test_kmv_sketch_mode_no_corpus_smj(spark, sf_dir):
     assert "InMemoryTableScan" in plan, plan
 
 
+def test_shh_capped_counts_are_exact(spark, sf_dir):
+    """The candidate re-verify reports EXACT counts (unlike a raw
+    count-min readout there is no overcount): every (ngram, cnt) the
+    capped form emits must equal the true corpus count of that gram.
+    Recall is the only thing the cap can cost (a heavy gram whose
+    bucket ranks below the candidate cut), never precision."""
+    from bugzilla_etl_spark.operators import text as T
+    from bugzilla_etl_spark.plans.queries_history import (
+        stream_heavy_hitters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        r["ngram"]: r["cnt"]
+        for r in docs.select(
+            F.explode(T.ngrams(T.tokens("text"), 3)).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    capped = stream_heavy_hitters(
+        spark, sf_dir, keyspace_bits=10
+    ).collect()
+    assert len(capped) == 20
+    for r in capped:
+        assert truth[r["ngram"]] == r["cnt"]
+
+
+def test_shh_all_buckets_candidates_is_lossless(spark, sf_dir):
+    """With n_candidates >= 2^k every bucket is a candidate, so the
+    re-verify degenerates to the full exact count: the capped form
+    must equal the exact top-20 BY CONSTRUCTION even at a keyspace
+    of 4 counters — the state bound costs recall only when
+    candidates are dropped, never via the bucketing itself."""
+    from bugzilla_etl_spark.plans.queries_history import (
+        stream_heavy_hitters,
+    )
+
+    exact = [
+        (r["ngram"], r["cnt"])
+        for r in stream_heavy_hitters(spark, sf_dir).collect()
+    ]
+    tiny = [
+        (r["ngram"], r["cnt"])
+        for r in stream_heavy_hitters(
+            spark, sf_dir, keyspace_bits=2, n_candidates=4
+        ).collect()
+    ]
+    assert tiny == exact
+
+
 def test_kmv_sketch_mode_values_match_exact_mode(spark, sf_dir):
     """The sketch-only output is column-for-column the kmv_est the
     full entry reports — the knob drops the exact side, it does not
