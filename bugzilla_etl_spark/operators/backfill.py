@@ -1,0 +1,135 @@
+"""Range-batched, crash-resumable FULL backfill.
+
+The reference's full ETL does not stream the whole corpus through
+one job: it walks explicit entity-id range blocks in REVERSE order,
+landing each block into the doc store, and a crashed run restarts
+from the last landed block instead of from scratch (reference:
+bz_etl.py:281-352 ``full_etl`` — ``jx.reverse(jx.intervals(start,
+end, increment))``; :287 resume ``end = ceiling(get_min_bug_id(esq),
+increment)``; :440 ``get_min_bug_id``).  This is the day-one
+"backfill 100 TB and the job dies at 80%" path: without it the only
+recovery is a complete re-run.
+
+Spark-first shape:
+
+- A BLOCK is a half-open entity-id range ``[lo, hi)``.  Each block
+  runs the IDENTICAL document pipeline as the one-shot batch build
+  (``build_full_docs``) over the block's entities only — valid
+  because every window/aggregate in the build partitions by the
+  entity, so a block's docs equal the full build restricted to the
+  block (the same per-entity-decomposability the incremental
+  rebuild relies on).
+- Blocks land as ``block=K`` parquet directories.  Landing is
+  crash-atomic at the block level: the FileOutputCommitter writes
+  ``_SUCCESS`` last, so a dir without it is an incomplete landing
+  and is never counted as done.
+- Resume mirrors the reference exactly: the minimum landed entity
+  id, rounded UP to the block increment, is the new end — blocks
+  ABOVE it are kept (the walk is descending, so they finished),
+  the block CONTAINING it is re-processed (it may be the one that
+  was interrupted), and the walk continues downward.  Re-landing a
+  block is idempotent (``mode=overwrite`` on the block dir).
+
+At 100 TB the per-block ``WHERE lo <= id < hi`` predicate should be
+a partition-pruned read, not a filtered full scan — land the events
+table bucketed/sorted by entity (see ``zorder_layout`` /
+``partition_prune_stats``); the reference gets the same effect from
+the MySQL primary-key index on ``bug_id``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def block_plan(end: int, increment: int) -> list[tuple[int, int]]:
+    """Descending half-open blocks covering [0, end) — the
+    reference's ``jx.reverse(jx.intervals(0, end, increment))``."""
+    blocks = []
+    lo = 0
+    while lo < end:
+        blocks.append((lo, min(lo + increment, end)))
+        lo += increment
+    return list(reversed(blocks))
+
+
+def landed_block_dirs(store_dir: str) -> list[str]:
+    """Block dirs whose landing COMMITTED (``_SUCCESS`` present).
+    An interrupted write leaves a dir without the marker: invisible
+    to resume, overwritten when its block re-runs."""
+    if not os.path.isdir(store_dir):
+        return []
+    return sorted(
+        os.path.join(store_dir, d)
+        for d in os.listdir(store_dir)
+        if d.startswith("block=")
+        and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
+    )
+
+
+def get_min_entity_id(
+    spark: SparkSession, store_dir: str, entity: str = "user_id"
+) -> int | None:
+    """The reference's ``get_min_bug_id`` against OUR store: min
+    entity id across committed blocks (a 1-row agg answered from
+    parquet column stats, not a data scan)."""
+    dirs = landed_block_dirs(store_dir)
+    if not dirs:
+        return None
+    row = (
+        spark.read.option("basePath", store_dir)
+        .parquet(*dirs)
+        .agg(F.min(entity).alias("m"))
+        .collect()[0]
+    )
+    return row["m"]
+
+
+def run_backfill(
+    spark: SparkSession,
+    ev: DataFrame,
+    store_dir: str,
+    increment: int,
+    build_fn: Callable[[DataFrame], DataFrame],
+    entity: str = "user_id",
+    end: int | None = None,
+    crash_after: int | None = None,
+) -> list[tuple[int, int]]:
+    """Walk the block plan descending, landing each block's full
+    docs; resume from the store if blocks are already landed.
+    Returns the blocks PROCESSED by this run (the resume test's
+    witness).  ``crash_after=N`` aborts after N landings — the
+    test hook for the crash-between-blocks scenario."""
+    if end is None:
+        end = ev.agg(F.max(entity)).collect()[0][0]
+        end = 0 if end is None else end + 1
+    resume_min = get_min_entity_id(spark, store_dir, entity)
+    if resume_min is not None:
+        # ceiling(min_landed, increment): keep finished blocks above,
+        # re-do the boundary block, continue downward (bz_etl.py:287)
+        end = min(end, -(-resume_min // increment) * increment)
+    done: list[tuple[int, int]] = []
+    for lo, hi in block_plan(end, increment):
+        block = ev.where(
+            (F.col(entity) >= lo) & (F.col(entity) < hi)
+        )
+        docs = build_fn(block)
+        docs.write.mode("overwrite").parquet(
+            f"{store_dir}/block={lo}"
+        )
+        done.append((lo, hi))
+        if crash_after is not None and len(done) >= crash_after:
+            break
+    return done
+
+
+def read_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The landed doc set (committed blocks only)."""
+    dirs = landed_block_dirs(store_dir)
+    if not dirs:
+        raise FileNotFoundError(store_dir)
+    return spark.read.option("basePath", store_dir).parquet(*dirs)

@@ -950,6 +950,43 @@ def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/docs").drop("bucket")
 
 
+@register("full_backfill_resume", oracle=_FULL_ORACLE)
+def full_backfill_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's range-batched FULL backfill with crash-resume,
+    executed: the complete document rebuild walks descending
+    entity-id blocks through the shared ``build_full_docs`` pipeline
+    (operators/backfill.py), a crash is INJECTED after two landed
+    blocks, and a second run resumes from the store — the reference's
+    ``end = ceiling(get_min_bug_id(), increment)`` rule (bz_etl.py:287)
+    — re-processing only the boundary block and everything below it.
+    The oracle is the UNBATCHED full rebuild (the same _FULL_ORACLE as
+    ``bug_version_full``): blocked+crashed+resumed must land the
+    byte-identical document set, which is the whole point of the
+    "day-one 100 TB backfill dies at 80%" path.
+    reference: bz_etl.py:281-352 full_etl, :427 get_bug_ids,
+    :440 get_min_bug_id."""
+    from bugzilla_etl_spark.operators.backfill import (
+        read_store,
+        run_backfill,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    end = ev.agg(F.max("user_id")).collect()[0][0]
+    end = 0 if end is None else end + 1
+    if end == 0:
+        return build_full_docs(ev.limit(0))
+    increment = -(-end // 5)  # 5 blocks at any SF
+    store = tracked_mkdtemp(prefix="bes_bkf_") + "/store"
+    # run 1 "dies" between blocks after landing 2 of 5
+    run_backfill(
+        spark, ev, store, increment, build_full_docs,
+        crash_after=2,
+    )
+    # run 2 resumes from the store and completes the walk
+    run_backfill(spark, ev, store, increment, build_full_docs)
+    return read_store(spark, store).drop("block")
+
+
 # ---- previous_values: per-field duration tracking --------------------
 
 _PV_FIELDS = ("click", "error", "purchase", "signup", "view")

@@ -97,6 +97,83 @@ def test_shh_all_buckets_candidates_is_lossless(spark, sf_dir):
     assert tiny == exact
 
 
+def test_backfill_resume_skips_landed_blocks(spark, sf_dir, tmp_path):
+    """Crash between blocks: run 1 lands 2 of 5 descending blocks and
+    dies; run 2 must resume at the reference's ceiling rule —
+    re-process the boundary block and everything below, NOT the
+    blocks already landed — and the final store must equal the
+    one-shot build."""
+    from bugzilla_etl_spark.operators.backfill import (
+        read_store,
+        run_backfill,
+    )
+    from bugzilla_etl_spark.plans.queries_history import (
+        build_full_docs,
+    )
+    from bugzilla_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    end = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    inc = -(-end // 5)
+    store = str(tmp_path / "store")
+    r1 = run_backfill(
+        spark, ev, store, inc, build_full_docs, crash_after=2
+    )
+    assert len(r1) == 2
+    r2 = run_backfill(spark, ev, store, inc, build_full_docs)
+    # ceiling rule: the 2 landed stay; the boundary block (lowest
+    # landed) is NOT re-run because it committed whole — resume_end
+    # = ceiling(its min id) = its own lo + inc covers exactly the
+    # remaining 3 blocks
+    assert len(r2) == 3
+    assert {b[0] for b in r1}.isdisjoint({b[0] for b in r2})
+    got = read_store(spark, store).drop("block")
+    want = build_full_docs(ev)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_backfill_recovers_midblock_crash(spark, sf_dir, tmp_path):
+    """Crash MID-block: a block dir without _SUCCESS is an
+    uncommitted landing — resume must treat it as never landed,
+    re-process it (mode=overwrite clears the partial files), and
+    converge to the one-shot build."""
+    import os
+
+    from bugzilla_etl_spark.operators.backfill import (
+        landed_block_dirs,
+        read_store,
+        run_backfill,
+    )
+    from bugzilla_etl_spark.plans.queries_history import (
+        build_full_docs,
+    )
+    from bugzilla_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    end = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    inc = -(-end // 5)
+    store = str(tmp_path / "store")
+    r1 = run_backfill(
+        spark, ev, store, inc, build_full_docs, crash_after=2
+    )
+    # simulate the interrupted third block: partial files, no marker
+    next_lo = r1[-1][0] - inc
+    partial = f"{store}/block={max(next_lo, 0)}"
+    os.makedirs(partial)
+    with open(f"{partial}/part-00000.parquet.tmp", "w") as f:
+        f.write("partial")
+    assert partial not in landed_block_dirs(store)
+    r2 = run_backfill(spark, ev, store, inc, build_full_docs)
+    assert max(next_lo, 0) in {b[0] for b in r2}
+    got = read_store(spark, store).drop("block")
+    want = build_full_docs(ev)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_kmv_sketch_mode_values_match_exact_mode(spark, sf_dir):
     """The sketch-only output is column-for-column the kmv_est the
     full entry reports — the knob drops the exact side, it does not
