@@ -660,6 +660,143 @@ def es_alias_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base, _get_alias(base)))
 
 
+def _set_dual_alias(base: str, bugs_idx: str, comments_idx: str) -> None:
+    """BOTH pipeline pointers live in ONE alias file, flipped by one
+    atomic rename — the filesystem model of the reference's
+    run-both-then-cutover contract (bz_etl.py:123 run_both_etl joins
+    both threads before the run is considered complete): a reader
+    can never observe run N bugs beside run N-1 comments."""
+    import json
+    import os
+
+    tmp = _alias_path(base) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"bugs": bugs_idx, "comments": comments_idx}, f)
+    os.replace(tmp, _alias_path(base))
+
+
+def _get_dual_alias(base: str) -> dict:
+    import json
+
+    with open(_alias_path(base)) as f:
+        return json.load(f)
+
+
+def dual_cutover_run(
+    base: str,
+    bugs_df: DataFrame,
+    comments_df: DataFrame,
+    run_no: int,
+    crash_before: str | None = None,
+) -> None:
+    """One ETL run of BOTH pipelines with the single cut-over:
+    write bugs index, write comments index, then flip both alias
+    pointers in one atomic rename and retire the previous run's
+    indexes.  ``crash_before`` ∈ {"comments_write", "swap"} injects
+    the two crash windows the unit test pins: in either one the
+    alias still serves the COMPLETE previous run for both
+    pipelines."""
+    import os
+    import shutil
+
+    bugs_df.write.mode("overwrite").parquet(
+        os.path.join(base, f"bugs_run{run_no}")
+    )
+    if crash_before == "comments_write":
+        return
+    comments_df.write.mode("overwrite").parquet(
+        os.path.join(base, f"comments_run{run_no}")
+    )
+    if crash_before == "swap":
+        return
+    _set_dual_alias(base, f"bugs_run{run_no}", f"comments_run{run_no}")
+    # delete_all_but (replicate.py:210): retire every index the
+    # alias no longer references
+    keep = set(_get_dual_alias(base).values())
+    for d in os.listdir(base):
+        full = os.path.join(base, d)
+        if os.path.isdir(full) and d not in keep:
+            shutil.rmtree(full)
+
+
+def _dual_frames(
+    ev: DataFrame, docs: DataFrame, run_no: int
+) -> tuple[DataFrame, DataFrame]:
+    """Run-dependent content of the two pipelines, projected to the
+    COMMON sink schema (_id, kind, n_val, index_run).  Run 2 is a
+    re-ETL with changed semantics on both sides (bugs: errors
+    screened out; comments: 10% of docs touched) so the cut-over
+    visibly changes both index contents."""
+    bev = ev
+    if run_no == 2:
+        bev = bev.where(F.col("event_type") != "error")
+    bugs = bev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_val")
+    ).select(
+        F.col("user_id").cast("string").alias("_id"),
+        F.lit("bug").alias("kind"),
+        "n_val",
+        F.lit(run_no).cast("long").alias("index_run"),
+    )
+    nch = F.col("n_chars")
+    if run_no == 2:
+        nch = F.when(F.col("doc_id") % 10 == 0, nch + 1).otherwise(nch)
+    comments = docs.where(F.col("source") != "src0").select(
+        F.col("doc_id").cast("string").alias("_id"),
+        F.lit("comment").alias("kind"),
+        nch.cast("long").alias("n_val"),
+        F.lit(run_no).cast("long").alias("index_run"),
+    )
+    return bugs, comments
+
+
+@register(
+    "dual_pipeline_cutover",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS _id, 'bug' AS kind,
+           count(*) AS n_val, CAST(2 AS BIGINT) AS index_run
+    FROM events WHERE event_type <> 'error' GROUP BY user_id
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR) AS _id, 'comment' AS kind,
+           CAST(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1
+                ELSE n_chars END AS BIGINT) AS n_val,
+           CAST(2 AS BIGINT) AS index_run
+    FROM documents WHERE source <> 'src0'
+    """,
+)
+def dual_pipeline_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PIPELINE transactional cut-over — the reference runs the
+    comments ETL and the bug ETL together and the run completes
+    (aliases flip) only when BOTH finish (bz_etl.py:123-130
+    run_both_etl: both threads joined before the cut-over in main).
+    Composed here from the existing pieces: each run lands a bugs
+    index AND a comments index (index-per-run, the es_alias_cutover
+    lifecycle), and ONE alias file holding both pointers flips in a
+    single atomic rename only after both writes complete — a crash
+    in any window (between the two writes, or after both writes but
+    before the swap) leaves the previous run serving BOTH pipelines,
+    never a mixed pair.  The returned frame reads both stores
+    through the alias; the oracle is run 2's expected union, so the
+    hash match proves the paired swap happened after both
+    completions.  Cut-over cost is one rename — independent of
+    either index's size."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    base = tracked_mkdtemp("bes_dual_")
+    b1, c1 = _dual_frames(ev, docs, 1)
+    dual_cutover_run(base, b1, c1, 1)
+    b2, c2 = _dual_frames(ev, docs, 2)
+    dual_cutover_run(base, b2, c2, 2)
+    alias = _get_dual_alias(base)
+    return spark.read.parquet(
+        os.path.join(base, alias["bugs"])
+    ).unionByName(
+        spark.read.parquet(os.path.join(base, alias["comments"]))
+    )
+
+
 @register(
     "screen_mask",
     oracle="""

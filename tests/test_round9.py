@@ -174,6 +174,47 @@ def test_backfill_recovers_midblock_crash(spark, sf_dir, tmp_path):
     )
 
 
+def test_dual_cutover_crash_windows_serve_old_pair(spark, sf_dir, tmp_path):
+    """run_both_etl semantics: a crash between the bugs write and
+    the comments write, or after both writes but before the swap,
+    must leave the alias serving run 1 for BOTH pipelines — never
+    run-2 bugs beside run-1 comments.  After the completed re-run
+    the alias serves the run-2 pair and run-1 indexes are retired."""
+    import os
+
+    from bugzilla_etl_spark.plans.queries_etl import (
+        _dual_frames,
+        _get_dual_alias,
+        dual_cutover_run,
+    )
+    from bugzilla_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    base = str(tmp_path)
+    b1, c1 = _dual_frames(ev, docs, 1)
+    dual_cutover_run(base, b1, c1, 1)
+    assert _get_dual_alias(base) == {
+        "bugs": "bugs_run1", "comments": "comments_run1",
+    }
+    b2, c2 = _dual_frames(ev, docs, 2)
+    # crash window A: bugs_run2 written, comments not started
+    dual_cutover_run(base, b2, c2, 2, crash_before="comments_write")
+    assert _get_dual_alias(base)["bugs"] == "bugs_run1"
+    # crash window B: both written, swap not reached
+    dual_cutover_run(base, b2, c2, 2, crash_before="swap")
+    a = _get_dual_alias(base)
+    assert a == {"bugs": "bugs_run1", "comments": "comments_run1"}
+    # both complete -> single atomic flip + old pair retired
+    dual_cutover_run(base, b2, c2, 2)
+    a = _get_dual_alias(base)
+    assert a == {"bugs": "bugs_run2", "comments": "comments_run2"}
+    assert not os.path.isdir(os.path.join(base, "bugs_run1"))
+    assert not os.path.isdir(os.path.join(base, "comments_run1"))
+    got = spark.read.parquet(os.path.join(base, "bugs_run2"))
+    assert got.where(F.col("index_run") != 2).count() == 0
+
+
 def test_kmv_sketch_mode_values_match_exact_mode(spark, sf_dir):
     """The sketch-only output is column-for-column the kmv_est the
     full entry reports — the knob drops the exact side, it does not
