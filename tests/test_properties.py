@@ -432,3 +432,236 @@ def test_date_normalize_branches_match_reference_examples(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i], got[i])
+
+
+# ---------------------------------------------------------------------
+# Uncertain-CC removal rescue (parse_bug_history.py:848-905)
+
+
+def _ref_edit_distance(s1: str, s2: str) -> float:
+    """LITERAL transcription of the reference's normalized
+    Levenshtein (mo_logs strings.py:704): swap so s1 is the longer,
+    shorter-empty => 1.0, else distance / len(longer)."""
+    if len(s1) < len(s2):
+        return _ref_edit_distance(s2, s1)
+    if len(s2) == 0:
+        return 1.0
+    previous_row = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1):
+        current_row = [i + 1]
+        for j, c2 in enumerate(s2):
+            insertions = previous_row[j + 1] + 1
+            deletions = current_row[j] + 1
+            substitutions = previous_row[j] + (c1 != c2)
+            current_row.append(min(insertions, deletions, substitutions))
+        previous_row = current_row
+    return previous_row[-1] / len(s1)
+
+
+def _cc_model(total: set, remove: set, threshold: float = 0.3):
+    """Transcription of removeValues' cc branch under uncertain=True
+    (parse_bug_history.py:848-905) with an identity alias mapping
+    (so the 4 distance variants collapse onto full-string +
+    local-part), and with cc_fuzzy_rescue's three DOCUMENTED
+    deviations applied: (a) lost values iterate deterministically
+    instead of python-set order, (b) best = argmin score with ties
+    on the candidate ascending instead of "last seen under the
+    threshold" (the reference never updates best_score — the update
+    is commented out at :888), (c) matched candidates are not
+    consumed from `output` mid-loop.  Returns
+    {removal: (kind, matched, score)}."""
+    exact = total & remove
+    lost = remove - total
+    remaining = total - remove
+    out = {v: ("exact", v, 0.0) for v in exact}
+    for l in sorted(lost):
+        best, best_score = None, threshold
+        for m in sorted(remaining):
+            score = min(
+                _ref_edit_distance(m, l),
+                _ref_edit_distance(m.split("@")[0], l.split("@")[0]),
+            )
+            if score < best_score:
+                best_score, best = score, m
+        if best is not None:
+            out[l] = ("fuzzy", best, round(best_score, 4))
+        else:
+            out[l] = ("unmatched", None, None)
+    return out
+
+
+_EMAIL = st.builds(
+    lambda loc, dom: loc + dom,
+    st.text(alphabet="abc", min_size=1, max_size=5),
+    st.sampled_from(["@x.org", "@y.net", ""]),
+)
+
+
+@st.composite
+def cc_case(draw):
+    cases = []
+    for ent in range(draw(st.integers(1, 3))):
+        total = draw(st.sets(_EMAIL, min_size=0, max_size=6))
+        removes = set(
+            draw(
+                st.lists(
+                    st.one_of(
+                        st.sampled_from(sorted(total) or ["z@x.org"]),
+                        _EMAIL,
+                    ),
+                    min_size=1,
+                    max_size=6,
+                )
+            )
+        )
+        cases.append((ent, total, removes))
+    return cases
+
+
+@given(cases=cc_case())
+@settings(max_examples=15, deadline=None)
+def test_cc_fuzzy_rescue_matches_reference_loop(cases):
+    """cc_fuzzy_rescue == the transcribed reference rescue loop on
+    random CC sets: same exact/fuzzy/unmatched partition, same
+    matched member and score for every rescued removal, across
+    entities in one frame."""
+    from bugzilla_etl_spark.operators.alias import cc_fuzzy_rescue
+
+    spark = _get_spark()
+    trows = [(e, v) for (e, t, _r) in cases for v in sorted(t)]
+    rrows = [(e, v) for (e, _t, r) in cases for v in sorted(r)]
+    schema = "entity long, email string"
+    totals = spark.createDataFrame(trows or [(0, "q@x.org")], schema)
+    removes = spark.createDataFrame(rrows, schema)
+    if not trows:
+        totals = totals.limit(0)
+    got = {
+        (r["entity"], r["removal"]): (r["kind"], r["matched"], r["score"])
+        for r in cc_fuzzy_rescue(totals, removes).collect()
+    }
+    want = {}
+    for ent, total, removes_ in cases:
+        for rem, res in _cc_model(total, removes_).items():
+            want[(ent, rem)] = res
+    assert got == want
+
+
+# ---------------------------------------------------------------------
+# findFlag three-tier cascade (parse_bug_history.py:626-650)
+
+
+def _parse_flag_py(v: str):
+    """Python mirror of operators/normalize.parse_flag (FLAG_REGEX
+    '^(.*)([?+-])(\\([^)]*\\))?$', ''-to-NULL convention)."""
+    import re
+
+    m = re.match(r"^(.*)([?+-])(\([^)]*\))?$", v)
+    if not m:
+        return None, None, None
+    name = m.group(1) or None
+    status = m.group(2) or None
+    req = (m.group(3) or "").replace("(", "").replace(")", "") or None
+    return name, status, req
+
+
+def _flag_key_py(v: str):
+    """The tier-1 match key exactly as flag_tiered_match builds it:
+    deformat(name) + status + requestee-or-'*setter*', concat_ws
+    (which SKIPS null parts) — key is NULL iff status is NULL."""
+    name, status, req = _parse_flag_py(v)
+    if status is None:
+        return None
+    third = (req or "") if status == "?" else "*setter*"
+    deformatted = (
+        name.lower().replace("‑", "-") if name is not None else None
+    )
+    parts = [p for p in (deformatted, status, third) if p is not None]
+    return "/".join(parts)
+
+
+def _flag_model(cur_vals: set, rem_vals: set):
+    """Transcription of findFlag's cascade (parse_bug_history.py:626
+    -650): tier 1 parsed-key equality (deformat(type) + status +
+    requestee-or-setter), tier 2 exact value, tier 3 common prefix
+    (f.value[:min_len] == flag.value[:min_len] <=> one is a prefix
+    of the other) — with flag_tiered_match's DOCUMENTED deviation:
+    argmin over (tier, candidate value) instead of first-hit in
+    flag-list ingestion order.  Returns {removal: (matched, tier) or
+    (None, None)}."""
+    keys = {c: _flag_key_py(c) for c in cur_vals}
+    out = {}
+    for r in sorted(rem_vals):
+        rk = _flag_key_py(r)
+        best = None
+        for c in sorted(cur_vals):
+            if rk is not None and keys[c] is not None and rk == keys[c]:
+                t = 1
+            elif r == c:
+                t = 2
+            elif c.startswith(r) or r.startswith(c):
+                t = 3
+            else:
+                continue
+            if best is None or (t, c) < best:
+                best = (t, c)
+        out[r] = (best[1], best[0]) if best else (None, None)
+    return out
+
+
+_FLAGVAL = st.one_of(
+    st.builds(
+        lambda n, s, r: n + s + (f"({r})" if r is not None else ""),
+        st.text(alphabet="abC‑", min_size=0, max_size=4),
+        st.sampled_from("?+-"),
+        st.one_of(st.none(), st.text(alphabet="xy@.", min_size=0, max_size=4)),
+    ),
+    st.text(alphabet="ab?+-()", min_size=0, max_size=6),
+)
+
+
+@st.composite
+def flag_case(draw):
+    cases = []
+    for ent in range(draw(st.integers(1, 3))):
+        cur = draw(st.sets(_FLAGVAL, min_size=0, max_size=5))
+        pool = sorted(cur) or ["q?"]
+        rem = set()
+        for _ in range(draw(st.integers(1, 5))):
+            kind = draw(st.integers(0, 2))
+            if kind == 0:
+                rem.add(draw(st.sampled_from(pool)))
+            elif kind == 1:  # truncation: a prefix of a current flag
+                v = draw(st.sampled_from(pool))
+                rem.add(v[: draw(st.integers(0, len(v)))])
+            else:
+                rem.add(draw(_FLAGVAL))
+        cases.append((ent, cur, rem))
+    return cases
+
+
+@given(cases=flag_case())
+@settings(max_examples=15, deadline=None)
+def test_flag_tiered_match_matches_reference_cascade(cases):
+    """flag_tiered_match == the transcribed findFlag cascade on
+    random flag lists (case-mangled names, unparseable values,
+    truncated prefixes, garbage): same (matched, tier) — or
+    unmatched — for every removal, across entities in one frame."""
+    from bugzilla_etl_spark.operators.flags import flag_tiered_match
+
+    spark = _get_spark()
+    crows = [(e, v) for (e, c, _r) in cases for v in sorted(c)]
+    rrows = [(e, v) for (e, _c, r) in cases for v in sorted(r)]
+    schema = "entity long, value string"
+    cur = spark.createDataFrame(crows or [(0, "q?")], schema)
+    if not crows:
+        cur = cur.limit(0)
+    rem = spark.createDataFrame(rrows, schema)
+    got = {
+        (r["entity"], r["removal"]): (r["matched"], r["tier"])
+        for r in flag_tiered_match(cur, rem).collect()
+    }
+    want = {}
+    for ent, c, r in cases:
+        for rem_, res in _flag_model(c, r).items():
+            want[(ent, rem_)] = res
+    assert got == want
