@@ -53,191 +53,128 @@ _loaded = False
 # regardless of window position, and ROTATION.md ledgers each
 # query's newest driver row.
 #
-# r8-window composition (the round-7 verdict's ordered backlog):
-# the 7 TPC-H queries the 50-cut left without any driver row across
-# r6/r7 lead; then the 7 round-8 additions (stream-stream outer
-# join, sub-entity privacy, the two sketch-knob entries, the two
-# ES-lifecycle paths, the bucketed co-located join); then the
-# round-8 behavior-touched set (two-phase skyline, q15 max rewrite,
-# the bloom single-pass fold and its consumers, the attribution
-# landing split, the knob-bearing pagerank/profile/anomaly trio,
-# the HLL helper refactor consumers, tmpdir-registry lifecycle
-# queries); the remaining ~15 slots refresh the stalest r4-rowed
-# greens in ledger order.  Everything pushed past 50 has a green
-# r4/r5/r7 row, is re-verified by LOCAL_GATE_r08, and rotates into
-# r9/r10.
+# r9-window composition (the round-8 verdict's ordered backlog):
+# the 4 round-9 additions lead (never driver-tested), then the two
+# entries whose BEHAVIOR round 9 touched (kmv's exact mode now
+# shares the persisted array-sketch merge; stream_heavy_hitters
+# gained the keyspace knob around its exact path), then ALL 25
+# r4-stale greens (the verdict's item-1 block, ledger order), and
+# the remaining 19 slots start draining the r5 block
+# alphabetically (ledger order).  After this round no query's
+# newest driver row is older than r5; the rest of the r5 block
+# (25 names, lang_id..winnow_pairs) leads the r10 window.
 _PRIORITY = (
-    # ---- never driver-tested (the only catalog entries without a
-    # ---- driver row after 7 rounds — r7 verdict item 1)
+    # ---- round-9 additions (never driver-tested)
+    "kmv_source_overlap_sketch",
+    "stream_heavy_hitters_capped",
+    "full_backfill_resume",
+    "dual_pipeline_cutover",
+    # ---- round-9 behavior-touched
+    "kmv_source_overlap",
+    "stream_heavy_hitters",
+    # ---- r4-stale greens (all 25, ledger order)
+    "alias_minimize",
+    "alias_resolve",
+    "ann_pq",
+    "ann_topk",
+    "attachment_versions",
+    "curate_corpus",
+    "decontam_overlap",
+    "dedup_chunk",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_simhash",
+    "diff_apply",
+    "diff_rollback",
+    "docs_json_roundtrip",
+    "embedding_neardup",
+    "flag_state_versions",
+    "mix_weights",
+    "mm_features",
+    "orders_fulfillment",
+    "pii_scrub",
+    "quality_repetition",
+    "quota_sample",
+    "rolling_distinct_users",
+    "seq_packing",
+    "shuffle_shards",
+    # ---- oldest r5 greens (ledger order; fills the 50)
+    "activity_invert",
+    "alias_analysis",
+    "ann_ivf",
+    "ann_ivf_nprobe",
+    "ann_lsh_buckets",
+    "comments_etl",
+    "dedup_latest",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dependency_edges",
+    "doc_fingerprint",
+    "es_docs",
+    "events_sessionize",
+    "events_sessionize_native",
+    "flag_parse",
+    "incremental_touched",
+    "interval_asof_join",
+    "json_props_extract",
+    "key_skew_stats",
+)
+
+# Rotated past position 50: every entry here has a GREEN r8 driver
+# row (the freshest in the ledger), is re-verified by the local gate
+# (tools/verify_local.py, driver-strict canonicalizer) every round,
+# and rotates back in r11+.  The unlisted middle (r5/r7 rows) keeps
+# registration order between the window and this tail.
+_DEPRIORITY = (
+    "alias_compact",
+    "anomaly_mad",
+    "anomaly_mad_hist",
+    "bloom_decontam",
+    "bloom_join_prune",
+    "bucketed_join_zero_shuffle",
+    "bug_version_docs",
+    "bug_version_full",
+    "compact_store",
+    "cube_order_stats",
+    "dedup_jaccard_invindex",
+    "dedup_ngram_jaccard",
+    "es_alias_cutover",
+    "es_file_extract",
+    "events_funnel",
+    "hll_distinct",
+    "kmeans_embeddings",
+    "moving_average",
+    "nested_docs",
+    "pagerank_trade",
+    "pivot_event_counts",
+    "private_subentity",
+    "profile_table",
+    "profile_table_hll",
+    "rollup_returns",
+    "set_final",
+    "set_final_salted",
+    "skyline_orders",
+    "stream_attribution",
+    "stream_attribution_outer",
+    "stream_bug_versions",
+    "stream_decontam",
+    "stream_dedup",
+    "stream_hll",
+    "stream_rollup",
+    "stream_snapshot",
+    "tpch_q10",
     "tpch_q12",
     "tpch_q13",
+    "tpch_q15",
     "tpch_q16",
     "tpch_q18",
     "tpch_q19",
     "tpch_q21",
     "tpch_q22",
-    # ---- round-8 additions (never tested; this round's claims)
-    "stream_attribution_outer",
-    "private_subentity",
-    "profile_table_hll",
-    "anomaly_mad_hist",
-    "es_file_extract",
-    "es_alias_cutover",
-    "bucketed_join_zero_shuffle",
-    "kmv_source_overlap",
-    # ---- round-8 behavior-touched
-    "skyline_orders",
-    "tpch_q15",
-    "bloom_join_prune",
-    "bloom_decontam",
-    "stream_decontam",
-    "stream_attribution",
-    "anomaly_mad",
-    "profile_table",
-    "pagerank_trade",
-    "hll_distinct",
-    "stream_hll",
-    "compact_store",
-    # ---- stalest greens (r4 rows), ledger order
-    "bug_version_full",
-    "stream_bug_versions",
-    "kmeans_embeddings",
-    "alias_compact",
-    "stream_snapshot",
-    "tpch_q10",
     "tpch_q3",
     "tpch_q5",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_invindex",
-    "stream_rollup",
-    "pivot_event_counts",
-    "nested_docs",
-    "events_funnel",
-    "set_final_salted",
-    "set_final",
-    "stream_dedup",
-    "bug_version_docs",
     "unpivot_measures",
-    "rollup_returns",
-    "cube_order_stats",
     "value_percentiles",
-    "moving_average",
-    # ---- past the 50-cut from here: r4-rowed refreshes that
-    # ---- rotate into r9, then the r7-rowed block (freshest)
-    "orders_fulfillment",
-    "docs_json_roundtrip",
-    "rolling_distinct_users",
-    "flag_state_versions",
-    "attachment_versions",
-    "diff_rollback",
-    "alias_minimize",
-    "dedup_components",
-    "decontam_overlap",
-    "quality_repetition",
-    "dedup_chunk",
-    "ann_pq",
-    "quota_sample",
-    "seq_packing",
-    "shuffle_shards",
-    "mix_weights",
-    "pii_scrub",
-    "curate_corpus",
-    "mm_features",
-    "ann_topk",
-    "embedding_neardup",
-    "dedup_exact",
-    "dedup_simhash",
-    "alias_resolve",
-    "diff_apply",
-    "trunc_uncertain",
-    "canonical_fields",
-    "heavy_hitters_ngrams",
-    "stream_heavy_hitters",
-    "cc_fuzzy_match",
-    "decontam_neardup",
-    "semdedup",
-    "flag_fuzzy_match",
-    "stratified_split",
-    "dsir_weights",
-    "char_lm_perplexity",
-    "embedding_outliers",
-    "bpe_pair_counts",
-    "filter_funnel",
-    "date_normalize",
-    "stream_neardup_ingest",
-    "dedup_containment",
-    "ngram_novelty",
-    "html_strip",
-    "range_window_load",
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q20",
-    "tpch_q7",
-    "tpch_q14",
-    "tpch_q17",
-    "tpch_q4",
-    "tpch_q8",
-    "count_min_freq",
-    "hist_quantile",
-    "triangle_count",
-    "zorder_layout",
-    "compaction_plan",
-    "cooccurrence_pmi",
-    "embedding_pca",
-    "frequent_pairs",
-    "partition_prune_stats",
-)
-
-# Rotated past position 50 when the catalog exceeds the cap: every
-# entry here has a GREEN r5 driver row, is unchanged since, and is
-# re-verified by the local gate (tools/verify_local.py,
-# driver-strict canonicalizer) every run.
-_DEPRIORITY = (
-    "previous_values",
-    "ann_ivf_nprobe",
-    "dedup_minhash_lsh",
-    "ann_lsh_buckets",
-    "ann_ivf",
-    "stream_sessionize",
-    "tpch_q1",
-    "mm_frame_sample",
-    "dedup_simhash_pairs",
-    "incremental_touched",
-    "es_docs",
-    "snapshot_versions",
-    "state_rollforward",
-    "doc_fingerprint",
-    "token_count",
-    "alias_analysis",
-    "flag_parse",
-    "private_screen",
-    "merge_order_union",
-    "activity_invert",
-    "replicate_pending",
-    "normalize_scrub",
-    "json_props_extract",
-    "screen_mask",
-    "dependency_edges",
-    "comments_etl",
-    "time_rollup",
-    "topk_per_group",
-    "events_sessionize_native",
-    "sample_stratified",
-    "lang_id",
-    "text_quality",
-    "tfidf_top_terms",
-    "key_skew_stats",
-    "snapshot_asof",
-    "dedup_latest",
-    "interval_asof_join",
-    "events_sessionize",
-    "set_accumulate",
-    "private_retract",
-    "winnow_fingerprints",
-    "winnow_pairs",
-    "tpch_q6",
-    "stream_previous_values",
 )
 
 

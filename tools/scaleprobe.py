@@ -1,0 +1,134 @@
+"""Data-decade scaling probe — one JSON line on stdout.
+
+Replicates the bench tables (sf0.1 by default) N× into a scratch dir
+with DISJOINT id spaces and per-replica text perturbation — the same
+protocol the 16× probes in SCALING.md used, committed as a tool this
+round — then times each probe query min-of-1 at base and at N× and
+reports the realized scaling exponent  e = log(T_N / T_1) / log(N)
+(e = 1 linear, e < 1 sublinear; anything meaningfully > 1 needs an
+explanation in SCALING.md).
+
+Id offsets are applied consistently within a replica (orders and
+customer replica i both shift custkey by i·OFF), so join cardinality
+grows linearly — replicas never cross-join.  Dimension tables
+(region, nation) are NOT replicated: at any SF they are constant
+size, and replicating them would inflate joins superlinearly.
+Document text gets a per-replica suffix token so dedup/sketch
+queries see 10× distinct content, not 10 exact copies that collapse.
+
+Usage: python tools/scaleprobe.py [factor] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OFF = 10_000_000
+
+# (table, [id columns to offset], text column or None)
+TABLES = {
+    "documents": (["doc_id"], "text"),
+    "embeddings": (["vec_id"], None),
+    "events": (["event_id", "user_id"], None),
+    "orders": (["o_orderkey", "o_custkey"], None),
+    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], None),
+    "customer": (["c_custkey"], None),
+    "supplier": (["s_suppkey"], None),
+    "part": (["p_partkey"], None),
+    "region": ([], None),
+    "nation": ([], None),
+}
+
+DEFAULT_QUERIES = [
+    "pagerank_trade",
+    "profile_table",
+    "triangle_count",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "decontam_neardup",
+    "semdedup",
+    "bloom_decontam",
+    "dsir_weights",
+    "kmv_source_overlap_sketch",
+]
+
+
+def replicate(spark, src_dir: str, dst_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    for tbl, (ids, text) in TABLES.items():
+        df = spark.read.parquet(f"{src_dir}/{tbl}.parquet")
+        if not ids:  # constant-size dims: single copy
+            df.write.mode("overwrite").parquet(f"{dst_dir}/{tbl}.parquet")
+            continue
+        parts = []
+        for i in range(factor):
+            p = df
+            for c in ids:
+                p = p.withColumn(c, F.col(c) + F.lit(i * OFF))
+            if text is not None:
+                p = p.withColumn(
+                    text,
+                    F.concat(F.col(text), F.lit(f" zrep{i}")),
+                )
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dst_dir}/{tbl}.parquet")
+
+
+def main() -> None:
+    import math
+    import tempfile
+
+    args = sys.argv[1:]
+    factor = int(args[0]) if args else 10
+    queries = args[1:] or DEFAULT_QUERIES
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from bugzilla_etl_spark.plans import catalog
+    from bugzilla_etl_spark.session import get_spark
+    from bugzilla_etl_spark.tmpdirs import gc_now, tracked_mkdtemp
+
+    catalog.load_all()
+    spark = get_spark("scaleprobe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    big = tracked_mkdtemp(prefix="bes_sp_")
+    replicate(spark, base_dir, big, factor)
+
+    out: dict = {}
+    for name in queries:
+        fn = catalog.QUERIES.get(name)
+        if fn is None:
+            continue
+        # warmup at base (codegen), then min-of-1 each scale
+        fn(spark, base_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        fn(spark, base_dir).write.format("noop").mode("overwrite").save()
+        t_base = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(spark, big).write.format("noop").mode("overwrite").save()
+        t_big = time.perf_counter() - t0
+        out[name] = {
+            "base_s": round(t_base, 3),
+            f"x{factor}_s": round(t_big, 3),
+            "ratio": round(t_big / t_base, 2),
+            "exponent": round(
+                math.log(t_big / t_base) / math.log(factor), 2
+            ),
+        }
+        print(json.dumps({name: out[name]}), file=sys.stderr)
+    gc_now()
+    print(json.dumps({"factor": factor, "base": base_dir, "probe": out}))
+
+
+if __name__ == "__main__":
+    main()

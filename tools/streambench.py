@@ -1,0 +1,134 @@
+"""Streaming bench lane — one JSON line on stdout.
+
+The main bench (bench.py) excludes the streaming catalog entries
+because availableNow trigger startup dominates their wall time —
+which left 14 entries with NO regression signal at all (round-8
+verdict item 5).  This lane times them explicitly and SPLITS the
+cost so a regression in either component is visible:
+
+- ``noop_1batch`` / ``noop_3batch``: a minimal readStream → memory
+  availableNow query over 1 vs 3 landed files.  Their difference
+  isolates the PER-MICRO-BATCH overhead (batch planning + state
+  commit), and noop_1batch pins the fixed startup (query planning,
+  checkpoint + sink init) — the part that vanishes on a long-running
+  cluster job and should NOT gate a 100 TB design.
+- per-query ``queries``: min-of-2 full wall (each catalog invocation
+  creates fresh checkpoint/landing dirs, so every pass is a complete
+  cold streaming run); ``marginal`` = wall - noop_1batch ≈ the
+  data-proportional work, the number that must scale with SF and
+  must not regress round over round.
+
+Usage: python tools/streambench.py   (same env knobs as bench.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STREAMING = [
+    "stream_snapshot",
+    "stream_rollup",
+    "stream_sessionize",
+    "stream_dedup",
+    "stream_previous_values",
+    "stream_bug_versions",
+    "stream_heavy_hitters",
+    "stream_heavy_hitters_capped",
+    "stream_hll",
+    "stream_neardup_ingest",
+    "stream_decontam",
+    "stream_attribution",
+    "stream_attribution_outer",
+]
+
+N_RUNS = 2
+
+
+def _noop_stream(spark, n_files: int) -> float:
+    """Minimal availableNow run over n_files 1-row parquet files
+    (maxFilesPerTrigger=1 => n_files micro-batches)."""
+    from bugzilla_etl_spark.tmpdirs import tracked_mkdtemp
+
+    src = tracked_mkdtemp(prefix="bes_sbnoop_")
+    for i in range(n_files):
+        spark.range(i, i + 1).coalesce(1).write.mode("append").parquet(src)
+    name = f"sb_noop_{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tracked_mkdtemp(prefix="bes_sbck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.perf_counter() - t0
+    spark.catalog.dropTempView(name)
+    return dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from bugzilla_etl_spark.plans import catalog
+    from bugzilla_etl_spark.session import get_spark
+    from bugzilla_etl_spark.tmpdirs import gc_now
+
+    catalog.load_all()
+    spark = get_spark("streambench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # one throwaway streaming run so JVM/codegen/state-store class
+    # loading lands outside every timed region (incl. noop_1batch)
+    _noop_stream(spark, 1)
+
+    noop1 = round(min(_noop_stream(spark, 1) for _ in range(3)), 3)
+    noop3 = round(min(_noop_stream(spark, 3) for _ in range(3)), 3)
+
+    timings: dict[str, float] = {}
+    for name in STREAMING:
+        fn = catalog.QUERIES.get(name)
+        if fn is None:
+            continue
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+            gc_now()  # each pass cleans its landing/checkpoint dirs
+        timings[name] = round(min(runs), 3)
+
+    marginal = {
+        n: round(max(t - noop1, 0.0), 3) for n, t in timings.items()
+    }
+    out = {
+        "metric": "streaming_queries_total_wall",
+        "unit": "sec",
+        "queries": timings,
+        "marginal": marginal,
+        "noop_1batch": noop1,
+        "noop_3batch": noop3,
+        "per_batch_overhead": round((noop3 - noop1) / 2, 3),
+        "runs_per_query": N_RUNS,
+        "aggregation": "min",
+        "n_queries": len(timings),
+        "value": round(sum(timings.values()), 3),
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
