@@ -158,6 +158,12 @@ HEADLINE = [
     "es_alias_cutover",
     "bucketed_join_zero_shuffle",
     "kmv_source_overlap",
+    # round-9 additions (stream_heavy_hitters_capped excluded with
+    # the other streaming queries — timed in tools/streambench.py,
+    # the dedicated streaming lane this round adds)
+    "kmv_source_overlap_sketch",
+    "full_backfill_resume",
+    "dual_pipeline_cutover",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into
