@@ -722,29 +722,33 @@ def dual_cutover_run(
 def _dual_frames(
     ev: DataFrame, docs: DataFrame, run_no: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Run-dependent content of the two pipelines, projected to the
-    COMMON sink schema (_id, kind, n_val, index_run).  Run 2 is a
-    re-ETL with changed semantics on both sides (bugs: errors
-    screened out; comments: 10% of docs touched) so the cut-over
-    visibly changes both index contents."""
-    bev = ev
-    if run_no == 2:
-        bev = bev.where(F.col("event_type") != "error")
-    bugs = bev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_val")
-    ).select(
-        F.col("user_id").cast("string").alias("_id"),
+    """One run of BOTH REAL pipelines, projected to the COMMON sink
+    schema (_id, kind, n_val, index_run): the bugs side is the full
+    versioned-document build (the same ``build_full_docs`` as
+    ``bug_version_full`` — _id and version straight from its spine),
+    the comments side is the ``comments_etl`` screen+project.  Run 1
+    processes a PARTIAL history (the previous scheduled run's
+    horizon: events with event_id % 3 != 0, even doc_ids); run 2 is
+    the full re-ETL — so the cut-over swaps in visibly different
+    content on both sides, the way consecutive scheduled runs do."""
+    from bugzilla_etl_spark.plans.queries_history import (
+        build_full_docs,
+    )
+
+    bev = ev if run_no == 2 else ev.where(F.col("event_id") % 3 != 0)
+    bugs = build_full_docs(bev).select(
+        "_id",
         F.lit("bug").alias("kind"),
-        "n_val",
+        F.col("version").cast("long").alias("n_val"),
         F.lit(run_no).cast("long").alias("index_run"),
     )
-    nch = F.col("n_chars")
-    if run_no == 2:
-        nch = F.when(F.col("doc_id") % 10 == 0, nch + 1).otherwise(nch)
-    comments = docs.where(F.col("source") != "src0").select(
+    cdocs = (
+        docs if run_no == 2 else docs.where(F.col("doc_id") % 2 == 0)
+    )
+    comments = cdocs.where(F.col("source") != "src0").select(
         F.col("doc_id").cast("string").alias("_id"),
         F.lit("comment").alias("kind"),
-        nch.cast("long").alias("n_val"),
+        F.col("n_chars").cast("long").alias("n_val"),
         F.lit(run_no).cast("long").alias("index_run"),
     )
     return bugs, comments
@@ -753,13 +757,27 @@ def _dual_frames(
 @register(
     "dual_pipeline_cutover",
     oracle="""
-    SELECT CAST(user_id AS VARCHAR) AS _id, 'bug' AS kind,
-           count(*) AS n_val, CAST(2 AS BIGINT) AS index_run
-    FROM events WHERE event_type <> 'error' GROUP BY user_id
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tsl FROM events
+    ),
+    versioned AS (
+      SELECT user_id, tsl,
+             row_number() OVER w AS version,
+             lead(tsl) OVER w AS expires_on
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsl, event_id)
+    ),
+    verx AS (
+      SELECT * FROM versioned
+      WHERE expires_on IS NULL OR expires_on <> tsl
+    )
+    SELECT CAST(user_id AS VARCHAR) || '_'
+               || CAST(tsl // 1000 AS VARCHAR) AS _id,
+           'bug' AS kind, CAST(version AS BIGINT) AS n_val,
+           CAST(2 AS BIGINT) AS index_run
+    FROM verx
     UNION ALL
     SELECT CAST(doc_id AS VARCHAR) AS _id, 'comment' AS kind,
-           CAST(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1
-                ELSE n_chars END AS BIGINT) AS n_val,
+           CAST(n_chars AS BIGINT) AS n_val,
            CAST(2 AS BIGINT) AS index_run
     FROM documents WHERE source <> 'src0'
     """,
@@ -769,9 +787,12 @@ def dual_pipeline_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
     comments ETL and the bug ETL together and the run completes
     (aliases flip) only when BOTH finish (bz_etl.py:123-130
     run_both_etl: both threads joined before the cut-over in main).
-    Composed here from the existing pieces: each run lands a bugs
-    index AND a comments index (index-per-run, the es_alias_cutover
-    lifecycle), and ONE alias file holding both pointers flips in a
+    Composed here from the REAL pipelines: each run lands a bugs
+    index (the full ``build_full_docs`` versioned-document build —
+    the same plan as ``bug_version_full``) AND a comments index
+    (the ``comments_etl`` screen+project), index-per-run in the
+    es_alias_cutover lifecycle, and ONE alias file holding both
+    pointers flips in a
     single atomic rename only after both writes complete — a crash
     in any window (between the two writes, or after both writes but
     before the swap) leaves the previous run serving BOTH pipelines,
