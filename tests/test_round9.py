@@ -134,6 +134,38 @@ def test_backfill_resume_skips_landed_blocks(spark, sf_dir, tmp_path):
     )
 
 
+def test_backfill_any_crash_point_converges(spark, sf_dir, tmp_path):
+    """Crash-point sweep: dying after ANY number of landed blocks
+    (1..4 of 5) and resuming must converge to the one-shot build —
+    the resume rule cannot depend on which block the walk died in."""
+    from bugzilla_etl_spark.operators.backfill import (
+        read_store,
+        run_backfill,
+    )
+    from bugzilla_etl_spark.plans.queries_history import (
+        build_full_docs,
+    )
+    from bugzilla_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    end = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    inc = -(-end // 5)
+    want = sorted(map(tuple, build_full_docs(ev).collect()))
+    for crash_after in (1, 3, 4):
+        store = str(tmp_path / f"store_{crash_after}")
+        r1 = run_backfill(
+            spark, ev, store, inc, build_full_docs,
+            crash_after=crash_after,
+        )
+        assert len(r1) == crash_after
+        r2 = run_backfill(spark, ev, store, inc, build_full_docs)
+        assert len(r1) + len(r2) == 5
+        got = sorted(
+            map(tuple, read_store(spark, store).drop("block").collect())
+        )
+        assert got == want, crash_after
+
+
 def test_backfill_recovers_midblock_crash(spark, sf_dir, tmp_path):
     """Crash MID-block: a block dir without _SUCCESS is an
     uncommitted landing — resume must treat it as never landed,
