@@ -206,6 +206,30 @@ def test_backfill_recovers_midblock_crash(spark, sf_dir, tmp_path):
     )
 
 
+def test_backfill_block_predicate_pushes_to_every_scan(spark, sf_dir):
+    """A block's id-range predicate must reach the parquet scan as
+    PushedFilters in EVERY branch of the doc build (the spine,
+    flags, attachments, and alias branches each scan events) — at
+    100 TB with an entity-clustered layout this is what turns a
+    block into a pruned range read instead of 5 full scans per
+    block."""
+    from bugzilla_etl_spark.plans.queries_history import (
+        build_full_docs,
+    )
+    from bugzilla_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    block = ev.where((F.col("user_id") >= 3) & (F.col("user_id") < 6))
+    plan = _plan(build_full_docs(block))
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ]
+    assert pushed, plan
+    for ln in pushed:
+        assert "GreaterThanOrEqual(user_id,3)" in ln, ln
+        assert "LessThan(user_id,6)" in ln, ln
+
+
 def test_dual_cutover_crash_windows_serve_old_pair(spark, sf_dir, tmp_path):
     """run_both_etl semantics: a crash between the bugs write and
     the comments write, or after both writes but before the swap,
