@@ -164,6 +164,7 @@ HEADLINE = [
     "kmv_source_overlap_sketch",
     "full_backfill_resume",
     "dual_pipeline_cutover",
+    "mm_resize",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into

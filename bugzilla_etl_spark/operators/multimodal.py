@@ -139,6 +139,75 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("out_n_bytes", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Resize stage — the third codec verb beside decode/featurize
+    and frame-sample.  Split the way a 100 TB media pipeline must
+    be: the GEOMETRY (output dims, byte stride) is pure integer
+    column algebra — codegen'd, filterable, pushdown-friendly, so a
+    "skip already-small media" predicate never touches payload
+    bytes — and only the BYTE RESAMPLE runs in the Arrow
+    mapInPandas stage (stub codec: stride-decimate the byte stream,
+    numpy-sliced per batch; a real pipeline swaps in PIL.thumbnail
+    on the same seam).  Aspect ratio preserved by integer division:
+    out = dim * max_dim div max(w, h), stride = ceil(max(w, h) /
+    max_dim); media already within max_dim pass through unchanged
+    (stride 1)."""
+
+    mx = "greatest(width, height, 1)"
+    prepped = media.select(
+        "media_id",
+        "mime",
+        "payload",
+        F.expr(
+            f"CASE WHEN {mx} > {max_dim}"
+            f" THEN CAST((width * {max_dim}) div {mx} AS INT)"
+            " ELSE width END"
+        ).alias("out_w"),
+        F.expr(
+            f"CASE WHEN {mx} > {max_dim}"
+            f" THEN CAST((height * {max_dim}) div {mx} AS INT)"
+            " ELSE height END"
+        ).alias("out_h"),
+        F.expr(
+            f"CASE WHEN {mx} > {max_dim}"
+            f" THEN CAST(({mx} + {max_dim} - 1) div {max_dim} AS INT)"
+            " ELSE 1 END"
+        ).alias("stride"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_out, cks = [], []
+            for p, s in zip(pdf["payload"], pdf["stride"]):
+                buf = _np.frombuffer(p, dtype=_np.uint8)[::s]
+                n_out.append(len(buf))
+                cks.append(int(buf.astype(_np.int64).sum()) % 9973)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "out_w": pdf["out_w"],
+                    "out_h": pdf["out_h"],
+                    "out_n_bytes": pd.Series(n_out, dtype="int64"),
+                    "checksum": pd.Series(cks, dtype="int64"),
+                }
+            )
+
+    return prepped.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def frame_sample(
     media: DataFrame, every_n: int = 4, include_payload: bool = False
 ) -> DataFrame:

@@ -69,6 +69,7 @@ _PRIORITY = (
     "stream_heavy_hitters_capped",
     "full_backfill_resume",
     "dual_pipeline_cutover",
+    "mm_resize",
     # ---- round-9 behavior-touched
     "kmv_source_overlap",
     "stream_heavy_hitters",
@@ -117,7 +118,6 @@ _PRIORITY = (
     "incremental_touched",
     "interval_asof_join",
     "json_props_extract",
-    "key_skew_stats",
 )
 
 # Rotated past position 50: every entry here has a GREEN r8 driver

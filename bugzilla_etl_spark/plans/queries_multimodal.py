@@ -108,3 +108,54 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_media(docs)
     return M.frame_sample(media, every_n=4).select("media_id", "mime", "frame_idx")
+
+
+@register(
+    "mm_resize",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n,
+               n_chars % 640 AS w, n_chars % 480 AS h,
+               greatest(n_chars % 640, n_chars % 480, 1) AS mx
+        FROM documents
+    ),
+    r AS (
+        SELECT media_id, mime, hx, n,
+               CASE WHEN mx > 64 THEN (w * 64) // mx ELSE w END AS out_w,
+               CASE WHEN mx > 64 THEN (h * 64) // mx ELSE h END AS out_h,
+               CASE WHEN mx > 64 THEN (mx + 63) // 64 ELSE 1 END AS stride
+        FROM d
+    )
+    SELECT media_id, mime,
+           CAST(out_w AS INT) AS out_w,
+           CAST(out_h AS INT) AS out_h,
+           CAST((n + stride - 1) // stride AS BIGINT) AS out_n_bytes,
+           CAST(coalesce(list_sum(list_transform(
+                    range(0, (n + stride - 1) // stride),
+                    j -> ('0x' || substr(hx, 2*j*stride + 1, 2))
+                             ::UBIGINT::BIGINT)), 0) % 9973
+                AS BIGINT) AS checksum
+    FROM r
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail media — the remaining codec verb beside
+    decode+featurize (#37) and frame-sample (#121).  Geometry
+    (aspect-preserving integer dims, byte stride) is codegen column
+    algebra computed BEFORE any payload byte moves — a "skip
+    already-small media" filter is pushdown-able metadata work —
+    and only the byte resample runs in the Arrow mapInPandas stage
+    (numpy stride-decimation per batch; a real pipeline installs
+    PIL.thumbnail on the same seam via register_codec's pattern).
+    The stub resample is deterministic modular arithmetic, so the
+    oracle recomputes the resized byte stream's checksum from
+    hex(encode(text)) — a full value check of the batch plumbing,
+    same contract as mm_features."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_media(docs)
+    return M.resize_media(media, max_dim=64)
