@@ -89,6 +89,44 @@ def get_min_entity_id(
     return row["m"]
 
 
+def land_clustered(
+    ev: DataFrame, out_dir: str, increment: int,
+    entity: str = "user_id",
+) -> None:
+    """Land the events table partitioned by ENTITY BLOCK
+    (``entity_block = (id div increment) * increment`` — each
+    partition dir is exactly one backfill block).  This is the
+    layout half of the backfill contract: with it, a block read is
+    directory pruning (zero rows of other blocks touched — the
+    Spark analogue of the reference's MySQL primary-key range walk,
+    bz_etl.py:305 ``{{min}} <= b.bug_id AND b.bug_id < {{max}}``);
+    without it, each block is a pushed-filter full scan.  One
+    shuffle-free write (partitionBy on a derived column), paid once
+    — the zorder_layout/bucketed_join write-time-layout discipline
+    applied to the backfill source."""
+    (
+        ev.withColumn(
+            "entity_block",
+            (F.col(entity) - F.col(entity) % increment).cast("long"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("entity_block")
+        .parquet(out_dir)
+    )
+
+
+def read_block(
+    spark: SparkSession, clustered_dir: str, lo: int
+) -> DataFrame:
+    """One block = one partition directory.  No filter needed: the
+    path IS the predicate."""
+    return (
+        spark.read.option("basePath", clustered_dir)
+        .parquet(f"{clustered_dir}/entity_block={lo}")
+        .drop("entity_block")
+    )
+
+
 def run_backfill(
     spark: SparkSession,
     ev: DataFrame,
@@ -98,12 +136,18 @@ def run_backfill(
     entity: str = "user_id",
     end: int | None = None,
     crash_after: int | None = None,
+    clustered_dir: str | None = None,
 ) -> list[tuple[int, int]]:
     """Walk the block plan descending, landing each block's full
     docs; resume from the store if blocks are already landed.
     Returns the blocks PROCESSED by this run (the resume test's
     witness).  ``crash_after=N`` aborts after N landings — the
-    test hook for the crash-between-blocks scenario."""
+    test hook for the crash-between-blocks scenario.  With
+    ``clustered_dir`` (a ``land_clustered`` layout), each block
+    reads ONLY its partition directory; empty blocks read an empty
+    frame through the same path."""
+    import os
+
     if end is None:
         end = ev.agg(F.max(entity)).collect()[0][0]
         end = 0 if end is None else end + 1
@@ -114,9 +158,15 @@ def run_backfill(
         end = min(end, -(-resume_min // increment) * increment)
     done: list[tuple[int, int]] = []
     for lo, hi in block_plan(end, increment):
-        block = ev.where(
-            (F.col(entity) >= lo) & (F.col(entity) < hi)
-        )
+        if clustered_dir is not None:
+            if os.path.isdir(f"{clustered_dir}/entity_block={lo}"):
+                block = read_block(spark, clustered_dir, lo)
+            else:
+                block = ev.where(F.lit(False))
+        else:
+            block = ev.where(
+                (F.col(entity) >= lo) & (F.col(entity) < hi)
+            )
         docs = build_fn(block)
         docs.write.mode("overwrite").parquet(
             f"{store_dir}/block={lo}"

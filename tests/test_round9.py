@@ -166,6 +166,51 @@ def test_backfill_any_crash_point_converges(spark, sf_dir, tmp_path):
         assert got == want, crash_after
 
 
+def test_backfill_clustered_layout_prunes_to_one_dir(
+    spark, sf_dir, tmp_path
+):
+    """With the entity-clustered landing, a block read touches ONLY
+    its partition directory (path-level pruning — the PK-index
+    analogue), and the clustered backfill lands the identical doc
+    set as the filter-scan form."""
+    from bugzilla_etl_spark.operators.backfill import (
+        land_clustered,
+        read_block,
+        read_store,
+        run_backfill,
+    )
+    from bugzilla_etl_spark.plans.queries_history import (
+        build_full_docs,
+    )
+    from bugzilla_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    end = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    inc = -(-end // 5)
+    clustered = str(tmp_path / "events_clustered")
+    land_clustered(ev, clustered, inc)
+
+    blk = read_block(spark, clustered, inc)  # second block
+    files = blk.inputFiles()
+    assert files, "block dir must have files"
+    assert all(f"entity_block={inc}" in f for f in files), files
+
+    store = str(tmp_path / "store")
+    run_backfill(
+        spark, ev, store, inc, build_full_docs,
+        clustered_dir=clustered, crash_after=2,
+    )
+    run_backfill(
+        spark, ev, store, inc, build_full_docs,
+        clustered_dir=clustered,
+    )
+    got = sorted(
+        map(tuple, read_store(spark, store).drop("block").collect())
+    )
+    want = sorted(map(tuple, build_full_docs(ev).collect()))
+    assert got == want
+
+
 def test_backfill_recovers_midblock_crash(spark, sf_dir, tmp_path):
     """Crash MID-block: a block dir without _SUCCESS is an
     uncommitted landing — resume must treat it as never landed,
