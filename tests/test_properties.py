@@ -665,3 +665,81 @@ def test_flag_tiered_match_matches_reference_cascade(cases):
         for rem_, res in _flag_model(c, r).items():
             want[(ent, rem_)] = res
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# KMV sketch: partition-independence + semilattice merge
+
+
+@st.composite
+def kmv_rows(draw):
+    rows = []
+    for s in ("a", "b"):
+        n = draw(st.integers(0, 40))
+        rows += [
+            (s, draw(st.integers(0, 30)))  # small domain -> duplicates
+            for _ in range(n)
+        ]
+    return rows
+
+
+@given(rows=kmv_rows(), nparts=st.integers(1, 5), k=st.integers(1, 8))
+@settings(max_examples=12, deadline=None)
+def test_kmv_two_stage_build_is_partition_independent(rows, nparts, k):
+    """The bounded two-stage sketch build (per-partition k-heap ->
+    distinct -> per-source window) must equal the naive k smallest
+    DISTINCT hashes per source for ANY partitioning — k-smallest-
+    distinct is a semilattice merge, which is the whole basis of the
+     'state bounded per partition' claim."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bugzilla_etl_spark.plans.queries_engine import (
+        _kmv_partial_topk,
+    )
+
+    spark = _get_spark()
+    th = spark.createDataFrame(
+        rows or [("z", 0)], "source string, h long"
+    )
+    if not rows:
+        th = th.limit(0)
+    th = th.repartition(nparts)
+    part = _kmv_partial_topk(th, k=k).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    got = {
+        (r["source"], r["h"])
+        for r in part.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .collect()
+    }
+    want = set()
+    for s in {s for s, _ in rows}:
+        hs = sorted({h for s2, h in rows if s2 == s})[:k]
+        want |= {(s, h) for h in hs}
+    assert got == want
+
+
+@given(rows=kmv_rows(), k=st.integers(1, 8))
+@settings(max_examples=12, deadline=None)
+def test_kmv_sketch_merge_is_semilattice(rows, k):
+    """Incremental contract: merging two batches' k-min sketches
+    (k smallest of the union of the sketches) equals the k-min
+    sketch of the combined data — so a 100 TB incremental pipeline
+    can fold today's batch into yesterday's sketch without ever
+    recomputing from raw."""
+    half_a = rows[::2]
+    half_b = rows[1::2]
+
+    def sketch(batch):
+        out = {}
+        for s in {s for s, _ in batch}:
+            out[s] = sorted({h for s2, h in batch if s2 == s})[:k]
+        return out
+
+    sa, sb = sketch(half_a), sketch(half_b)
+    merged = {
+        s: sorted(set(sa.get(s, [])) | set(sb.get(s, [])))[:k]
+        for s in set(sa) | set(sb)
+    }
+    assert merged == sketch(rows)
