@@ -31,10 +31,13 @@ Spark-first shape:
   block is idempotent (``mode=overwrite`` on the block dir).
 
 At 100 TB the per-block ``WHERE lo <= id < hi`` predicate should be
-a partition-pruned read, not a filtered full scan — land the events
-table bucketed/sorted by entity (see ``zorder_layout`` /
-``partition_prune_stats``); the reference gets the same effect from
-the MySQL primary-key index on ``bug_id``.
+a partition-pruned read, not a filtered full scan: ``land_clustered``
+below lands the events table partitioned by entity block so a block
+read is pure directory pruning (``run_backfill(clustered_dir=)``);
+the reference gets the same effect from the MySQL primary-key index
+on ``bug_id``.  The filter-scan form still pushes the range predicate
+into every parquet scan (plan-tested) — correct either way, the
+layout only changes how much the scan skips.
 """
 
 from __future__ import annotations

@@ -1858,9 +1858,11 @@ def kmv_source_overlap(
     knob pattern) SKIPS the exact-Jaccard side entirely: output
     drops `n_a`/`jaccard_exact`/`err`, and the plan contains no
     corpus-pair SortMergeJoin (asserted by the fleet plan test) —
-    the corpus is read exactly once, map-only.  The sketch-side
-    joins are hinted broadcast: every input there is sketch-sized
-    (≤ k rows per source / per pair), never corpus-sized."""
+    the corpus is read exactly once (the heap pass), and the only
+    rows that ever shuffle are the ≤ k×partitions sketch rows.  The
+    sketch-side joins are hinted broadcast: every input there is
+    sketch-sized (≤ k rows per source / per pair), never
+    corpus-sized."""
     from bugzilla_etl_spark.functions.hashing import hash64
     from bugzilla_etl_spark.operators.text import tokens
 

@@ -977,13 +977,16 @@ def full_backfill_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         return build_full_docs(ev.limit(0))
     increment = -(-end // 5)  # 5 blocks at any SF
     store = tracked_mkdtemp(prefix="bes_bkf_") + "/store"
-    # run 1 "dies" between blocks after landing 2 of 5
+    # run 1 "dies" between blocks after landing 2 of 5 (end passed
+    # through: the max-id probe already ran above)
     run_backfill(
         spark, ev, store, increment, build_full_docs,
-        crash_after=2,
+        end=end, crash_after=2,
     )
     # run 2 resumes from the store and completes the walk
-    run_backfill(spark, ev, store, increment, build_full_docs)
+    run_backfill(
+        spark, ev, store, increment, build_full_docs, end=end
+    )
     return read_store(spark, store).drop("block")
 
 
