@@ -25,7 +25,15 @@ def land_parts(landing: str, parts: list[tuple[str, DataFrame]]) -> None:
     stream assumes of its ingest."""
     for name, part in parts:
         tmp = os.path.join(landing, f"_stage_{name}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # repartition(1), NOT coalesce(1): several callers land
+        # DRIVER-CREATED frames (the watermark-heartbeat sentinels),
+        # and coalesce(1) over a parallelized local collection folds
+        # all 32 default slices into ONE task that performs 32
+        # sequential Python-worker round-trips — measured ~5-6 s per
+        # landing for a 1-ROW frame (vs ~0.5 s via the shuffle).
+        # For JVM-backed parts the shuffle costs about the same as
+        # the single-task read, so repartition is safe for both.
+        part.repartition(1).write.mode("overwrite").parquet(tmp)
         src = next(
             f for f in os.listdir(tmp) if f.endswith(".parquet")
         )
