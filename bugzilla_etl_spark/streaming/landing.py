@@ -1,6 +1,6 @@
 """Landing-dir helper for the file-source streaming queries.
 
-One copy of the write-one-file-per-part staging dance (coalesce ->
+One copy of the write-one-file-per-part staging dance (repartition ->
 temp dir -> rename into the landing dir) that stream_neardup_ingest,
 stream_decontam, and stream_attribution each need: under
 ``maxFilesPerTrigger=1`` each landed file becomes one real
