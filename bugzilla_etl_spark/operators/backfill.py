@@ -130,6 +130,54 @@ def read_block(
     )
 
 
+def validate_clustered_layout(
+    clustered_dir: str, plan: list[tuple[int, int]]
+) -> set[int]:
+    """Fail-fast check that ``clustered_dir`` really is a
+    ``land_clustered`` layout matching this walk's block plan.
+
+    A missing single ``entity_block=K`` dir is legitimate (a block
+    with no events lands no partition dir), but a layout written
+    with a DIFFERENT increment, or a wrong/stale path, must not be
+    silently read as all-empty blocks — that would land empty doc
+    blocks with ``_SUCCESS`` markers: a "successful" run that
+    dropped all data.  Two invariants are asserted:
+
+    - at least one ``entity_block=`` partition dir exists (a path
+      with zero is not a clustered landing at all);
+    - every partition dir's lo is one of the plan's los (a dir at a
+      lo the plan never visits means the layout was written with a
+      different increment, so the blocks the plan DOES visit would
+      each read empty).
+
+    Returns the set of block-los present, so the walk can read only
+    dirs that exist."""
+    if not os.path.isdir(clustered_dir):
+        raise FileNotFoundError(
+            f"clustered_dir {clustered_dir!r} does not exist"
+        )
+    present: set[int] = set()
+    for d in os.listdir(clustered_dir):
+        if d.startswith("entity_block="):
+            present.add(int(d.split("=", 1)[1]))
+    if not present:
+        raise ValueError(
+            f"clustered_dir {clustered_dir!r} has no entity_block="
+            "partition dirs — not a land_clustered layout"
+        )
+    plan_los = {lo for lo, _hi in plan}
+    stray = present - plan_los
+    if stray:
+        raise ValueError(
+            f"clustered_dir {clustered_dir!r} was written with a "
+            f"different increment: partition dirs at los "
+            f"{sorted(stray)[:5]} are not in this walk's block plan "
+            f"(increment mismatch would make every planned block "
+            "read empty)"
+        )
+    return present
+
+
 def run_backfill(
     spark: SparkSession,
     ev: DataFrame,
@@ -149,8 +197,6 @@ def run_backfill(
     ``clustered_dir`` (a ``land_clustered`` layout), each block
     reads ONLY its partition directory; empty blocks read an empty
     frame through the same path."""
-    import os
-
     if end is None:
         end = ev.agg(F.max(entity)).collect()[0][0]
         end = 0 if end is None else end + 1
@@ -159,12 +205,20 @@ def run_backfill(
         # ceiling(min_landed, increment): keep finished blocks above,
         # re-do the boundary block, continue downward (bz_etl.py:287)
         end = min(end, -(-resume_min // increment) * increment)
+    plan = block_plan(end, increment)
+    clustered_los: set[int] | None = None
+    if clustered_dir is not None and plan:
+        # fail-fast: a wrong path or an increment-mismatched layout
+        # must error here, not silently land all-empty blocks
+        clustered_los = validate_clustered_layout(clustered_dir, plan)
     done: list[tuple[int, int]] = []
-    for lo, hi in block_plan(end, increment):
+    for lo, hi in plan:
         if clustered_dir is not None:
-            if os.path.isdir(f"{clustered_dir}/entity_block={lo}"):
+            if clustered_los is not None and lo in clustered_los:
                 block = read_block(spark, clustered_dir, lo)
             else:
+                # a genuinely empty block lands no partition dir;
+                # layout-level errors were rejected above
                 block = ev.where(F.lit(False))
         else:
             block = ev.where(

@@ -45,7 +45,7 @@ _loaded = False
 # registration order, then the twice-green rotation tail.
 #
 # Rotation policy (the catalog exceeds 3x the 50-row cap; full
-# cycle = ceil(N/50) = 4 windows at the current 156): (1) never-driver-tested
+# cycle = ceil(N/50) = 4 windows at the current 164): (1) never-driver-tested
 # queries lead, (2) then queries whose BEHAVIOR this round touched,
 # (3) then the stalest green rows, oldest driver round first; the
 # local gate (tools/verify_local.py, driver-strict canonicalizer,
@@ -53,45 +53,124 @@ _loaded = False
 # regardless of window position, and ROTATION.md ledgers each
 # query's newest driver row.
 #
-# r9-window composition (the round-8 verdict's ordered backlog):
-# the 4 round-9 additions lead (never driver-tested), then the two
-# entries whose BEHAVIOR round 9 touched (kmv's exact mode now
-# shares the persisted array-sketch merge; stream_heavy_hitters
-# gained the keyspace knob around its exact path), then ALL 25
-# r4-stale greens (the verdict's item-1 block, ledger order), and
-# the remaining 19 slots start draining the r5 block
-# alphabetically (ledger order).  After this round no query's
-# newest driver row is older than r5; the rest of the r5 block
-# (25 names, lang_id..winnow_pairs) leads the r10 window.
+# r10-window composition (the round-9 verdict's item-1 backlog):
+# the 2 round-10 additions lead (never driver-tested:
+# full_backfill_clustered — the partition-pruned production layout
+# of the backfill contract — and replicate_cycle — the composed
+# pending->extract->cutover lifecycle), then the one entry whose
+# BEHAVIOR round 10 touched (full_backfill_resume: run_backfill
+# gained fail-fast clustered-layout validation), then ALL 26
+# r5-stale greens (the verdict's item-2 list, ledger order), and
+# the remaining 21 slots start draining the r7 block
+# alphabetically (ledger order: bpe_pair_counts..
+# partition_prune_stats).  After this round no query's newest
+# driver row is older than r7; the rest of the r7 block (16 names,
+# range_window_load..zorder_layout) leads the r11 window.
 _PRIORITY = (
-    # ---- round-9 additions (never driver-tested)
-    "kmv_source_overlap_sketch",
-    "stream_heavy_hitters_capped",
+    # ---- round-10 additions (never driver-tested)
+    "full_backfill_clustered",
+    "replicate_cycle",
+    # ---- round-10 behavior-touched
     "full_backfill_resume",
-    "dual_pipeline_cutover",
-    "mm_resize",
-    # ---- round-9 behavior-touched
-    "kmv_source_overlap",
-    "stream_heavy_hitters",
-    # ---- r4-stale greens (all 25, ledger order)
+    # ---- r5-stale greens (all 26, ledger order)
+    "key_skew_stats",
+    "lang_id",
+    "merge_order_union",
+    "mm_frame_sample",
+    "normalize_scrub",
+    "previous_values",
+    "private_retract",
+    "private_screen",
+    "replicate_pending",
+    "sample_stratified",
+    "screen_mask",
+    "set_accumulate",
+    "snapshot_asof",
+    "snapshot_versions",
+    "state_rollforward",
+    "stream_previous_values",
+    "stream_sessionize",
+    "text_quality",
+    "tfidf_top_terms",
+    "time_rollup",
+    "token_count",
+    "topk_per_group",
+    "tpch_q1",
+    "tpch_q6",
+    "winnow_fingerprints",
+    "winnow_pairs",
+    # ---- oldest r7 greens (ledger order; fills the 50)
+    "bpe_pair_counts",
+    "canonical_fields",
+    "cc_fuzzy_match",
+    "char_lm_perplexity",
+    "compaction_plan",
+    "cooccurrence_pmi",
+    "count_min_freq",
+    "date_normalize",
+    "decontam_neardup",
+    "dedup_containment",
+    "dsir_weights",
+    "embedding_outliers",
+    "embedding_pca",
+    "filter_funnel",
+    "flag_fuzzy_match",
+    "frequent_pairs",
+    "heavy_hitters_ngrams",
+    "hist_quantile",
+    "html_strip",
+    "ngram_novelty",
+    "partition_prune_stats",
+)
+
+# Rotated past position 50: every entry here has a GREEN r9 driver
+# row (the freshest in the ledger), is re-verified by the local gate
+# (tools/verify_local.py, driver-strict canonicalizer) every round,
+# and rotates back in r12+.  The unlisted middle (r7/r8 rows) keeps
+# registration order between the window and this tail.
+# (full_backfill_resume is r9-fresh but sits in the WINDOW instead:
+# round 10 touched its behavior.)
+_DEPRIORITY = (
+    "activity_invert",
+    "alias_analysis",
     "alias_minimize",
     "alias_resolve",
+    "ann_ivf",
+    "ann_ivf_nprobe",
+    "ann_lsh_buckets",
     "ann_pq",
     "ann_topk",
     "attachment_versions",
+    "comments_etl",
     "curate_corpus",
     "decontam_overlap",
     "dedup_chunk",
     "dedup_components",
     "dedup_exact",
+    "dedup_latest",
+    "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dependency_edges",
     "diff_apply",
     "diff_rollback",
+    "doc_fingerprint",
     "docs_json_roundtrip",
+    "dual_pipeline_cutover",
     "embedding_neardup",
+    "es_docs",
+    "events_sessionize",
+    "events_sessionize_native",
+    "flag_parse",
     "flag_state_versions",
+    "incremental_touched",
+    "interval_asof_join",
+    "json_props_extract",
+    "kmv_source_overlap",
+    "kmv_source_overlap_sketch",
     "mix_weights",
     "mm_features",
+    "mm_resize",
     "orders_fulfillment",
     "pii_scrub",
     "quality_repetition",
@@ -99,82 +178,8 @@ _PRIORITY = (
     "rolling_distinct_users",
     "seq_packing",
     "shuffle_shards",
-    # ---- oldest r5 greens (ledger order; fills the 50)
-    "activity_invert",
-    "alias_analysis",
-    "ann_ivf",
-    "ann_ivf_nprobe",
-    "ann_lsh_buckets",
-    "comments_etl",
-    "dedup_latest",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dependency_edges",
-    "doc_fingerprint",
-    "es_docs",
-    "events_sessionize",
-    "events_sessionize_native",
-    "flag_parse",
-    "incremental_touched",
-    "interval_asof_join",
-    "json_props_extract",
-)
-
-# Rotated past position 50: every entry here has a GREEN r8 driver
-# row (the freshest in the ledger), is re-verified by the local gate
-# (tools/verify_local.py, driver-strict canonicalizer) every round,
-# and rotates back in r11+.  The unlisted middle (r5/r7 rows) keeps
-# registration order between the window and this tail.
-_DEPRIORITY = (
-    "alias_compact",
-    "anomaly_mad",
-    "anomaly_mad_hist",
-    "bloom_decontam",
-    "bloom_join_prune",
-    "bucketed_join_zero_shuffle",
-    "bug_version_docs",
-    "bug_version_full",
-    "compact_store",
-    "cube_order_stats",
-    "dedup_jaccard_invindex",
-    "dedup_ngram_jaccard",
-    "es_alias_cutover",
-    "es_file_extract",
-    "events_funnel",
-    "hll_distinct",
-    "kmeans_embeddings",
-    "moving_average",
-    "nested_docs",
-    "pagerank_trade",
-    "pivot_event_counts",
-    "private_subentity",
-    "profile_table",
-    "profile_table_hll",
-    "rollup_returns",
-    "set_final",
-    "set_final_salted",
-    "skyline_orders",
-    "stream_attribution",
-    "stream_attribution_outer",
-    "stream_bug_versions",
-    "stream_decontam",
-    "stream_dedup",
-    "stream_hll",
-    "stream_rollup",
-    "stream_snapshot",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q5",
-    "unpivot_measures",
-    "value_percentiles",
+    "stream_heavy_hitters",
+    "stream_heavy_hitters_capped",
 )
 
 

@@ -819,6 +819,119 @@ def dual_pipeline_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "replicate_cycle",
+    oracle="""
+    WITH cut AS (SELECT (min(floor(epoch(ts))::BIGINT)
+                       + max(floor(epoch(ts))::BIGINT)) // 2 AS c FROM events),
+    src AS (
+      SELECT user_id, floor(epoch(ts))::BIGINT AS tsl, event_type,
+             row_number() OVER (PARTITION BY user_id, floor(epoch(ts))::BIGINT
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) || '_' || CAST(tsl AS VARCHAR) AS _id,
+           user_id, event_type, tsl AS modified_ts,
+           CASE WHEN tsl <= cut.c THEN 'initial' ELSE 'replicated' END AS via
+    FROM src, cut WHERE rn = 1
+    """,
+)
+def replicate_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL replicate.py main loop, composed from the
+    three already-proven pieces and executed end-to-end against a
+    real second store: pending-detection (replicate.py:68
+    get_last_updated / :97 get_pending — the ``replicate_pending``
+    operator's broadcast high-water-mark probe) -> file-dump extract
+    (replicate.py:46 extract_from_file — the ``es_file_extract``
+    NDJSON write/parse round trip) -> index-per-run landing with
+    atomic alias cut-over (replicate.py:147 get_or_create_index,
+    :210-211 delete_all_but + add_alias — the ``es_alias_cutover``
+    lifecycle).
+
+    Executed shape: the SOURCE is the es_docs projection of events
+    (one doc per entity-second).  Run 1 bootstraps the destination
+    with the first-half-of-time slice (the previous scheduled run's
+    horizon) and takes the alias.  The cycle then reads the
+    destination THROUGH the alias, computes its high-water mark with
+    a 1-row broadcast agg (no shuffle of the source side), dumps
+    exactly the pending docs as newline-delimited JSON, parses them
+    back with schema-typed from_json, lands old+new content in a NEW
+    index dir, and flips the alias atomically only after the write
+    completes — then retires the old index.  The returned frame
+    reads through the alias; ``via`` records which run landed each
+    doc, so the oracle's CASE over the midpoint cut verifies the
+    pending-detection boundary, not just the final content.
+
+    Scale shape: pending detection is a broadcast 1-row aggregate
+    against the source scan (never a shuffle of the corpus); the
+    dump write and parse are map-only; the cut-over is one rename —
+    O(1) metadata regardless of index size."""
+    import os
+    import shutil
+
+    from bugzilla_etl_spark.operators import snapshot as S
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tracked_mkdtemp("bes_repl_")
+    # ---- source: es_docs projection (one doc per entity-second)
+    sec = F.col("ts").cast("long")
+    w = Window.partitionBy("user_id", sec).orderBy(F.col("event_id").desc())
+    source_docs = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            N.doc_id("user_id", "ts").alias("_id"),
+            "user_id",
+            "event_type",
+            sec.alias("modified_ts"),
+        )
+    )
+    # ---- run 1: bootstrap the destination with the prior horizon
+    cut = ev.agg(
+        F.expr(
+            "(min(cast(ts as long)) + max(cast(ts as long))) div 2"
+        ).alias("_cut")
+    )
+    initial = (
+        source_docs.crossJoin(F.broadcast(cut))
+        .where(F.col("modified_ts") <= F.col("_cut"))
+        .drop("_cut")
+        .withColumn("via", F.lit("initial"))
+    )
+    initial.write.mode("overwrite").parquet(os.path.join(base, "idx_run1"))
+    _set_alias(base, "idx_run1")
+    # ---- the replicate cycle proper -------------------------------
+    # 1. pending: rows newer than the destination's high-water mark
+    dest = spark.read.parquet(os.path.join(base, _get_alias(base)))
+    pending = S.replicate_pending(source_docs, dest, ts="modified_ts")
+    # 2. extract via file dump: NDJSON out, schema-typed parse back
+    dump_dir = os.path.join(base, "dump")
+    (
+        pending.select(
+            F.to_json(
+                F.struct("_id", "user_id", "event_type", "modified_ts")
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(dump_dir)
+    )
+    schema = "_id STRING, user_id BIGINT, event_type STRING, modified_ts BIGINT"
+    parsed = (
+        spark.read.text(dump_dir)
+        .select(F.from_json("value", schema).alias("r"))
+        .select("r._id", "r.user_id", "r.event_type", "r.modified_ts")
+        .withColumn("via", F.lit("replicated"))
+    )
+    # 3. land in a NEW index, swap the alias only after the write,
+    #    retire the old index (get_or_create_index + delete_all_but)
+    dest.unionByName(parsed).write.mode("overwrite").parquet(
+        os.path.join(base, "idx_run2")
+    )
+    _set_alias(base, "idx_run2")
+    shutil.rmtree(os.path.join(base, "idx_run1"))
+    return spark.read.parquet(os.path.join(base, _get_alias(base)))
+
+
+@register(
     "screen_mask",
     oracle="""
     SELECT e.event_id, e.user_id,

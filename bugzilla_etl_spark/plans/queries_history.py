@@ -990,6 +990,54 @@ def full_backfill_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_store(spark, store).drop("block")
 
 
+@register("full_backfill_clustered", oracle=_FULL_ORACLE)
+def full_backfill_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAYOUT half of the backfill contract, driver-witnessed:
+    the production form at 100 TB.  ``full_backfill_resume`` above
+    proves crash-resume over filter-scan block reads; this entry
+    lands the events table entity-block-clustered first
+    (``land_clustered`` — one partitionBy write, paid once) and
+    walks the same descending block plan reading each block as a
+    PARTITION DIRECTORY: the path is the predicate, zero rows of
+    other blocks are touched — the Spark analogue of the reference's
+    MySQL primary-key range walk (bz_etl.py:305 ``{{min}} <=
+    b.bug_id AND b.bug_id < {{max}}``), where the filter-scan form
+    merely pushes the range predicate into a full scan.  The walk
+    fail-fasts if the layout's partition dirs don't match the block
+    plan (increment mismatch / stale path must error, never land
+    empty "successful" blocks).  Oracle: the same UNBATCHED full
+    rebuild — layout changes what the scan skips, never the result.
+    reference: bz_etl.py:281-352 full_etl, :305 range predicate."""
+    from bugzilla_etl_spark.operators.backfill import (
+        block_plan,
+        land_clustered,
+        read_store,
+        run_backfill,
+        validate_clustered_layout,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    end = ev.agg(F.max("user_id")).collect()[0][0]
+    end = 0 if end is None else end + 1
+    if end == 0:
+        return build_full_docs(ev.limit(0))
+    increment = -(-end // 5)  # 5 blocks at any SF
+    work = tracked_mkdtemp(prefix="bes_bkc_")
+    clustered = f"{work}/clustered"
+    store = f"{work}/store"
+    land_clustered(ev, clustered, increment)
+    # layout witness: every partition dir is one of the planned
+    # block los (validate raises otherwise), and at least one exists
+    plan = block_plan(end, increment)
+    present = validate_clustered_layout(clustered, plan)
+    assert present <= {lo for lo, _ in plan} and present
+    run_backfill(
+        spark, ev, store, increment, build_full_docs,
+        end=end, clustered_dir=clustered,
+    )
+    return read_store(spark, store).drop("block")
+
+
 # ---- previous_values: per-field duration tracking --------------------
 
 _PV_FIELDS = ("click", "error", "purchase", "signup", "view")

@@ -743,3 +743,212 @@ def test_kmv_sketch_merge_is_semilattice(rows, k):
         for s in set(sa) | set(sb)
     }
     assert merged == sketch(rows)
+
+
+# ---------------------------------------------------------------------
+# Flag add/remove replay (parse_bug_history.py:653 processFlagChange,
+# :626 findFlag, :1088 deformat) — random logs vs a literal
+# transcription of the reference loop.
+
+
+def _deformat_py(name: str) -> str:
+    """deformat :1088 — lower() + non-breaking hyphen U+2011 -> '-'."""
+    return name.replace("‑", "-").lower()
+
+
+def _ref_flag_replay(rows, version_tss):
+    """LITERAL transcription of the reference's per-bug flag replay:
+    processFlagChange (:653) maintains a keyed flag list — a 'remove'
+    marks the flag deleted carrying its previous status and the age
+    since the last 'add' (:666-:681); an 'add' on the same findFlag
+    key supersedes (realign :693).  Per version ts, render the live
+    set exactly as flag_states_per_version does (sorted, '|'-joined,
+    '?'-flags show the requestee :1052)."""
+    rows = sorted(rows, key=lambda r: (r[1], r[0]))
+    per_key: dict = {}  # key -> [(ts, eid, state), ...] in replay order
+    last_add: dict = {}  # key -> ts of most recent 'add' so far
+    for eid, ts, name, status, req, action in rows:
+        fname = _deformat_py(name)
+        key = fname + "/" + ((req or "") if status == "?" else "*setter*")
+        prev_add = last_add.get(key)
+        if action == "remove":
+            state = {
+                "cur": "d",
+                "prev": status,
+                "fname": fname,
+                "req": req,
+                "age": (ts - prev_add) if prev_add is not None else None,
+            }
+        else:
+            state = {
+                "cur": status,
+                "prev": None,
+                "fname": fname,
+                "req": req,
+                "age": None,
+            }
+        per_key.setdefault(key, []).append((ts, eid, state))
+        if action == "add":
+            last_add[key] = ts
+    out = {}
+    for v in version_tss:
+        act, dele = [], []
+        for ivs in per_key.values():
+            cur = None
+            for ts, _eid, state in ivs:  # replay order: last <= v wins
+                if ts <= v:
+                    cur = state
+            if cur is None:
+                continue
+            if cur["cur"] == "d":
+                age = cur["age"] if cur["age"] is not None else -1
+                dele.append(
+                    f"{cur['fname']}:d:prev={cur['prev'] or ''}:age={age}"
+                )
+            else:
+                s = cur["fname"] + cur["cur"]
+                if cur["cur"] == "?" and cur["req"] is not None:
+                    s += f"({cur['req']})"
+                act.append(s)
+        out[v] = (
+            len(act),
+            len(dele),
+            "|".join(sorted(act)),
+            "|".join(sorted(dele)),
+        )
+    return out
+
+
+@st.composite
+def flag_change_log(draw):
+    """Random single-entity flag log: names exercising deformat
+    (case, U+2011), '?'-flags with/without requestee, add/remove
+    interleavings, same-timestamp ties."""
+    n = draw(st.integers(1, 12))
+    rows = []
+    ts = 0
+    for i in range(n):
+        ts += draw(st.integers(0, 2)) * 100  # 0 => same-ts tie
+        name = draw(st.sampled_from(["rev", "Rev", "re‑v", "appr"]))
+        status = draw(st.sampled_from(["?", "+", "-"]))
+        req = (
+            draw(st.sampled_from([None, "u1@x", "u2@x"]))
+            if status == "?"
+            else None
+        )
+        action = draw(st.sampled_from(["add", "add", "remove"]))
+        rows.append((i + 1, ts, name, status, req, action))
+    return rows
+
+
+@given(rows=flag_change_log())
+@settings(max_examples=10, deadline=None)
+def test_flag_state_versions_matches_reference_replay(rows):
+    """flag_state_intervals + flag_states_per_version (the SCD2
+    re-expression) == the literal reference replay loop, on random
+    add/remove logs including deformat aliasing, dangling deletes,
+    realigns, and same-timestamp ties."""
+    from bugzilla_etl_spark.operators import flags as FL
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(1, *r) for r in rows],
+        "user_id long, event_id long, tsl long, name string, "
+        "status string, requestee string, action string",
+    )
+    version_tss = sorted({ts for _eid, ts, *_ in rows})
+    # one version BEFORE any change: the empty-set left-join row
+    version_tss = [version_tss[0] - 7] + version_tss
+    ver = spark.createDataFrame(
+        [(1, v) for v in version_tss], "user_id long, version_ts long"
+    )
+    iv = FL.flag_state_intervals(df, entity="user_id", ts="tsl")
+    got = {
+        r.version_ts: (
+            r.n_active, r.n_deleted, r.flags_active, r.flags_deleted
+        )
+        for r in FL.flag_states_per_version(iv, ver).collect()
+    }
+    want = _ref_flag_replay(rows, version_tss)
+    assert got == want
+
+
+# ---------------------------------------------------------------------
+# Attachment sub-entity replay (parse_bug_history.py:255
+# processAttachmentsTableItem, extract_bugzilla.py:591
+# flatten_attachments) — random mutation logs vs a literal
+# transcription of currBugAttachmentsMap.
+
+
+def _ref_attach_replay(rows, version_tss):
+    """LITERAL transcription of the reference's attachment map:
+    currBugAttachmentsMap[attach_id] accumulates field mutations in
+    activity order; created_ts = MIN over the attachment's change
+    timestamps seen so far (:286).  Per version, render as
+    nest_changepoints_per_version does."""
+    rows = sorted(rows, key=lambda r: (r[1], r[0]))
+    out = {}
+    for v in version_tss:
+        subs: dict = {}  # aid -> [created_ts, {field: value}]
+        for _eid, ts, aid, fld, val in rows:
+            if ts <= v:
+                if aid not in subs:
+                    subs[aid] = [ts, {}]
+                subs[aid][0] = min(subs[aid][0], ts)
+                subs[aid][1][fld] = val
+        strs = []
+        for aid, (cre, fields) in subs.items():
+            fs = ",".join(sorted(f"{f}={val}" for f, val in fields.items()))
+            strs.append(f"a{aid}:c{cre}:{fs}")
+        out[v] = (len(subs), "|".join(sorted(strs)))
+    return out
+
+
+@st.composite
+def attach_change_log(draw):
+    n = draw(st.integers(1, 12))
+    rows = []
+    ts = 0
+    for i in range(n):
+        ts += draw(st.integers(0, 2)) * 100  # 0 => same-ts tie
+        aid = draw(st.integers(1, 3))
+        fld = draw(st.sampled_from(["a", "b", "ab"]))  # 'a' prefixes 'ab'
+        val = draw(st.integers(0, 3))
+        rows.append((i + 1, ts, aid, fld, val))
+    return rows
+
+
+@given(rows=attach_change_log())
+@settings(max_examples=10, deadline=None)
+def test_attachment_versions_matches_reference_replay(rows):
+    """subentity_changepoints + nest_changepoints_per_version (the
+    rendered-changepoint scale path the catalog entry uses) == the
+    literal reference attachment-map replay, on random mutation logs
+    including same-timestamp ties, field-name prefixing ('a'/'ab' —
+    the rendered-string-sort corner), and versions preceding any
+    change."""
+    from bugzilla_etl_spark.operators import subentity as SUB
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(1, *r) for r in rows],
+        "user_id long, event_id long, tsl long, attach_id long, "
+        "field string, value long",
+    )
+    version_tss = sorted({ts for _eid, ts, *_ in rows})
+    version_tss = [version_tss[0] - 7] + version_tss
+    ver = spark.createDataFrame(
+        [(1, v) for v in version_tss], "user_id long, version_ts long"
+    )
+    cp = SUB.subentity_changepoints(
+        df, entity="user_id", sub="attach_id", field="field",
+        value="value", ts="tsl",
+    )
+    got = {
+        r.version_ts: (r.n_subs, r.subs)
+        for r in SUB.nest_changepoints_per_version(
+            cp, ver, entity="user_id", sub="attach_id"
+        ).collect()
+    }
+    want = _ref_attach_replay(rows, version_tss)
+    assert got == want

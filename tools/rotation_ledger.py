@@ -8,7 +8,18 @@ at a glance (round-7 verdict item 8) and is the input for composing
 each round's `_PRIORITY` window: never-tested first, then
 behavior-touched, then stalest greens.
 
-Usage: python tools/rotation_ledger.py   (writes ROTATION.md)
+Usage:
+    python tools/rotation_ledger.py          (writes ROTATION.md)
+    python tools/rotation_ledger.py --check  (fail if ROTATION.md is
+                                              older than the newest
+                                              CORRECTNESS_rN.json)
+
+The --check mode exists because round 9 committed ROTATION.md
+BEFORE the r9 driver artifacts landed, so the ledger said "newest =
+r8" while CORRECTNESS_r09.json sat next to it (round-9 verdict,
+What's-wrong #1).  The check is mechanical: the ledger records the
+newest round it ingested; if a CORRECTNESS file with a higher round
+exists, exit nonzero with the regen command.
 """
 
 from __future__ import annotations
@@ -57,7 +68,41 @@ def check_survey_bijection(names: list[str]) -> None:
     )
 
 
+def newest_artifact_round() -> int:
+    rounds = [
+        int(re.search(r"CORRECTNESS_r(\d+)\.json", p).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    return max(rounds, default=0)
+
+
+def check_ledger_fresh() -> None:
+    """Exit nonzero if ROTATION.md predates the newest
+    CORRECTNESS_rN.json — the ledger must be regenerated AFTER the
+    round's driver artifacts are ingested, never before."""
+    path = os.path.join(REPO, "ROTATION.md")
+    if not os.path.exists(path):
+        sys.exit("ROTATION.md missing — run tools/rotation_ledger.py")
+    with open(path) as f:
+        m = re.search(r"newest driver round:\s*r(\d+)", f.read())
+    ledger_round = int(m.group(1)) if m else 0
+    artifact_round = newest_artifact_round()
+    if artifact_round > ledger_round:
+        sys.exit(
+            f"ROTATION.md is STALE: ledger ingested up to r{ledger_round}"
+            f" but CORRECTNESS_r{artifact_round:02d}.json exists — rerun"
+            " `python tools/rotation_ledger.py` and commit both."
+        )
+    print(
+        f"ROTATION.md fresh: ledger r{ledger_round} >="
+        f" newest artifact r{artifact_round}"
+    )
+
+
 def main() -> None:
+    if "--check" in sys.argv[1:]:
+        check_ledger_fresh()
+        return
     rows: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json", path)

@@ -61,8 +61,16 @@ DEFAULT_QUERIES = [
 def replicate(spark, src_dir: str, dst_dir: str, factor: int) -> None:
     from pyspark.sql import functions as F
 
+    from bugzilla_etl_spark.sources import load_table
+
     for tbl, (ids, text) in TABLES.items():
-        df = spark.read.parquet(f"{src_dir}/{tbl}.parquet")
+        # Through load_table, not a raw spark.read.parquet: the events
+        # table has shipped both as TIMESTAMP(MICROS) NTZ and as
+        # TIMESTAMP(NANOS) (which the vectorized reader refuses without
+        # the nanosAsLong conf load_table sets) — the probe must
+        # tolerate both encodings.  Replicas land normalized (micros),
+        # and re-load through the same seam downstream.
+        df = load_table(spark, src_dir, tbl)
         if not ids:  # constant-size dims: single copy
             df.write.mode("overwrite").parquet(f"{dst_dir}/{tbl}.parquet")
             continue
