@@ -165,6 +165,10 @@ HEADLINE = [
     "full_backfill_resume",
     "dual_pipeline_cutover",
     "mm_resize",
+    # round-10 additions (the clustered-layout backfill lifecycle
+    # and the composed replicate cycle)
+    "full_backfill_clustered",
+    "replicate_cycle",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into

@@ -196,3 +196,56 @@ def test_rotation_ledger_is_fresh():
         cwd=repo, capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+# ---------------------------------------------------------------------
+# bench_alert — the mechanical regression gate (round-9 verdict #3).
+
+
+def test_bench_alert_pins_parse_and_r9_is_clean():
+    """BASELINE.md parses to a full pin table (batch + streaming) and
+    the committed r9 artifacts cross zero alerts."""
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    import bench_alert as BA
+
+    pins = BA.parse_pins()
+    assert len(pins) > 110
+    # first-occurrence wins: the re-pinned invindex keeps its
+    # original (alert-basis) pin
+    assert pins["dedup_jaccard_invindex"] == 3.997
+    # streaming pins present
+    assert pins["stream_bug_versions"] == 16.907
+    # round-10 additions pinned
+    assert "full_backfill_clustered" in pins and "replicate_cycle" in pins
+
+    report = BA.check(
+        str(repo / "BENCH_r09.json"), str(repo / "STREAMBENCH_r09.json")
+    )
+    assert report["ok"], report["alerts"]
+    # every timed query is pinned (no silent unpinned drift)
+    assert not report["unpinned"], report["unpinned"]
+
+
+def test_bench_alert_flags_a_crossing(tmp_path):
+    """A synthetic bench with one query at 3x its pin must exit the
+    report not-ok with exactly that alert."""
+    import json
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    import bench_alert as BA
+
+    bad = tmp_path / "BENCH_r99.json"
+    bad.write_text(json.dumps({
+        "queries": {"tpch_q1": 0.984},  # pin 0.328, alert 0.66
+        "comparable23_total": 12.0,
+    }))
+    report = BA.check(str(bad), None)
+    assert not report["ok"]
+    assert [a["query"] for a in report["alerts"]] == ["tpch_q1"]

@@ -57,6 +57,23 @@ DEFAULT_QUERIES = [
     "kmv_source_overlap_sketch",
 ]
 
+# Knob variants: probe a catalog entry with a non-default parameter
+# (the round-9 verdict's "measure the parked scale knobs ON" item).
+# Spelled name@variant on the command line.
+VARIANTS = {
+    "pagerank_trade@persist": ("pagerank_trade", {"persist_edges": True}),
+}
+
+
+def resolve_query(name: str, catalog):
+    if name in VARIANTS:
+        base, kw = VARIANTS[name]
+        fn = catalog.QUERIES.get(base)
+        if fn is None:
+            return None
+        return lambda spark, d: fn(spark, d, **kw)
+    return catalog.QUERIES.get(name)
+
 
 def replicate(spark, src_dir: str, dst_dir: str, factor: int) -> None:
     from pyspark.sql import functions as F
@@ -114,7 +131,7 @@ def main() -> None:
 
     out: dict = {}
     for name in queries:
-        fn = catalog.QUERIES.get(name)
+        fn = resolve_query(name, catalog)
         if fn is None:
             continue
         # warmup at base (codegen), then min-of-1 each scale
