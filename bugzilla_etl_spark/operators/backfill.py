@@ -106,7 +106,12 @@ def land_clustered(
     without it, each block is a pushed-filter full scan.  One
     shuffle-free write (partitionBy on a derived column), paid once
     — the zorder_layout/bucketed_join write-time-layout discipline
-    applied to the backfill source."""
+    applied to the backfill source.  A ``_layout.json`` marker
+    records the increment and entity so a later walk can fail-fast
+    on a mismatched layout instead of silently reading empty
+    blocks."""
+    import json
+
     (
         ev.withColumn(
             "entity_block",
@@ -116,6 +121,8 @@ def land_clustered(
         .partitionBy("entity_block")
         .parquet(out_dir)
     )
+    with open(os.path.join(out_dir, "_layout.json"), "w") as f:
+        json.dump({"increment": increment, "entity": entity}, f)
 
 
 def read_block(
@@ -131,27 +138,33 @@ def read_block(
 
 
 def validate_clustered_layout(
-    clustered_dir: str, plan: list[tuple[int, int]]
+    clustered_dir: str, increment: int, entity: str = "user_id"
 ) -> set[int]:
     """Fail-fast check that ``clustered_dir`` really is a
-    ``land_clustered`` layout matching this walk's block plan.
+    ``land_clustered`` layout for THIS walk's increment and entity.
 
     A missing single ``entity_block=K`` dir is legitimate (a block
-    with no events lands no partition dir), but a layout written
-    with a DIFFERENT increment, or a wrong/stale path, must not be
-    silently read as all-empty blocks — that would land empty doc
-    blocks with ``_SUCCESS`` markers: a "successful" run that
-    dropped all data.  Two invariants are asserted:
+    with no events lands no partition dir — and on a resumed walk,
+    dirs ABOVE the truncated end are legitimately outside the plan),
+    but a layout written with a DIFFERENT increment or entity, or a
+    wrong/stale path, must not be silently read as all-empty blocks
+    — that would land empty doc blocks with ``_SUCCESS`` markers:
+    a "successful" run that dropped all data.  Asserted:
 
     - at least one ``entity_block=`` partition dir exists (a path
       with zero is not a clustered landing at all);
-    - every partition dir's lo is one of the plan's los (a dir at a
-      lo the plan never visits means the layout was written with a
-      different increment, so the blocks the plan DOES visit would
-      each read empty).
+    - the ``_layout.json`` marker ``land_clustered`` writes matches
+      this walk's (increment, entity) exactly;
+    - without a marker (a layout landed by other tooling), every
+      partition dir's lo must be block-ALIGNED (lo % increment ==
+      0) — the weaker check that still catches a finer-grained
+      layout, where planned blocks would interleave with dirs they
+      never read.
 
     Returns the set of block-los present, so the walk can read only
     dirs that exist."""
+    import json
+
     if not os.path.isdir(clustered_dir):
         raise FileNotFoundError(
             f"clustered_dir {clustered_dir!r} does not exist"
@@ -165,16 +178,30 @@ def validate_clustered_layout(
             f"clustered_dir {clustered_dir!r} has no entity_block="
             "partition dirs — not a land_clustered layout"
         )
-    plan_los = {lo for lo, _hi in plan}
-    stray = present - plan_los
-    if stray:
-        raise ValueError(
-            f"clustered_dir {clustered_dir!r} was written with a "
-            f"different increment: partition dirs at los "
-            f"{sorted(stray)[:5]} are not in this walk's block plan "
-            f"(increment mismatch would make every planned block "
-            "read empty)"
-        )
+    marker = os.path.join(clustered_dir, "_layout.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            layout = json.load(f)
+        if layout.get("increment") != increment or (
+            layout.get("entity") != entity
+        ):
+            raise ValueError(
+                f"clustered_dir {clustered_dir!r} was landed with "
+                f"(increment={layout.get('increment')}, "
+                f"entity={layout.get('entity')!r}) but this walk uses "
+                f"(increment={increment}, entity={entity!r}) — a "
+                "mismatched layout would make planned blocks read "
+                "empty or bleed across block boundaries"
+            )
+    else:
+        misaligned = {lo for lo in present if lo % increment != 0}
+        if misaligned:
+            raise ValueError(
+                f"clustered_dir {clustered_dir!r} was written with a "
+                f"different increment: partition dirs at los "
+                f"{sorted(misaligned)[:5]} are not aligned to "
+                f"increment {increment}"
+            )
     return present
 
 
@@ -208,9 +235,11 @@ def run_backfill(
     plan = block_plan(end, increment)
     clustered_los: set[int] | None = None
     if clustered_dir is not None and plan:
-        # fail-fast: a wrong path or an increment-mismatched layout
-        # must error here, not silently land all-empty blocks
-        clustered_los = validate_clustered_layout(clustered_dir, plan)
+        # fail-fast: a wrong path or a mismatched layout must error
+        # here, not silently land all-empty blocks
+        clustered_los = validate_clustered_layout(
+            clustered_dir, increment, entity
+        )
     done: list[tuple[int, int]] = []
     for lo, hi in plan:
         if clustered_dir is not None:

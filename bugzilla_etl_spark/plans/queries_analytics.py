@@ -1716,7 +1716,9 @@ def pagerank_trade(
     ORDER BY tri_cnt DESC, s_suppkey ASC LIMIT 10
     """,
 )
-def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def triangle_count(
+    spark: SparkSession, sf_dir: str, backbone: int = 5000
+) -> DataFrame:
     """Per-node triangle participation over the supplier co-supply
     graph (edge = two suppliers carrying the same part) — the graph
     clustering-coefficient probe beside pagerank_trade's centrality:
@@ -1729,12 +1731,16 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. per-part supplier lists are df-CAPPED (parts with > 64
        suppliers are dropped, the hot-shingle guard — a universal
        part contributes O(cap²), never O(suppliers²));
-    2. the projection is then SPARSIFIED to the top-5000 strongest
-       edges by co-supply weight (deterministic total order: weight
-       desc, then endpoints) — triangle counting on the backbone
-       graph, the standard sparsify-then-count shape, planned as
-       TakeOrderedAndProject (per-partition k-heap, no sort
-       shuffle);
+    2. the projection is then SPARSIFIED to the top-``backbone``
+       strongest edges by co-supply weight (deterministic total
+       order: weight desc, then endpoints) — triangle counting on
+       the backbone graph, the standard sparsify-then-count shape,
+       planned as TakeOrderedAndProject (per-partition k-heap, no
+       sort shuffle).  ``backbone`` is the wired scale knob (the
+       oracle pins the default 5000): wedge/closure cost grows
+       ~O(backbone^1.5) independent of corpus size, so the cap is
+       where recall is traded for cost — measured across the data
+       decade in SCALEPROBE_r10 (default vs 2x cap);
     3. triangles enumerate ORIENTED (s1 < s2 everywhere), so each
        triangle is produced exactly once: wedge join on the middle
        vertex + a semi join closing the third side — never an
@@ -1768,7 +1774,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         co.orderBy(F.col("w").desc(), F.col("s1").asc(), F.col("s2").asc())
-        .limit(5000)
+        .limit(backbone)
         .select("s1", "s2")
     )
     e1 = edges.alias("e1")

@@ -1026,10 +1026,10 @@ def full_backfill_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = f"{work}/clustered"
     store = f"{work}/store"
     land_clustered(ev, clustered, increment)
-    # layout witness: every partition dir is one of the planned
-    # block los (validate raises otherwise), and at least one exists
+    # layout witness: the landing's marker matches this walk's
+    # (increment, entity) and every partition dir is a planned block
     plan = block_plan(end, increment)
-    present = validate_clustered_layout(clustered, plan)
+    present = validate_clustered_layout(clustered, increment)
     assert present <= {lo for lo, _ in plan} and present
     run_backfill(
         spark, ev, store, increment, build_full_docs,

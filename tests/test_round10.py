@@ -34,7 +34,7 @@ def test_clustered_validation_rejects_missing_path(tmp_path):
     )
 
     with pytest.raises(FileNotFoundError):
-        validate_clustered_layout(str(tmp_path / "nope"), [(0, 10)])
+        validate_clustered_layout(str(tmp_path / "nope"), 10)
 
 
 def test_clustered_validation_rejects_unclustered_dir(tmp_path):
@@ -49,17 +49,16 @@ def test_clustered_validation_rejects_unclustered_dir(tmp_path):
     d.mkdir()
     (d / "part-00000.parquet").write_bytes(b"")
     with pytest.raises(ValueError, match="no entity_block="):
-        validate_clustered_layout(str(d), [(0, 10)])
+        validate_clustered_layout(str(d), 10)
 
 
 def test_clustered_validation_rejects_increment_mismatch(
     spark, sf_dir, tmp_path
 ):
-    """A layout written with increment A walked with increment B has
-    partition dirs at los the plan never visits — every planned
-    block would read empty.  Must raise, not land empties."""
+    """A layout landed with increment A walked with increment B (or
+    a different entity) would read planned blocks empty or bleed
+    rows across block boundaries.  Must raise, not land empties."""
     from bugzilla_etl_spark.operators.backfill import (
-        block_plan,
         land_clustered,
         run_backfill,
         validate_clustered_layout,
@@ -73,13 +72,14 @@ def test_clustered_validation_rejects_increment_mismatch(
     clustered = str(tmp_path / "clustered")
     land_clustered(ev, clustered, inc_a)
 
-    plan_b = block_plan(end, inc_b)
-    with pytest.raises(ValueError, match="different increment"):
-        validate_clustered_layout(clustered, plan_b)
+    with pytest.raises(ValueError, match="landed with"):
+        validate_clustered_layout(clustered, inc_b)
+    with pytest.raises(ValueError, match="landed with"):
+        validate_clustered_layout(clustered, inc_a, entity="event_id")
 
     # and the walk itself fail-fasts BEFORE landing anything
     store = str(tmp_path / "store")
-    with pytest.raises(ValueError, match="different increment"):
+    with pytest.raises(ValueError, match="landed with"):
         run_backfill(
             spark, ev, store, inc_b, lambda df: df,
             end=end, clustered_dir=clustered,
@@ -89,6 +89,22 @@ def test_clustered_validation_rejects_increment_mismatch(
     assert not os.path.isdir(store) or not os.listdir(store)
 
 
+def test_clustered_validation_markerless_alignment(tmp_path):
+    """Without a marker (layout landed by other tooling), a
+    misaligned partition dir (lo % increment != 0) must raise —
+    the finer-grained-layout case where planned blocks would
+    interleave with dirs they never read."""
+    from bugzilla_etl_spark.operators.backfill import (
+        validate_clustered_layout,
+    )
+
+    d = tmp_path / "markerless"
+    (d / "entity_block=0").mkdir(parents=True)
+    (d / "entity_block=6").mkdir()
+    with pytest.raises(ValueError, match="different increment"):
+        validate_clustered_layout(str(d), 10)
+
+
 def test_clustered_validation_allows_missing_single_block(tmp_path):
     """A block with no events lands no partition dir — that is
     legitimate sparsity, not a layout error."""
@@ -96,11 +112,15 @@ def test_clustered_validation_allows_missing_single_block(tmp_path):
         validate_clustered_layout,
     )
 
+    import json
+
     d = tmp_path / "sparse"
     (d / "entity_block=0").mkdir(parents=True)
-    (d / "entity_block=20").mkdir()
-    plan = [(20, 30), (10, 20), (0, 10)]  # dir for 10 missing: OK
-    present = validate_clustered_layout(str(d), plan)
+    (d / "entity_block=20").mkdir()  # dir for block 10 missing: OK
+    (d / "_layout.json").write_text(
+        json.dumps({"increment": 10, "entity": "user_id"})
+    )
+    present = validate_clustered_layout(str(d), 10)
     assert present == {0, 20}
 
 

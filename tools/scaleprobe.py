@@ -62,6 +62,7 @@ DEFAULT_QUERIES = [
 # Spelled name@variant on the command line.
 VARIANTS = {
     "pagerank_trade@persist": ("pagerank_trade", {"persist_edges": True}),
+    "triangle_count@backbone2x": ("triangle_count", {"backbone": 10000}),
 }
 
 
