@@ -952,3 +952,59 @@ def test_attachment_versions_matches_reference_replay(rows):
     }
     want = _ref_attach_replay(rows, version_tss)
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# Backfill block plan + resume arithmetic (bz_etl.py:281-352 full_etl:
+# jx.reverse(jx.intervals(0, end, increment)); :287 resume
+# end = ceiling(min_landed, increment)).
+
+
+@given(end=st.integers(0, 1000), inc=st.integers(1, 400))
+@settings(max_examples=50, deadline=None)
+def test_block_plan_partitions_the_id_space(end, inc):
+    """The descending block plan is a PARTITION of [0, end): blocks
+    are disjoint, cover everything, descend, and every lo is
+    increment-aligned (the invariant the clustered layout and the
+    resume rounding both lean on)."""
+    from bugzilla_etl_spark.operators.backfill import block_plan
+
+    plan = block_plan(end, inc)
+    # literal reference intervals: [0, inc), [inc, 2*inc), ... reversed
+    want = [
+        (lo, min(lo + inc, end)) for lo in range(0, end, inc)
+    ][::-1]
+    assert plan == want
+    covered = sorted(i for lo, hi in plan for i in range(lo, hi))
+    assert covered == list(range(end))  # disjoint + complete
+    assert all(lo % inc == 0 for lo, _ in plan)
+
+
+@given(
+    end=st.integers(1, 400),
+    inc=st.integers(1, 150),
+    min_landed=st.integers(0, 399),
+)
+@settings(max_examples=50, deadline=None)
+def test_resume_rule_redoes_boundary_block_only(end, inc, min_landed):
+    """The reference's resume rule — new end = ceiling(min landed id,
+    increment) — keeps every FULLY-landed block above the boundary
+    and re-plans the boundary block plus everything below, never
+    skipping an unlanded id and never re-doing a completed block
+    above the boundary."""
+    from bugzilla_etl_spark.operators.backfill import block_plan
+
+    min_landed = min(min_landed, end - 1)
+    new_end = min(end, -(-min_landed // inc) * inc)
+    replanned = block_plan(new_end, inc)
+    full = block_plan(end, inc)
+    # every replanned block is a block of the full plan
+    assert set(replanned) <= set(full)
+    # ids strictly below the landed minimum are all replanned
+    covered = {i for lo, hi in replanned for i in range(lo, hi)}
+    assert set(range(min(min_landed, new_end))) <= covered
+    # blocks entirely above the boundary are NOT replanned (they
+    # finished — the walk is descending)
+    for lo, hi in full:
+        if lo >= new_end:
+            assert (lo, hi) not in replanned

@@ -2,9 +2,12 @@
 
 Replicates the bench tables (sf0.1 by default) N× into a scratch dir
 with DISJOINT id spaces and per-replica text perturbation — the same
-protocol the 16× probes in SCALING.md used, committed as a tool this
-round — then times each probe query min-of-1 at base and at N× and
-reports the realized scaling exponent  e = log(T_N / T_1) / log(N)
+protocol the 16× probes in SCALING.md used, committed as a tool —
+then times each probe query min-of-2 at base and at N× (min-of-n is
+the bench.py round-6 denoising lesson; the round-10 triangle-knob
+probe showed min-of-1 letting warm-order noise exceed a 2× knob
+delta) and reports the realized scaling exponent
+    e = log(T_N / T_1) / log(N)
 (e = 1 linear, e < 1 sublinear; anything meaningfully > 1 needs an
 explanation in SCALING.md).
 
@@ -135,14 +138,21 @@ def main() -> None:
         fn = resolve_query(name, catalog)
         if fn is None:
             continue
-        # warmup at base (codegen), then min-of-1 each scale
+        # warmup at base (codegen), then min-of-2 each scale
         fn(spark, base_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, base_dir).write.format("noop").mode("overwrite").save()
-        t_base = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fn(spark, big).write.format("noop").mode("overwrite").save()
-        t_big = time.perf_counter() - t0
+
+        def timed(sf: str) -> float:
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            return min(runs)
+
+        t_base = timed(base_dir)
+        t_big = timed(big)
         out[name] = {
             "base_s": round(t_base, 3),
             f"x{factor}_s": round(t_big, 3),
