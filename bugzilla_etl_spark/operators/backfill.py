@@ -171,8 +171,20 @@ def validate_clustered_layout(
         )
     present: set[int] = set()
     for d in os.listdir(clustered_dir):
-        if d.startswith("entity_block="):
-            present.add(int(d.split("=", 1)[1]))
+        if not d.startswith("entity_block="):
+            continue
+        val = d.split("=", 1)[1]
+        if val == "__HIVE_DEFAULT_PARTITION__":
+            # land_clustered writes this dir when entity ids are
+            # NULL; no block ever reads it, so proceeding would
+            # silently drop those rows from the backfill
+            raise ValueError(
+                f"clustered_dir {clustered_dir!r} contains a NULL-id "
+                "partition (entity_block=__HIVE_DEFAULT_PARTITION__)"
+                " — scrub or assign null entity ids before landing;"
+                " the block walk would silently drop these rows"
+            )
+        present.add(int(val))
     if not present:
         raise ValueError(
             f"clustered_dir {clustered_dir!r} has no entity_block="

@@ -1009,11 +1009,9 @@ def full_backfill_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild — layout changes what the scan skips, never the result.
     reference: bz_etl.py:281-352 full_etl, :305 range predicate."""
     from bugzilla_etl_spark.operators.backfill import (
-        block_plan,
         land_clustered,
         read_store,
         run_backfill,
-        validate_clustered_layout,
     )
 
     ev = load_table(spark, sf_dir, "events")
@@ -1026,11 +1024,10 @@ def full_backfill_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = f"{work}/clustered"
     store = f"{work}/store"
     land_clustered(ev, clustered, increment)
-    # layout witness: the landing's marker matches this walk's
-    # (increment, entity) and every partition dir is a planned block
-    plan = block_plan(end, increment)
-    present = validate_clustered_layout(clustered, increment)
-    assert present <= {lo for lo, _ in plan} and present
+    # layout witness: run_backfill validates the landing's marker
+    # against this walk's (increment, entity) and raises on any
+    # mismatch/null-id partition before landing a single block —
+    # the fail-fast lives in the operator, not in a caller assert
     run_backfill(
         spark, ev, store, increment, build_full_docs,
         end=end, clustered_dir=clustered,

@@ -222,9 +222,11 @@ def test_rotation_ledger_is_fresh():
 # bench_alert — the mechanical regression gate (round-9 verdict #3).
 
 
-def test_bench_alert_pins_parse_and_r9_is_clean():
+def test_bench_alert_pins_parse_and_r10_is_clean():
     """BASELINE.md parses to a full pin table (batch + streaming) and
-    the committed r9 artifacts cross zero alerts."""
+    the committed r10 artifacts cross zero alerts with COMPLETE pin
+    coverage (ok now fails closed: a pinned query with no
+    measurement in the artifacts flips ok to False)."""
     import sys
     from pathlib import Path
 
@@ -233,7 +235,7 @@ def test_bench_alert_pins_parse_and_r9_is_clean():
     import bench_alert as BA
 
     pins = BA.parse_pins()
-    assert len(pins) > 110
+    assert len(pins) > 130
     # first-occurrence wins: the re-pinned invindex keeps its
     # original (alert-basis) pin
     assert pins["dedup_jaccard_invindex"] == 3.997
@@ -243,11 +245,53 @@ def test_bench_alert_pins_parse_and_r9_is_clean():
     assert "full_backfill_clustered" in pins and "replicate_cycle" in pins
 
     report = BA.check(
-        str(repo / "BENCH_r09.json"), str(repo / "STREAMBENCH_r09.json")
+        str(repo / "BENCH_LOCAL_r10.json"),
+        str(repo / "STREAMBENCH_r10.json"),
     )
-    assert report["ok"], report["alerts"]
-    # every timed query is pinned (no silent unpinned drift)
+    assert report["ok"], (report["alerts"], report["missing_pinned"])
     assert not report["unpinned"], report["unpinned"]
+    assert not report["missing_pinned"], report["missing_pinned"]
+    assert report["recovery"] == "full"
+
+
+def test_bench_alert_fails_closed_on_partial_coverage(tmp_path):
+    """A truncated artifact that measures only a few pinned queries
+    must NOT report ok — 'OK' means 'checked everything', not 'found
+    nothing among what survived' (the r9 driver wrapper recovers
+    only ~half the timed queries)."""
+    import json
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    import bench_alert as BA
+
+    partial = tmp_path / "BENCH_r99.json"
+    partial.write_text(json.dumps({"queries": {"tpch_q1": 0.3}}))
+    report = BA.check(str(partial), None)
+    assert not report["ok"]
+    assert len(report["missing_pinned"]) > 100
+    assert not report["alerts"]
+
+
+def test_bench_alert_wrapper_recovery_is_labeled():
+    """The r9 driver wrapper's tail lost the whole `queries` dict, so
+    recovery yields medians — load_bench must label that, and the
+    labeled values still compare conservatively (median >= min)."""
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    import bench_alert as BA
+
+    d = BA.load_bench(str(repo / "BENCH_r09.json"))
+    assert d["recovery"] in ("tail-partial", "tail-median-only")
+    assert d["queries"]  # recovery still yields usable rows
+
+    full = BA.load_bench(str(repo / "BENCH_LOCAL_r10.json"))
+    assert full["recovery"] == "full"
 
 
 def test_bench_alert_flags_a_crossing(tmp_path):

@@ -75,15 +75,25 @@ def load_bench(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
     if "queries" in d:
+        d.setdefault("recovery", "full")
         return d
     tail = d.get("tail", "") or ""
     queries: dict[str, float] = {}
     # the tail may contain both `queries` and `queries_median`; take
-    # each name's FIRST occurrence (min precedes median in the line)
+    # each name's FIRST occurrence (min precedes median in the line).
+    # If the truncation cut off the whole `queries` dict, everything
+    # recovered is a MEDIAN: medians ≥ mins, so pin comparisons can
+    # only over-fire (a false alert), never miss a regression — but
+    # the report must say so.
     for m in re.finditer(r'"([a-z0-9_]+)": ([0-9.]+)', tail):
         if m.group(1) not in NON_QUERY:
             queries.setdefault(m.group(1), float(m.group(2)))
-    out = {"queries": queries}
+    out = {
+        "queries": queries,
+        "recovery": (
+            "tail-partial" if '"queries":' in tail else "tail-median-only"
+        ),
+    }
     for key in ("comparable23_total", "value", "sf"):
         m = re.search(rf'"{key}": ([0-9.]+)', tail)
         if m:
@@ -100,13 +110,40 @@ def newest(pattern: str) -> str | None:
     return paths[-1] if paths else None
 
 
-def previous(pattern: str, current: str) -> str | None:
+def newest_bench() -> str | None:
+    """Newest round wins across BOTH namings — the driver's
+    BENCH_rN.json and the builder's BENCH_LOCAL_rN.json; on a round
+    tie the LOCAL artifact wins (it is the complete JSON line, the
+    driver wrapper may be front-truncated)."""
+    def key(p: str) -> tuple[int, int]:
+        m = re.search(r"_r(\d+)", p)
+        return (int(m.group(1)) if m else -1, "LOCAL" in p)
+
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        + glob.glob(os.path.join(REPO, "BENCH_LOCAL_r*.json")),
+        key=key,
+    )
+    return paths[-1] if paths else None
+
+
+def previous(current: str) -> str | None:
+    """The newest bench artifact from a STRICTLY EARLIER round than
+    `current` (either naming; LOCAL preferred on a round tie, same
+    rule as newest_bench)."""
     def rnd(p: str) -> int:
         m = re.search(r"_r(\d+)", p)
         return int(m.group(1)) if m else -1
 
-    paths = sorted(glob.glob(os.path.join(REPO, pattern)), key=rnd)
-    paths = [p for p in paths if rnd(p) < rnd(current)]
+    paths = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+            + glob.glob(os.path.join(REPO, "BENCH_LOCAL_r*.json"))
+            if rnd(p) < rnd(current)
+        ),
+        key=lambda p: (rnd(p), "LOCAL" in p),
+    )
     return paths[-1] if paths else None
 
 
@@ -122,6 +159,7 @@ def check(bench_path: str, stream_path: str | None) -> dict:
 
     cur = load_bench(bench_path)
     queries = cur.get("queries", {})
+    report["recovery"] = cur.get("recovery", "full")
 
     # per-query 2x-pin crossings
     for name, t in sorted(queries.items()):
@@ -150,7 +188,7 @@ def check(bench_path: str, stream_path: str | None) -> dict:
             )
 
     # informational: >1.3x moves vs the previous round's bench
-    prev_path = previous("BENCH_r*.json", bench_path)
+    prev_path = previous(bench_path)
     if prev_path:
         prev = load_bench(prev_path).get("queries", {})
         for name, t in sorted(queries.items()):
@@ -161,11 +199,13 @@ def check(bench_path: str, stream_path: str | None) -> dict:
                 )
 
     # streaming lane: same 2x rule over the streaming pins
+    measured = set(queries)
     if stream_path:
         report["streambench"] = os.path.basename(stream_path)
         with open(stream_path) as f:
             sb = json.load(f)
         for name, t in sorted(sb.get("queries", {}).items()):
+            measured.add(name)
             pin = pins.get(name)
             if pin is None:
                 report["unpinned"].append(name)
@@ -175,7 +215,15 @@ def check(bench_path: str, stream_path: str | None) -> dict:
                     {"query": name, "sec": t, "pin": pin, "alert": round(2 * pin, 2)}
                 )
 
-    report["ok"] = not report["alerts"]
+    # FAIL-CLOSED on coverage: every pin exists because some bench
+    # lane once measured that query, so a pinned query with no
+    # measurement in this round's artifacts means the gate did NOT
+    # check it (a front-truncated driver wrapper, a renamed query,
+    # or a lane that silently dropped entries).  "OK" must mean
+    # "checked everything", not "found nothing among what survived".
+    report["missing_pinned"] = sorted(set(pins) - measured)
+    report["coverage"] = f"{len(set(pins) & measured)}/{len(pins)} pins measured"
+    report["ok"] = not report["alerts"] and not report["missing_pinned"]
     return report
 
 
@@ -185,13 +233,19 @@ def main() -> None:
     if args and args[0] == "--json":
         json_out = args[1]
         args = args[2:]
-    bench_path = args[0] if args else newest("BENCH_r*.json")
+    bench_path = args[0] if args else newest_bench()
     stream_path = args[1] if len(args) > 1 else newest("STREAMBENCH_r*.json")
     if bench_path is None:
-        sys.exit("no BENCH_r*.json found")
+        sys.exit("no BENCH_r*.json / BENCH_LOCAL_r*.json found")
 
     report = check(bench_path, stream_path)
 
+    if report["recovery"] != "full":
+        print(
+            f"note  {report['bench']} is a truncated driver wrapper"
+            f" ({report['recovery']}): recovered values may be MEDIANS"
+            " (≥ min, so alerts can over-fire but never miss)"
+        )
     for a in report["alerts"]:
         print(
             f"ALERT {a['query']}: {a['sec']} s > {a['alert']} s"
@@ -209,6 +263,13 @@ def main() -> None:
             f" {', '.join(sorted(set(report['unpinned'])))} — add their"
             " first measurement to BASELINE.md"
         )
+    if report["missing_pinned"]:
+        print(
+            f"MISSING {len(report['missing_pinned'])} pinned queries"
+            " with no measurement in these artifacts (gate did NOT"
+            f" check them): {', '.join(report['missing_pinned'][:8])}"
+            f"{'...' if len(report['missing_pinned']) > 8 else ''}"
+        )
     c23 = report.get("comparable23_total")
     if c23 is not None:
         print(
@@ -220,8 +281,14 @@ def main() -> None:
             json.dump(report, f, indent=1)
         print(f"wrote {json_out}")
     if not report["ok"]:
-        sys.exit(f"{len(report['alerts'])} alert(s) crossed")
-    print(f"OK: zero alert crossings ({report['bench']})")
+        sys.exit(
+            f"{len(report['alerts'])} alert crossing(s),"
+            f" {len(report['missing_pinned'])} unmeasured pin(s)"
+        )
+    print(
+        f"OK: zero alert crossings, {report['coverage']}"
+        f" ({report['bench']})"
+    )
 
 
 if __name__ == "__main__":

@@ -137,6 +137,11 @@ def main() -> None:
     for name in queries:
         fn = resolve_query(name, catalog)
         if fn is None:
+            # loud skip: a typo'd name must not read as "measured"
+            print(
+                f"unknown query/variant {name!r} — skipped",
+                file=sys.stderr,
+            )
             continue
         # warmup at base (codegen), then min-of-2 each scale
         fn(spark, base_dir).write.format("noop").mode("overwrite").save()
