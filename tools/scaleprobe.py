@@ -58,6 +58,11 @@ DEFAULT_QUERIES = [
     "bloom_decontam",
     "dsir_weights",
     "kmv_source_overlap_sketch",
+    # orchestration entries (round-10): per-block cost must stay
+    # proportional to per-block data; cut-over cost must stay O(1)
+    "full_backfill_clustered",
+    "dual_pipeline_cutover",
+    "replicate_cycle",
 ]
 
 # Knob variants: probe a catalog entry with a non-default parameter
