@@ -313,3 +313,56 @@ def test_bench_alert_flags_a_crossing(tmp_path):
     report = BA.check(str(bad), None)
     assert not report["ok"]
     assert [a["query"] for a in report["alerts"]] == ["tpch_q1"]
+
+
+# ---------------------------------------------------------------------
+# partition-plan determinism — the same query under the deployment
+# profile and under a hostile one (7 shuffle partitions, 64 KB scan
+# splits, AQE off) must produce identical canonical value rows.  A
+# result that depends on the partition plan is a latent flaky-gate
+# bug at any scale: it hashes green one run and red the next with
+# zero code change.  Full-catalog form: tools/determinism_sweep.py
+# (DETERMINISM_r10.json).  This slice keeps the bug-prone shapes
+# (top-k ties, float sums, hash sampling, window first/lag,
+# iterative convergence, sketch register merges) on every suite run.
+
+
+def test_partition_plan_determinism_representative(spark, sf_dir):
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo))
+    from tools.determinism_sweep import HOSTILE
+    from tools.verify_local import canon_frame
+
+    names = [
+        "topk_per_group",          # rank ties under LIMIT
+        "heavy_hitters_ngrams",    # TakeOrderedAndProject
+        "tpch_q1",                 # float sums, order-sensitive
+        "quota_sample",            # hash-gated sampling
+        "stratified_split",
+        "previous_values",         # window lag/first
+        "kmeans_embeddings",       # iterative convergence
+        "hll_distinct",            # sketch register fold
+        "kmv_source_overlap_sketch",
+        "dedup_components",        # label propagation rounds
+    ]
+    catalog.load_all()
+    base = {
+        n: canon_frame(catalog.QUERIES[n](spark, sf_dir).toPandas())
+        for n in names
+    }
+    saved = {k: spark.conf.get(k, None) for k in HOSTILE}
+    for k, v in HOSTILE.items():
+        spark.conf.set(k, v)
+    try:
+        for n in names:
+            got = canon_frame(catalog.QUERIES[n](spark, sf_dir).toPandas())
+            assert got == base[n], f"{n} is partition-plan dependent"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
