@@ -14,8 +14,14 @@ work, identical semantics:
 
     union(left(tag=1), right(tag=0))
     -> window (key ORDER BY ts, tag)
-    -> last(right_payload, ignorenulls)
+    -> last(struct(right_payload) tagged right, ignorenulls)
     -> keep tag=1 rows
+
+The carry is a STRUCT of the right row's payload, not the raw
+columns: the struct is non-null for every right row, so a right row
+whose payload VALUE is null still wins the as-of race (raw-column
+ignorenulls would silently fall back to an older right row — wrong
+on any corpus with null attributes).
 
 Ties: a right row AT the same timestamp sorts before the left row
 (tag 0 < 1), so "at-or-before" includes simultaneous rows.
@@ -52,13 +58,17 @@ def asof_join(
         .orderBy("_ats", "_tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    rec = F.when(
+        F.col("_tag") == 0, F.struct(*[F.col(p) for p in payload])
+    )
     filled = merged.select(
         "*",
-        *[
-            F.last(p, ignorenulls=True).over(w).alias(f"asof_{p}")
-            for p in payload
-        ],
+        F.last(rec, ignorenulls=True).over(w).alias("_asof_rec"),
     )
     return filled.where(F.col("_tag") == 1).select(
-        *lcols, *[f"asof_{p}" for p in payload]
+        *lcols,
+        *[
+            F.col(f"_asof_rec.{p}").alias(f"asof_{p}")
+            for p in payload
+        ],
     )

@@ -179,7 +179,10 @@ def embedding_outliers(
     import numpy as np
     import pandas as pd
 
-    t = emb.select(
+    # null label = no cohort: centroid distance is undefined, so the
+    # vector drops out (the same rows an equi-join on label would
+    # drop — null never matches a group key on either engine)
+    t = emb.where(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("vid"),
         F.col(label_col).alias("lbl"),
         F.transform(

@@ -358,8 +358,8 @@ def minhash_signatures_agg(
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
-                if len(sh) == 0:
-                    continue
+                if sh is None or len(sh) == 0:
+                    continue  # null text == empty shingle set: no row
                 hx = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in sh]
                 h1 = np.array([int(h[:15], 16) for h in hx], dtype=np.int64)
                 h2 = np.array(
@@ -680,7 +680,12 @@ def decontam_overlap(
         for pdf in batches:
             if not len(pdf):
                 continue
-            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["shh"]]
+            # null text -> null shingle array: an absent document
+            # overlaps nothing (n=0, clean), row preserved
+            arrs = [
+                np.asarray(a if a is not None else (), dtype=np.int64)
+                for a in pdf["shh"]
+            ]
             lens = np.array([len(a) for a in arrs], dtype=np.int64)
             if lens.sum() == 0 or len(E) == 0:
                 n = np.zeros(len(pdf), dtype=np.int64)
@@ -919,6 +924,8 @@ def bloom_probe(
         for pdf in batches:
             ids, nsh, nh = [], [], []
             for did, shs in zip(pdf["doc_id"], pdf["sh"]):
+                if shs is None:
+                    shs = ()  # null text: zero shingles, zero hits
                 hits = 0
                 for sn in shs:
                     ok = True

@@ -131,17 +131,20 @@ def apply_diff_chain(
     )
 
     def rebuild(frame: pd.DataFrame) -> pd.DataFrame:
-        # rows arrive sorted (entity, ts asc) — single linear pass
+        # rows arrive sorted (entity, ts asc) — single linear pass.
+        # cur is None until a base or diff is seen: an entity whose
+        # stored text is null reconstructs to null (unknown), never
+        # to the fabricated empty string
         vals = []
         prev = None
-        cur = ""
+        cur = None
         for e, b, d in zip(frame[entity], frame[base_col], frame[diff_col]):
             if e != prev:
-                prev, cur = e, ""
+                prev, cur = e, None
             if isinstance(b, str) and b:
                 cur = b
             elif isinstance(d, str) and d:
-                cur = apply_unified_diff(cur, d)
+                cur = apply_unified_diff(cur or "", d)
             vals.append(cur)
         return pd.DataFrame(
             {entity: frame[entity], ts: frame[ts], "value_text": vals}
@@ -282,15 +285,20 @@ def rollback_diff_chain(
                     tss.append(pd.NaT)
                     vals.append(text)  # base value before history
                 prev, text = e, ""
-            if isinstance(c, str):
-                text = c  # the current-value row
+            if pd.isna(t):
+                # the current-value row, identified STRUCTURALLY by
+                # its null ts (sorted NULLS FIRST) — a null current
+                # text must not demote it to a change row; unknown
+                # current text rolls back as unknown
+                text = c if isinstance(c, str) else None
             else:
                 ents.append(e)
                 tss.append(t)
                 vals.append(text)  # value AS OF this change (its result)
-                text = reverse_unified_diff(
-                    text, d if isinstance(d, str) else ""
-                )
+                if text is not None:
+                    text = reverse_unified_diff(
+                        text, d if isinstance(d, str) else ""
+                    )
         if prev is not None:
             ents.append(prev)
             tss.append(pd.NaT)

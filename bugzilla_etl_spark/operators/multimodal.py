@@ -126,12 +126,20 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_codec(p) for p in pdf["payload"]]
+            # null payload (failed fetch / missing object — routine at
+            # 100 TB) decodes to nothing: null n_bytes and features,
+            # row preserved so the metadata survives for triage
+            feats = [None if p is None else _codec(p)
+                     for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "n_bytes": pd.array(
+                        [None if p is None else len(p)
+                         for p in pdf["payload"]],
+                        dtype="Int64",
+                    ),
                     "feature": feats,
                 }
             )
@@ -191,6 +199,12 @@ def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
         for pdf in batches:
             n_out, cks = [], []
             for p, s in zip(pdf["payload"], pdf["stride"]):
+                if p is None:
+                    # null payload: geometry is still metadata, but
+                    # there are no bytes to resample or checksum
+                    n_out.append(None)
+                    cks.append(None)
+                    continue
                 buf = _np.frombuffer(p, dtype=_np.uint8)[::s]
                 n_out.append(len(buf))
                 cks.append(int(buf.astype(_np.int64).sum()) % 9973)
@@ -200,8 +214,8 @@ def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
                     "mime": pdf["mime"],
                     "out_w": pdf["out_w"],
                     "out_h": pdf["out_h"],
-                    "out_n_bytes": pd.Series(n_out, dtype="int64"),
-                    "checksum": pd.Series(cks, dtype="int64"),
+                    "out_n_bytes": pd.array(n_out, dtype="Int64"),
+                    "checksum": pd.array(cks, dtype="Int64"),
                 }
             )
 

@@ -293,6 +293,10 @@ def dsir_weights(
     )
     return (
         df.select(F.col(key), g.alias("_g"), ratio_arr.alias("_lr"))
+        # null text -> null gram array: no grams, no likelihood, no
+        # weight row (matches the oracle's unnest, which drops the
+        # doc; downstream sampling treats absence as weight -inf)
+        .where(F.col("_g").isNotNull())
         .select(
             key,
             F.size("_g").cast("long").alias("n_grams"),

@@ -202,7 +202,11 @@ def subentity_changepoints(
         h,
         lambda x, i: ~F.exists(
             F.slice(h, i + F.lit(2), F.col("_n")),
-            lambda y: y["f"] == x["f"],
+            # eqNullSafe, NOT ==: with a plain equals, a later
+            # null-field entry makes exists() return NULL (3VL), and
+            # filter() drops NULL rows — a later UNKNOWN-field change
+            # would silently erase every known field's last value
+            lambda y: y["f"].eqNullSafe(x["f"]),
         ),
     )
     fields_str = F.array_join(

@@ -164,7 +164,11 @@ def winnow_fp_sets(
     matters at 100 TB — it shuffled the whole k-gram stream.)
 
     Returns (doc_id, fp_hashes sorted-distinct, n_fp, n_hashes);
-    docs with fewer than w k-grams emit no row."""
+    docs with fewer than w k-grams — including null-text docs, whose
+    token array (hence k-gram hash list) is null — emit no row, the
+    engine-wide signature-op null contract (null text contributes no
+    signature; a missing document is not a near-duplicate of another
+    missing document)."""
     import numpy as np
     import pandas as pd
 
@@ -176,9 +180,9 @@ def winnow_fp_sets(
         for pdf in batches:
             ids, fps, nfp, nh = [], [], [], []
             for doc_id, h in zip(pdf["doc_id"], pdf["hs"]):
+                if h is None or len(h) < w:
+                    continue  # null text / no full window -> no row
                 h = np.asarray(h, dtype=np.int64)
-                if len(h) < w:
-                    continue  # no full window -> no fingerprints
                 sw = np.lib.stride_tricks.sliding_window_view(h, w)
                 sel = np.unique(
                     np.arange(sw.shape[0]) + sw.argmin(axis=1)
@@ -338,6 +342,11 @@ def char_bigram_lm(
     )
     bc = (
         ref.select(F.explode(pairs).alias("ab"))
+        # null text yields null pairs (substring(null) — sequence's
+        # greatest(null,0)=0 bound still emits positions) and sub-2-char
+        # text yields truncated ones; neither is a transition.  Null
+        # length propagates null here, so both filter out together.
+        .where(F.length("ab") == 2)
         .groupBy("ab")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()

@@ -185,6 +185,9 @@ def dedup_jaccard_invindex(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(list_distinct({DUCK_TOKENS}),
                               t -> {duckdb_hash64('t')}) AS hv
         FROM documents
+        -- signature-op null contract: null text emits no fingerprint
+        -- (matches the Spark explode, which emits no token rows)
+        WHERE text IS NOT NULL
     )
     SELECT doc_id,
            list_sum(list_transform(range(0,32), b ->
@@ -217,6 +220,9 @@ _DUCK_SIMHASH = """
                list_transform(list_distinct({DUCK_TOKENS}),
                               t -> {duckdb_hash64('t')}) AS hv
         FROM documents
+        -- signature-op null contract: null text emits no fingerprint
+        -- (matches the Spark explode, which emits no token rows)
+        WHERE text IS NOT NULL
     ), fp AS (
         SELECT doc_id, {_DUCK_SIMHASH} AS simhash FROM hs
     ), banded AS (

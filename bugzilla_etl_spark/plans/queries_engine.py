@@ -297,7 +297,9 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(epoch(ts))::BIGINT AS modified_ts,
            floor(epoch(expires_on))::BIGINT AS expires_on,
            event_type, value, last_purchase_value,
-           array_to_string(seen_types, '|') AS seen_types
+           -- all-null seen set renders '' (array_to_string of an
+           -- all-null list is NULL; Spark's collect_set drops nulls)
+           coalesce(array_to_string(seen_types, '|'), '') AS seen_types
     FROM (
         SELECT *, row_number() OVER (
             PARTITION BY user_id, floor(epoch(ts))::BIGINT
@@ -884,6 +886,10 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY value, event_id) AS rn,
                count(*) OVER (PARTITION BY event_type) AS n
         FROM events
+        -- the screen is over OBSERVED values of ATTRIBUTABLE types:
+        -- a null value is no measurement (it would shift every order
+        -- statistic), a null type has no cohort to screen against
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
     ),
     med AS (
         SELECT event_type, max(n) AS n,
@@ -953,8 +959,11 @@ def anomaly_mad(
             "event_type", "value"
         )
         return _anomaly_mad_hist(ev)
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "value", "event_id"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id")
+        # observed values of attributable types only (see oracle)
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
     )
     wv = Window.partitionBy("event_type").orderBy("value", "event_id")
     wp = Window.partitionBy("event_type")

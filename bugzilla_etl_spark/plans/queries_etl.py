@@ -1007,7 +1007,12 @@ def dependency_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events
     FROM (
         SELECT user_id,
-               CAST(event_id AS VARCHAR) || '|' || event_type || '|' ||
+               -- null event_type renders as an explicit empty slot:
+               -- the child row exists and must survive nesting (bare
+               -- || would null the whole element and silently drop
+               -- the event from the array while count(*) kept it)
+               CAST(event_id AS VARCHAR) || '|' ||
+               coalesce(event_type, '') || '|' ||
                CAST(floor(epoch(ts))::BIGINT AS VARCHAR) AS evt
         FROM events
     ) GROUP BY user_id
@@ -1021,10 +1026,12 @@ def nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     attachments).  Map-side partial collect keeps the shuffle at one
     partial array per (entity x partition)."""
     ev = load_table(spark, sf_dir, "events")
+    # coalesce BEFORE concat_ws: concat_ws would silently skip a null
+    # event_type, collapsing the element to an ambiguous 2-field form
     evt = F.concat_ws(
         "|",
         F.col("event_id").cast("string"),
-        F.col("event_type"),
+        F.coalesce(F.col("event_type"), F.lit("")),
         F.col("ts").cast("long").cast("string"),
     )
     return (

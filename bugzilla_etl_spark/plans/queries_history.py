@@ -61,6 +61,9 @@ _REQ_DUCK = (
              {_NAME} AS name, {_STATUS} AS status,
              {_REQ_DUCK} AS requestee, {_ACTION} AS action
       FROM events
+      -- a flag change without a name has no match_key: findFlag
+      -- could never pair it, so it cannot enter the replay
+      WHERE event_type IS NOT NULL
     ),
     keyed AS (
       SELECT *,
@@ -121,7 +124,7 @@ def flag_state_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_STATUS).alias("status"),
         F.expr(_REQ_SPARK).alias("requestee"),
         F.expr(_ACTION).alias("action"),
-    )
+    ).where(F.col("name").isNotNull())  # nameless change: no match_key
     iv = FL.flag_state_intervals(ch, entity="user_id", ts="tsl")
     ver = ev.select(
         "user_id", F.unix_micros("ts").alias("version_ts")
@@ -173,7 +176,7 @@ def flag_state_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(sub_id) AS n_subs,
            coalesce(array_to_string(list_sort(list(
                'a' || CAST(sub_id AS VARCHAR) || ':c' ||
-               CAST(created AS VARCHAR) || ':' || fields
+               CAST(created AS VARCHAR) || ':' || coalesce(fields, '')
            ) FILTER (WHERE sub_id IS NOT NULL)), '|'), '') AS subs
     FROM per_sub
     GROUP BY user_id, version_ts
@@ -215,6 +218,9 @@ def attachment_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS user_id, 1704153600000000 AS version_ts,
            length(text) + 7 AS value_len
     FROM documents
+    -- a null-text doc stores a null diff -> no fragments -> no
+    -- recorded change: its timeline is the base row alone
+    WHERE text IS NOT NULL
     UNION ALL
     SELECT doc_id AS user_id, NULL AS version_ts,
            length(text) AS value_len
@@ -575,6 +581,8 @@ _FULL_ORACLE = f"""
              {_REQ_DUCK} AS requestee, {_ACTION} AS action
       FROM (SELECT user_id, event_id, epoch_us(ts) AS tsl, event_type
             FROM events)
+      -- nameless flag change: no match_key, cannot enter the replay
+      WHERE event_type IS NOT NULL
     ),
     fkeyed AS (
       SELECT *,
@@ -656,7 +664,7 @@ _FULL_ORACLE = f"""
              count(sub_id) AS n_subs,
              coalesce(array_to_string(list_sort(list(
                  'a' || CAST(sub_id AS VARCHAR) || ':c' ||
-                 CAST(created AS VARCHAR) || ':' || fields
+                 CAST(created AS VARCHAR) || ':' || coalesce(fields, '')
              ) FILTER (WHERE sub_id IS NOT NULL)), '|'), '') AS subs
       FROM per_sub
       GROUP BY user_id, version_ts
@@ -672,7 +680,8 @@ _FULL_ORACLE = f"""
                CAST(v.tsl // 1000 AS VARCHAR) AS _id,
            v.user_id, v.tsl AS version_ts, v.version,
            v.expires_on, v.event_type, v.value, v.last_purchase_value,
-           array_to_string(v.seen_types, '|') AS seen_types,
+           coalesce(array_to_string(v.seen_types, '|'), '')
+               AS seen_types,
            f.n_active, f.flags_active, f.n_deleted, f.flags_deleted,
            a.n_subs, a.subs,
            coalesce(m.canonical,
@@ -749,7 +758,7 @@ def build_full_docs(
         F.expr(_STATUS).alias("status"),
         F.expr(_REQ_SPARK).alias("requestee"),
         F.expr(_ACTION).alias("action"),
-    )
+    ).where(F.col("name").isNotNull())  # nameless change: no match_key
     fiv = FL.flag_state_intervals(fch, entity="user_id", ts="tsl")
     ver2 = verx.select("user_id", F.col("tsl").alias("version_ts"))
     flg = FL.flag_states_per_version(fiv, ver2)

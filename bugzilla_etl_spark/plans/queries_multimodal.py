@@ -57,9 +57,12 @@ _LANE = (
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
     )
-    SELECT media_id, mime, n_bytes, CAST(8 AS INT) AS dim,
+    SELECT media_id, mime, n_bytes,
+           CASE WHEN hx IS NULL THEN NULL
+                ELSE CAST(8 AS INT) END AS dim,
+           CASE WHEN hx IS NULL THEN NULL ELSE
            array_to_string(list_transform(range(0, 8), k ->
-               CAST({_LANE} AS VARCHAR)), '|') AS feat_sig
+               CAST({_LANE} AS VARCHAR)), '|') END AS feat_sig
     FROM d
     """,
 )
@@ -71,16 +74,24 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_media(docs)
     out = M.extract_features(media)
+    # null payload -> null feature: dim/feat_sig stay null (size()
+    # would yield -1 and concat_ws '' — both would fabricate a value
+    # for media that never decoded)
     return out.select(
         "media_id",
         "mime",
         "n_bytes",
-        F.size("feature").alias("dim"),
-        F.concat_ws(
-            "|",
-            F.transform(
-                F.col("feature"),
-                lambda x: F.round(x * 997).cast("long").cast("string"),
+        F.when(
+            F.col("feature").isNotNull(), F.size("feature")
+        ).alias("dim"),
+        F.when(
+            F.col("feature").isNotNull(),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.col("feature"),
+                    lambda x: F.round(x * 997).cast("long").cast("string"),
+                ),
             ),
         ).alias("feat_sig"),
     )
@@ -135,11 +146,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(out_w AS INT) AS out_w,
            CAST(out_h AS INT) AS out_h,
            CAST((n + stride - 1) // stride AS BIGINT) AS out_n_bytes,
+           -- null payload: no bytes to checksum (NULL, not 0 — the
+           -- coalesce is for genuinely EMPTY payloads only)
+           CASE WHEN hx IS NULL THEN NULL ELSE
            CAST(coalesce(list_sum(list_transform(
                     range(0, (n + stride - 1) // stride),
                     j -> ('0x' || substr(hx, 2*j*stride + 1, 2))
                              ::UBIGINT::BIGINT)), 0) % 9973
-                AS BIGINT) AS checksum
+                AS BIGINT) END AS checksum
     FROM r
     """,
 )

@@ -1128,6 +1128,11 @@ def _pca_iter_sql(i: int) -> str:
                CAST(floor(CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)
                           * 10000 + 0.5) AS BIGINT) AS q
         FROM embeddings, (SELECT unnest(range(0, 64)) AS j)
+        -- unlabeled vectors are a catch-all mixture, not a class:
+        -- they contribute no centroid to the between-class matrix
+        -- (and the iteration's USING(label) joins could never carry
+        -- a null class anyway — SQL equi-joins drop null keys)
+        WHERE label IS NOT NULL
     ),
     cent AS (
         SELECT label, j,
@@ -1191,7 +1196,9 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
+    # unlabeled vectors form no class (see the oracle's WHERE and
+    # embedding_outliers' identical contract)
+    q = emb.where(F.col("label").isNotNull()).select(
         "vec_id", "label", F.posexplode("embedding").alias("j", "a")
     ).select("label", "j", F.expr(_PCA_Q).alias("q"))
 

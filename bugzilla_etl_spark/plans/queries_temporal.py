@@ -110,10 +110,17 @@ def state_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set_accumulate",
     oracle="""
     SELECT user_id, event_id, ts,
-           array_to_string(list_sort(list(DISTINCT event_type) OVER (
+           -- null event_type = no value observed (skipped from the
+           -- set).  array_to_string already skips nulls inside mixed
+           -- lists but returns NULL for the all-null list; coalesce
+           -- renders that empty set '' like Spark's collect_set
+           -- (FILTER+DISTINCT over a window is not usable here —
+           -- DuckDB internal error)
+           coalesce(array_to_string(list_sort(list(DISTINCT event_type)
+               OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           )), '|') AS acc_set
+           )), '|'), '') AS acc_set
     FROM events
     """,
 )

@@ -202,11 +202,12 @@ def key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint",
     oracle=f"""
     SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
            list_reduce(
                list_prepend(0::BIGINT,
                    list_transform({DUCK_TOKENS},
                                   t -> {duckdb_hash64('t')} % 1000000007)),
-               (acc, h) -> (acc * 131 + h) % 1000000007) AS fingerprint
+               (acc, h) -> (acc * 131 + h) % 1000000007) END AS fingerprint
     FROM documents
     """,
 )

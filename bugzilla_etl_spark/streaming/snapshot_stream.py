@@ -502,12 +502,24 @@ def _pv_state(
         cur, pv, ct, ca = st[base : base + 4]
         rows = np.nonzero(etype == f)[0]
         fv = vals[rows]
-        # value before each in-batch event of f (carried cur first)
+        # value before each in-batch event of f — the batch
+        # operator's ignorenulls carry (snapshot.previous_values
+        # pass 1): a null value emits a change record but never
+        # becomes the carried prior, so the chain forward-fills over
+        # NaNs from the stored cur
         prev_vals = np.empty(len(rows), dtype=np.float64)
         if len(rows):
-            prev_vals[0] = np.nan if cur is None else cur
-            prev_vals[1:] = fv[:-1]
-        chg = ~(fv == prev_vals)  # nan != x -> change (no-null contract)
+            chain = np.concatenate(
+                ([np.nan if cur is None else cur], fv[:-1])
+            )
+            prev_vals = pd.Series(chain).ffill().to_numpy(
+                dtype=np.float64
+            )
+        vnan = np.isnan(fv)
+        pnan = np.isnan(prev_vals)
+        # null-safe inequality (the batch ~eqNullSafe): both-null is
+        # no change; null vs value is a change either direction
+        chg = (vnan != pnan) | (~vnan & ~pnan & (fv != prev_vals))
         cidx = rows[chg]  # batch row index of each REAL change
         c_away = tsl[cidx]
         # change_to chains the previous change's away ts
@@ -544,9 +556,12 @@ def _pv_state(
         out[f"{f}_change_away_l"] = f_ca
         out[f"{f}_duration_days"] = dur
 
-        # roll state forward
+        # roll state forward (cur = last NON-null value, the same
+        # ignorenulls contract as the in-batch chain)
         if len(rows):
-            cur = float(fv[-1])
+            nz = fv[~vnan]
+            if len(nz):
+                cur = float(nz[-1])
         if len(cidx):
             pv = None if np.isnan(c_prev[-1]) else float(c_prev[-1])
             ct, ca = int(c_to[-1]), int(c_away[-1])

@@ -366,3 +366,54 @@ def test_partition_plan_determinism_representative(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------
+# null-hardened correctness — a deterministically-dirtied copy of the
+# testdata (1-in-7 payload NULLs per column, per-column de-correlated)
+# must still hash-match the DuckDB oracle.  Full-catalog form:
+# tools/null_sweep.py (NULL_SWEEP_r10.json).  This slice keeps one
+# query per fixed null-contract family on every suite run: kernel
+# null guards, signature-op drops, all-null set rendering, 3VL-safe
+# HOF equality, struct-carried as-of payloads, observed-only stats.
+
+
+def test_null_hardened_representative(spark, tmp_path):
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo))
+    from tools.null_sweep import TABLES, build_dirty_dir
+    from tools.verify_local import canon_frame
+
+    names = [
+        "doc_fingerprint",       # scalar metric: null in, null out
+        "dedup_simhash",         # signature op: null doc emits no row
+        "decontam_overlap",      # probe kernel: null doc overlaps 0
+        "dsir_weights",          # gram-less docs drop on both engines
+        "set_accumulate",        # all-null running set renders ''
+        "nested_docs",           # null child field = explicit empty slot
+        "interval_asof_join",    # struct carry: null payload still wins
+        "anomaly_mad",           # observed values / attributable types
+        "diff_apply",            # unknown base stays unknown, not ''
+        "attachment_versions",   # eqNullSafe in last-per-field filter
+        "mm_resize",             # null payload: null bytes/checksum
+        "embedding_outliers",    # null label = no cohort, row drops
+    ]
+    dirty = str(tmp_path / "nullsf")
+    (tmp_path / "nullsf").mkdir()
+    build_dirty_dir("/root/testdata/sf0.001", dirty)
+
+    catalog.load_all()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dirty}/{t}.parquet'"
+        )
+    for n in names:
+        got = canon_frame(catalog.QUERIES[n](spark, dirty).toPandas())
+        want = canon_frame(con.execute(catalog.ORACLES[n]).df())
+        assert got == want, f"{n} diverges from oracle on null-injected data"
