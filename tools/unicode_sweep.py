@@ -8,12 +8,14 @@ mapping, hash inputs taken over bytes on one side and codepoints on
 the other).
 
 This tool builds a deterministically-decorated copy of a scale-factor
-dir: rows of ``documents`` whose doc_id hashes into a 1-in-5 bucket
+dir: rows of ``documents`` whose doc_id hashes into a 5-in-6 bucket
 get a multi-byte snippet woven into ``text`` (prefix + infix so both
-edge and interior positions are exercised), cycling through four
+edge and interior positions are exercised), cycling through five
 script classes — CJK, emoji (astral plane, surrogate-pair territory
-in UTF-16 engines), combining accents (NFD ``é``), and Greek with a
-bidi mark.  ``n_chars`` is recomputed in codepoints so the schema
+in UTF-16 engines), combining accents (NFD ``é``), Greek with a
+bidi mark, and an uppercase case-stress class (Greek/Cyrillic/
+Latin-extended through the text path's ``lower()``).  ``n_chars``
+is recomputed in codepoints so the schema
 invariant the generator guarantees (n_chars = length(text)) survives
 decoration.  Then the full Spark-vs-DuckDB value gate
 (tools/verify_local) runs over the decorated dir.
@@ -39,13 +41,26 @@ TABLES = (
     " events documents embeddings"
 ).split()
 
-# Four script classes, cycled by hash bucket.  Each holds a multi-byte
-# prefix and an infix woven after the first word.
+# Five script classes, cycled by hash bucket.  Each holds a multi-byte
+# prefix and an infix woven after the first word.  The fifth is the
+# case-stress class: uppercase Greek/Cyrillic/Latin-extended that the
+# text path's lower() must case-map identically on both engines.
+#
+# Case-mapping boundary (probed, pinned in tests/test_round10.py):
+# the decoration deliberately avoids the two codepoint classes where
+# Spark and DuckDB LEGITIMATELY disagree -- word-final 'Σ' (Spark
+# applies Unicode FULL case mapping with the contextual final-sigma
+# rule -> 'ς'; DuckDB applies SIMPLE mapping -> 'σ') and dotted 'İ'
+# (Spark keeps the U+0307 combining dot, DuckDB drops it).  Both
+# engines are internally consistent; a corpus containing those
+# codepoints case-folds deterministically on the engine, it just
+# cannot be value-compared against a simple-mapping oracle.
 SNIPPETS = [
     ("漢字テスト ", " 中文分词 "),
     ("\U0001f680\U0001f9ea ", " \U0001f4c8\U0001f30d "),
     ("café naïve ", " résumé "),
     ("Αβγ ‏", " δέλτα "),
+    ("ΔΟΚΙΜΗ STRAßE ", " ЖУРНАЛ Łódź "),
 ]
 
 
@@ -57,8 +72,8 @@ def build_decorated_dir(src: str, dst: str) -> None:
         if t != "documents":
             shutil.copyfile(src_file, dst_file)
             continue
-        # CASE over hash(doc_id)%5: buckets 0-3 get snippet k woven in
-        # (prefix + infix after the first space), bucket 4 stays ASCII
+        # CASE over hash(doc_id)%6: buckets 0-4 get snippet k woven in
+        # (prefix + infix after the first space), bucket 5 stays ASCII
         # so mixed corpora are represented.  n_chars recomputed in
         # codepoints (DuckDB length() is codepoint-based, matching the
         # generator's invariant).
@@ -67,7 +82,7 @@ def build_decorated_dir(src: str, dst: str) -> None:
             pre_sql = pre.replace("'", "''")
             mid_sql = mid.replace("'", "''")
             arms.append(
-                f"WHEN hash(doc_id) % 5 = {k} THEN"
+                f"WHEN hash(doc_id) % 6 = {k} THEN"
                 f" '{pre_sql}' || regexp_replace(text, ' ',"
                 f" '{mid_sql}')"
             )
