@@ -138,7 +138,10 @@ def read_block(
 
 
 def validate_clustered_layout(
-    clustered_dir: str, increment: int, entity: str = "user_id"
+    clustered_dir: str,
+    increment: int,
+    entity: str = "user_id",
+    spark: SparkSession | None = None,
 ) -> set[int]:
     """Fail-fast check that ``clustered_dir`` really is a
     ``land_clustered`` layout for THIS walk's increment and entity.
@@ -157,9 +160,19 @@ def validate_clustered_layout(
       this walk's (increment, entity) exactly;
     - without a marker (a layout landed by other tooling), every
       partition dir's lo must be block-ALIGNED (lo % increment ==
-      0) — the weaker check that still catches a finer-grained
-      layout, where planned blocks would interleave with dirs they
-      never read.
+      0), which catches a finer-grained layout — and, when
+      ``spark`` is given, every dir's actual [min, max] entity span
+      must sit inside [lo, lo + increment), which catches a
+      COARSER layout (its increment an exact multiple of the
+      walk's: every dir is still aligned, but a dir holds several
+      walk blocks' rows, so ``read_block`` would bleed rows into
+      the wrong block's build AND rows of the missing-dir blocks
+      would silently vanish — a defensive read-side filter alone
+      would fix the bleed but not the vanish, which is why the
+      check rejects instead).  The span probe reads one column of
+      the layout once, at validation time only — answered from
+      parquet footer stats under aggregate pushdown, and never run
+      when the exact ``_layout.json`` metadata is present.
 
     Returns the set of block-los present, so the walk can read only
     dirs that exist."""
@@ -214,6 +227,34 @@ def validate_clustered_layout(
                 f"{sorted(misaligned)[:5]} are not aligned to "
                 f"increment {increment}"
             )
+        if spark is not None:
+            spans = (
+                spark.read.option("basePath", clustered_dir)
+                .parquet(clustered_dir)
+                .groupBy("entity_block")
+                .agg(F.min(entity).alias("lo_id"),
+                     F.max(entity).alias("hi_id"))
+                .collect()
+            )
+            overwide = sorted(
+                int(r["entity_block"])
+                for r in spans
+                if r["lo_id"] is not None
+                and (
+                    r["lo_id"] < r["entity_block"]
+                    or r["hi_id"] >= r["entity_block"] + increment
+                )
+            )
+            if overwide:
+                raise ValueError(
+                    f"clustered_dir {clustered_dir!r} was written "
+                    f"with a COARSER increment: partition dirs at "
+                    f"los {overwide[:5]} hold entity ids outside "
+                    f"[lo, lo + {increment}) — reading them as "
+                    f"increment-{increment} blocks would bleed rows "
+                    "across block boundaries and drop rows of "
+                    "blocks whose finer dir is missing"
+                )
     return present
 
 
@@ -250,7 +291,7 @@ def run_backfill(
         # fail-fast: a wrong path or a mismatched layout must error
         # here, not silently land all-empty blocks
         clustered_los = validate_clustered_layout(
-            clustered_dir, increment, entity
+            clustered_dir, increment, entity, spark=spark
         )
     done: list[tuple[int, int]] = []
     for lo, hi in plan:

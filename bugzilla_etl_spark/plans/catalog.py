@@ -53,83 +53,77 @@ _loaded = False
 # regardless of window position, and ROTATION.md ledgers each
 # query's newest driver row.
 #
-# r10-window composition (the round-9 verdict's item-1 backlog):
-# the 2 round-10 additions lead (never driver-tested:
-# full_backfill_clustered — the partition-pruned production layout
-# of the backfill contract — and replicate_cycle — the composed
-# pending->extract->cutover lifecycle), then the one entry whose
-# BEHAVIOR round 10 touched (full_backfill_resume: run_backfill
-# gained fail-fast clustered-layout validation), then ALL 26
-# r5-stale greens (the verdict's item-2 list, ledger order), and
-# the remaining 21 slots start draining the r7 block
-# alphabetically (ledger order: bpe_pair_counts..
-# partition_prune_stats).  After this round no query's newest
-# driver row is older than r7; the rest of the r7 block (16 names,
-# range_window_load..zorder_layout) leads the r11 window.
+# r11-window composition (stalest-first, per the standing rotation
+# policy): the 16 remaining r7 greens lead (ledger order:
+# range_window_load..zorder_layout — the block the r10 window left),
+# then the 2 entries whose BEHAVIOR round 11 touched (anomaly_mad /
+# anomaly_mad_hist: the hist path gained the exact form's null
+# screen, changing both the plan and the oracle), then the r8 block
+# alphabetically (alias_compact..stream_hll) fills the 50.  After
+# this round no query's newest driver row is older than r8; the
+# remaining 15 r8 names (stream_rollup..value_percentiles, kept in
+# registration order between window and tail) lead the r12 window.
 _PRIORITY = (
-    # ---- round-10 additions (never driver-tested)
-    "full_backfill_clustered",
-    "replicate_cycle",
-    # ---- round-10 behavior-touched
-    "full_backfill_resume",
-    # ---- r5-stale greens (all 26, ledger order)
-    "key_skew_stats",
-    "lang_id",
-    "merge_order_union",
-    "mm_frame_sample",
-    "normalize_scrub",
-    "previous_values",
-    "private_retract",
-    "private_screen",
-    "replicate_pending",
-    "sample_stratified",
-    "screen_mask",
-    "set_accumulate",
-    "snapshot_asof",
-    "snapshot_versions",
-    "state_rollforward",
-    "stream_previous_values",
-    "stream_sessionize",
-    "text_quality",
-    "tfidf_top_terms",
-    "time_rollup",
-    "token_count",
-    "topk_per_group",
-    "tpch_q1",
-    "tpch_q6",
-    "winnow_fingerprints",
-    "winnow_pairs",
-    # ---- oldest r7 greens (ledger order; fills the 50)
-    "bpe_pair_counts",
-    "canonical_fields",
-    "cc_fuzzy_match",
-    "char_lm_perplexity",
-    "compaction_plan",
-    "cooccurrence_pmi",
-    "count_min_freq",
-    "date_normalize",
-    "decontam_neardup",
-    "dedup_containment",
-    "dsir_weights",
-    "embedding_outliers",
-    "embedding_pca",
-    "filter_funnel",
-    "flag_fuzzy_match",
-    "frequent_pairs",
-    "heavy_hitters_ngrams",
-    "hist_quantile",
-    "html_strip",
-    "ngram_novelty",
-    "partition_prune_stats",
+    # ---- r7-stale greens (all 16, ledger order)
+    "range_window_load",
+    "semdedup",
+    "stratified_split",
+    "stream_neardup_ingest",
+    "tpch_q11",
+    "tpch_q14",
+    "tpch_q17",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "triangle_count",
+    "trunc_uncertain",
+    "zorder_layout",
+    # ---- round-11 behavior-touched (hist null screen)
+    "anomaly_mad",
+    "anomaly_mad_hist",
+    # ---- oldest r8 greens (ledger order; fills the 50)
+    "alias_compact",
+    "bloom_decontam",
+    "bloom_join_prune",
+    "bucketed_join_zero_shuffle",
+    "bug_version_docs",
+    "bug_version_full",
+    "compact_store",
+    "cube_order_stats",
+    "dedup_jaccard_invindex",
+    "dedup_ngram_jaccard",
+    "es_alias_cutover",
+    "es_file_extract",
+    "events_funnel",
+    "hll_distinct",
+    "kmeans_embeddings",
+    "moving_average",
+    "nested_docs",
+    "pagerank_trade",
+    "pivot_event_counts",
+    "private_subentity",
+    "profile_table",
+    "profile_table_hll",
+    "rollup_returns",
+    "set_final",
+    "set_final_salted",
+    "skyline_orders",
+    "stream_attribution",
+    "stream_attribution_outer",
+    "stream_bug_versions",
+    "stream_decontam",
+    "stream_dedup",
+    "stream_hll",
 )
-
-# Rotated past position 50: every entry here has a GREEN r9 driver
-# row (the freshest in the ledger), is re-verified by the local gate
-# (tools/verify_local.py, driver-strict canonicalizer) every round,
-# and rotates back in r12+.  The unlisted middle (r7/r8 rows) keeps
-# registration order between the window and this tail.
-# (full_backfill_resume is r9-fresh but sits in the WINDOW instead:
-# round 10 touched its behavior.)
+# Rotated past position 50: every entry here has a GREEN r9 or r10
+# driver row (the freshest in the ledger), is re-verified by the
+# local gate (tools/verify_local.py, driver-strict canonicalizer)
+# every round, and rotates back in r13+.  The unlisted middle (the
+# 15 remaining r8 rows) keeps registration order between the window
+# and this tail and leads the r12 window.
 _DEPRIORITY = (
     "activity_invert",
     "alias_analysis",
@@ -141,11 +135,21 @@ _DEPRIORITY = (
     "ann_pq",
     "ann_topk",
     "attachment_versions",
+    "bpe_pair_counts",
+    "canonical_fields",
+    "cc_fuzzy_match",
+    "char_lm_perplexity",
     "comments_etl",
+    "compaction_plan",
+    "cooccurrence_pmi",
+    "count_min_freq",
     "curate_corpus",
+    "date_normalize",
+    "decontam_neardup",
     "decontam_overlap",
     "dedup_chunk",
     "dedup_components",
+    "dedup_containment",
     "dedup_exact",
     "dedup_latest",
     "dedup_minhash_lsh",
@@ -156,30 +160,70 @@ _DEPRIORITY = (
     "diff_rollback",
     "doc_fingerprint",
     "docs_json_roundtrip",
+    "dsir_weights",
     "dual_pipeline_cutover",
     "embedding_neardup",
+    "embedding_outliers",
+    "embedding_pca",
     "es_docs",
     "events_sessionize",
     "events_sessionize_native",
+    "filter_funnel",
+    "flag_fuzzy_match",
     "flag_parse",
     "flag_state_versions",
+    "frequent_pairs",
+    "full_backfill_clustered",
+    "full_backfill_resume",
+    "heavy_hitters_ngrams",
+    "hist_quantile",
+    "html_strip",
     "incremental_touched",
     "interval_asof_join",
     "json_props_extract",
+    "key_skew_stats",
     "kmv_source_overlap",
     "kmv_source_overlap_sketch",
+    "lang_id",
+    "merge_order_union",
     "mix_weights",
     "mm_features",
+    "mm_frame_sample",
     "mm_resize",
+    "ngram_novelty",
+    "normalize_scrub",
     "orders_fulfillment",
+    "partition_prune_stats",
     "pii_scrub",
+    "previous_values",
+    "private_retract",
+    "private_screen",
     "quality_repetition",
     "quota_sample",
+    "replicate_cycle",
+    "replicate_pending",
     "rolling_distinct_users",
+    "sample_stratified",
+    "screen_mask",
     "seq_packing",
+    "set_accumulate",
     "shuffle_shards",
+    "snapshot_asof",
+    "snapshot_versions",
+    "state_rollforward",
     "stream_heavy_hitters",
     "stream_heavy_hitters_capped",
+    "stream_previous_values",
+    "stream_sessionize",
+    "text_quality",
+    "tfidf_top_terms",
+    "time_rollup",
+    "token_count",
+    "topk_per_group",
+    "tpch_q1",
+    "tpch_q6",
+    "winnow_fingerprints",
+    "winnow_pairs",
 )
 
 

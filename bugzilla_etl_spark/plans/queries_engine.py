@@ -1023,7 +1023,18 @@ def _anomaly_mad_hist(ev: DataFrame) -> DataFrame:
     and its binned median is the MAD estimate.  Outliers count
     whole deviation bins past 3·MAD.  All integer arithmetic, so
     the sketch value-oracles, and bin counts ADD across incremental
-    batches (the mergeability exact order statistics give up)."""
+    batches (the mergeability exact order statistics give up).
+
+    Null contract — same screen as the exact form: a null value is
+    no measurement and a null type has no cohort, so both are
+    filtered HERE (not in callers) so ``mode="hist"`` and the
+    standalone entry can never diverge from the exact form's n on a
+    dirty corpus; a null bin would also sit first in Spark's
+    cumulative window but last in DuckDB's (nulls_last default),
+    silently shifting the (n+1)//2 median-bin crossing."""
+    ev = ev.where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
     b = F.least(F.floor("value"), F.lit(511)).cast("long")
     h = ev.groupBy("event_type", b.alias("b")).agg(
         F.count(F.lit(1)).alias("c")
@@ -1096,7 +1107,11 @@ def _anomaly_mad_hist(ev: DataFrame) -> DataFrame:
         SELECT event_type,
                CAST(least(floor(value), 511) AS BIGINT) AS b,
                count(*) AS c
-        FROM events GROUP BY 1, 2
+        FROM events
+        -- same screen as the exact form: observed values of
+        -- attributable types only (see anomaly_mad's oracle)
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
     ),
     t AS (
         SELECT event_type, b, c,

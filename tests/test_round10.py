@@ -398,6 +398,7 @@ def test_null_hardened_representative(spark, tmp_path):
         "nested_docs",           # null child field = explicit empty slot
         "interval_asof_join",    # struct carry: null payload still wins
         "anomaly_mad",           # observed values / attributable types
+        "anomaly_mad_hist",      # hist mode: same null screen as exact
         "diff_apply",            # unknown base stays unknown, not ''
         "attachment_versions",   # eqNullSafe in last-per-field filter
         "mm_resize",             # null payload: null bytes/checksum

@@ -1,0 +1,151 @@
+"""Round-11 hardening: the two ADVICE-r10 code findings.
+
+1. The hist MAD path now applies the exact form's null screen
+   (observed values of attributable types) INSIDE _anomaly_mad_hist,
+   so ``mode="hist"``, the standalone entry, and the exact form can
+   never diverge on n over a dirty corpus — and the null bin can no
+   longer shift the (n+1)//2 median-bin crossing differently in
+   Spark (nulls-first cumulative window) vs DuckDB (nulls_last).
+2. validate_clustered_layout's markerless fallback now probes the
+   actual per-dir entity span when a SparkSession is supplied,
+   rejecting a COARSER layout (increment an exact multiple of the
+   walk's) that the alignment-only check waved through — that
+   layout would bleed rows into the wrong block's build and drop
+   rows of blocks whose finer dir is missing.
+
+Value parity vs DuckDB for both registered entries is covered by
+test_catalog_oracle and the dirty-corpus sweep in test_round10; the
+tests here pin the contracts a value hash on clean data would not.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bugzilla_etl_spark.plans import catalog
+
+
+def _q(name, spark, sf_dir):
+    catalog.load_all()
+    return catalog.QUERIES[name](spark, sf_dir)
+
+
+# ---------------------------------------------------------------------
+# anomaly_mad: exact/hist null-contract equivalence
+
+
+def test_anomaly_mad_hist_null_screen_matches_exact(spark, tmp_path):
+    """On a corpus with null values AND null event types, the hist
+    mode must screen the same population as the exact mode: per-type
+    n identical, no null-type cohort, and the hist output identical
+    to running hist on the pre-screened corpus (the null rows must
+    be invisible, not merely binned somewhere stable)."""
+    from tools.null_sweep import build_dirty_dir
+
+    dirty = str(tmp_path / "nullsf")
+    (tmp_path / "nullsf").mkdir()
+    build_dirty_dir("/root/testdata/sf0.001", dirty)
+
+    catalog.load_all()
+    exact = {
+        r["event_type"]: r["n"]
+        for r in _q("anomaly_mad", spark, dirty).collect()
+    }
+    hist_rows = (
+        catalog.QUERIES["anomaly_mad"](spark, dirty, mode="hist")
+        .collect()
+    )
+    hist = {r["event_type"]: r["n"] for r in hist_rows}
+    assert None not in hist, "hist mode kept a null-type cohort"
+    assert hist == exact, (
+        "hist and exact modes screened different populations on a "
+        f"dirty corpus: {hist} vs {exact}"
+    )
+
+    # the standalone entry routes through the same kernel
+    standalone = {
+        r["event_type"]: r["n"]
+        for r in _q("anomaly_mad_hist", spark, dirty).collect()
+    }
+    assert standalone == exact
+
+
+# ---------------------------------------------------------------------
+# backfill: markerless coarser-layout rejection
+
+
+def _land_markerless(spark, tmp_path, increment):
+    """A clustered layout written by 'other tooling': same dir shape
+    land_clustered produces, but no _layout.json marker."""
+    import os
+
+    from bugzilla_etl_spark.operators.backfill import land_clustered
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where(F.col("user_id").isNotNull())
+    )
+    d = str(tmp_path / f"markerless_{increment}")
+    land_clustered(ev, d, increment)
+    os.remove(os.path.join(d, "_layout.json"))
+    return d
+
+
+def test_markerless_coarser_layout_rejected(spark, tmp_path):
+    """A layout landed at increment 20 has every dir lo aligned to a
+    10-walk (20 % 10 == 0) — the alignment-only check passes — but
+    each dir spans two walk blocks.  The span probe must reject it:
+    read_block would feed [10,20) rows into block 0's build and the
+    walk would land nothing at all for blocks whose finer dir does
+    not exist."""
+    from bugzilla_etl_spark.operators.backfill import (
+        validate_clustered_layout,
+    )
+
+    d = _land_markerless(spark, tmp_path, increment=20)
+    with pytest.raises(ValueError, match="COARSER"):
+        validate_clustered_layout(d, 10, spark=spark)
+    # the marker-aware path already rejected this shape; the probe
+    # closes the markerless hole only
+    validate_clustered_layout(d, 20, spark=spark)  # correct walk: OK
+
+
+def test_markerless_matching_layout_passes_span_probe(spark, tmp_path):
+    """Same-increment markerless layout: every dir's span fits its
+    block, so the probe admits it and returns the present los."""
+    from bugzilla_etl_spark.operators.backfill import (
+        validate_clustered_layout,
+    )
+
+    d = _land_markerless(spark, tmp_path, increment=10)
+    present = validate_clustered_layout(d, 10, spark=spark)
+    assert present and all(lo % 10 == 0 for lo in present)
+
+
+def test_run_backfill_rejects_coarser_markerless_layout(spark, tmp_path):
+    """End-to-end: run_backfill(clustered_dir=) on the coarser
+    markerless layout must fail fast BEFORE landing any block —
+    never a 'successful' store with bled/dropped rows."""
+    import os
+
+    from bugzilla_etl_spark.operators.backfill import run_backfill
+
+    d = _land_markerless(spark, tmp_path, increment=20)
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where(F.col("user_id").isNotNull())
+    )
+    store = str(tmp_path / "store")
+    with pytest.raises(ValueError, match="COARSER"):
+        run_backfill(
+            spark,
+            ev,
+            store,
+            increment=10,
+            build_fn=lambda b: b.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n_events")
+            ),
+            clustered_dir=d,
+        )
+    assert not os.path.isdir(store) or not os.listdir(store)
