@@ -72,6 +72,88 @@ def test_anomaly_mad_hist_null_screen_matches_exact(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------
+# hostile-distribution slices: every suite pass re-proves a
+# representative query set oracle-green on unicode-decorated and
+# hot-key-skewed corpora (the full-catalog forms are
+# tools/unicode_sweep.py and tools/skew_sweep.py, committed as
+# UNICODE_SWEEP_rN / SKEW_SWEEP_rN artifacts)
+
+
+def _oracle_slice(spark, sf_dir, names):
+    import duckdb
+
+    from tools.null_sweep import TABLES
+    from tools.verify_local import canon_frame
+
+    catalog.load_all()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    for n in names:
+        got = canon_frame(catalog.QUERIES[n](spark, sf_dir).toPandas())
+        want = canon_frame(con.execute(catalog.ORACLES[n]).df())
+        assert got == want, f"{n} diverges from oracle on {sf_dir}"
+
+
+def test_unicode_hardened_representative(spark, tmp_path):
+    """Text-path queries must stay value-identical to the oracle on
+    multi-byte corpora: byte-vs-codepoint length units, regex word
+    classes over CJK/emoji, case mapping through lower(), and hash
+    inputs taken over the same normalized bytes on both engines."""
+    from tools.unicode_sweep import build_decorated_dir
+
+    deco = str(tmp_path / "unisf")
+    (tmp_path / "unisf").mkdir()
+    build_decorated_dir("/root/testdata/sf0.001", deco)
+    _oracle_slice(
+        spark,
+        deco,
+        [
+            "token_count",        # whitespace + BPE-ish regex over CJK
+            "lang_id",            # n-gram profile on decorated text
+            "text_quality",       # punct/stopword ratios, codepoints
+            "html_strip",         # tag regex astride multi-byte runs
+            "doc_fingerprint",    # rolling hash over codepoints
+            "dedup_ngram_jaccard",  # shingle sets on decorated docs
+            "heavy_hitters_ngrams",  # token split + top-k
+            "pii_scrub",          # portable regex with unicode around
+            "winnow_fingerprints",  # winnowing windows over k-grams
+            "quality_repetition",   # Gopher rules on decorated text
+        ],
+    )
+
+
+def test_skew_hardened_representative(spark, tmp_path):
+    """Key-grouped/window queries must stay value-identical to the
+    oracle when 30-50% of rows pile onto one hot key — anything that
+    samples per partition, caps a per-key structure by frequency
+    assumptions, or short-circuits on uniformity diverges here."""
+    from tools.skew_sweep import build_skewed_dir
+
+    deco = str(tmp_path / "skewsf")
+    (tmp_path / "skewsf").mkdir()
+    build_skewed_dir("/root/testdata/sf0.001", deco)
+    _oracle_slice(
+        spark,
+        deco,
+        [
+            "events_sessionize",   # per-user window, hot user
+            "previous_values",     # as-of carry on the hot key
+            "set_final",           # unsalted set agg under skew
+            "set_final_salted",    # the wired mitigation, same values
+            "topk_per_group",      # per-group rank with a huge group
+            "tpch_q13",            # custkey groupBy, hot customer
+            "quota_sample",        # per-source quota, hot source
+            "key_skew_stats",      # the profiler measuring itself
+            "dedup_exact",         # hash groupBy under doc skew
+            "stream_heavy_hitters_capped",  # capped state, hot keys
+        ],
+    )
+
+
+# ---------------------------------------------------------------------
 # backfill: markerless coarser-layout rejection
 
 

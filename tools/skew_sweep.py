@@ -1,0 +1,248 @@
+"""Hot-key skew sweep: correctness AND straggler cost under a skewed
+key distribution.
+
+Real corpora are Zipfian; the uniform generator testdata is the one
+distribution a 100 TB cluster will never see.  Skew breaks pipelines
+two ways, and this tool probes both:
+
+1. CORRECTNESS — a query whose result depends on the key
+   distribution only through the VALUES (all of ours should) must
+   stay oracle-green when 30-50% of rows pile onto one hot key.
+   Anything that samples per partition, caps a per-key structure, or
+   short-circuits on "keys are about this frequent" diverges here.
+   The full Spark-vs-DuckDB gate (tools/verify_local) runs over a
+   deterministically-skewed copy of the testdata — both engines see
+   the same skewed parquet, so value parity is still exact.
+2. STRAGGLER COST — per-entity windows and key-partitioned aggs
+   serialize on the hot key: one task owns 30% of the corpus while
+   31 idle.  The probe times a skew-sensitive query set on the
+   uniform vs the skewed copy (same row count, same schema — ONLY
+   the key distribution moved) and reports the ratio.  local[n]
+   understates a 1000-executor cluster's pain (the straggler here
+   still shares cache with its siblings), but a ratio ≫ 1 at n=32
+   is the smoke of the fire, and the salted forms (`set_final_salted`
+   vs `set_final`) should show the mitigation paying for itself.
+
+Skew injection (DuckDB rewrite, deterministic by id hash; keys are
+remapped to an EXISTING value so FKs stay valid and no engine sees
+an id it couldn't have seen before):
+
+- ``events.user_id``   → min user_id   for 30% of rows (by event_id)
+- ``documents.source`` → 'src0'        for 50% of rows (by doc_id)
+- ``orders.o_custkey`` → min custkey   for 30% of rows (by o_orderkey)
+- ``lineitem.l_suppkey`` → min suppkey for 30% of rows (by l_orderkey)
+
+Usage:
+  python tools/skew_sweep.py [--json OUT.json] [--factor N]
+                             [correctness_sf_dir] [perf_sf_dir]
+                             [query ...]
+Defaults: correctness at sf0.001 (full catalog), perf at sf0.1 over
+SKEW_QUERIES, min-of-2 per side.  ``--factor N`` replicates the perf
+dir N× first (scaleprobe's disjoint-id protocol) and skews the
+REPLICATED corpus — at sf0.1 alone the hot key owns ~30k rows and
+every straggler is sub-second, so ratios read ≈1 regardless of plan
+shape (measured, r11); one decade up the hot key owns ~300k rows
+and a serialized window actually registers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem"
+    " events documents embeddings"
+).split()
+
+# (id column driving the deterministic bucket, key column remapped,
+#  hot-value SQL, bucket modulus, hot-bucket count)
+SKEW = {
+    "events": ("event_id", "user_id", "min(user_id)", 10, 3),
+    "documents": ("doc_id", "source", "'src0'", 2, 1),
+    "orders": ("o_orderkey", "o_custkey", "min(o_custkey)", 10, 3),
+    "lineitem": ("l_orderkey", "l_suppkey", "min(l_suppkey)", 10, 3),
+}
+
+# The straggler-sensitive set: per-entity windows (sessionize /
+# as-of / running sets), key-grouped aggs and joins on the skewed
+# keys, and the salted/unsalted pair whose delta IS the mitigation.
+SKEW_QUERIES = [
+    "events_sessionize",
+    "previous_values",
+    "set_final",
+    "set_final_salted",
+    "topk_per_group",
+    "moving_average",
+    "time_rollup",
+    "tpch_q13",
+    "tpch_q18",
+    "tpch_q21",
+    "quality_repetition",
+    "key_skew_stats",
+]
+
+
+def build_skewed_dir(src: str, dst: str) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        src_file = f"{src}/{t}.parquet"
+        dst_file = f"{dst}/{t}.parquet"
+        if t not in SKEW:
+            shutil.copyfile(src_file, dst_file)
+            continue
+        id_col, key_col, hot_sql, mod, nhot = SKEW[t]
+        hot = con.execute(
+            f"SELECT {hot_sql} FROM '{src_file}'"
+        ).fetchone()[0]
+        hot_lit = f"'{hot}'" if isinstance(hot, str) else str(hot)
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{src_file}'"
+            ).fetchall()
+        ]
+        proj = ", ".join(
+            f"CASE WHEN hash({id_col}) % {mod} < {nhot}"
+            f" THEN {hot_lit} ELSE {c} END AS {c}"
+            if c == key_col
+            else c
+            for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {proj} FROM '{src_file}')"
+            f" TO '{dst_file}' (FORMAT PARQUET)"
+        )
+        # row count preserved: skew moves keys, never rows
+        n_src = con.execute(
+            f"SELECT count(*) FROM '{src_file}'"
+        ).fetchone()[0]
+        n_dst = con.execute(
+            f"SELECT count(*) FROM '{dst_file}'"
+        ).fetchone()[0]
+        assert n_src == n_dst, (t, n_src, n_dst)
+
+
+def perf_probe(perf_src: str, queries: list[str], factor: int = 1) -> dict:
+    from bugzilla_etl_spark.plans import catalog
+    from bugzilla_etl_spark.session import get_spark
+    from bugzilla_etl_spark.tmpdirs import gc_now, tracked_mkdtemp
+
+    catalog.load_all()
+    spark = get_spark("skew-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    if factor > 1:
+        from tools.scaleprobe import replicate
+
+        big = tracked_mkdtemp(prefix="bes_skewbase_")
+        replicate(spark, perf_src, big, factor)
+        perf_src = big
+    skewed = tracked_mkdtemp(prefix="bes_skewperf_")
+    build_skewed_dir(perf_src, skewed)
+
+    out: dict = {}
+    for name in queries:
+        fn = catalog.QUERIES.get(name)
+        if fn is None:
+            print(f"unknown query {name!r} — skipped", file=sys.stderr)
+            continue
+        fn(spark, perf_src).write.format("noop").mode(
+            "overwrite"
+        ).save()  # codegen warmup
+
+        def timed(d: str) -> float:
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            return min(runs)
+
+        t_u = timed(perf_src)
+        t_s = timed(skewed)
+        out[name] = {
+            "uniform_s": round(t_u, 3),
+            "skewed_s": round(t_s, 3),
+            "ratio": round(t_s / t_u, 2),
+        }
+        print(json.dumps({name: out[name]}), file=sys.stderr)
+    gc_now()
+    return out
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    json_out = None
+    factor = 1
+    while args and args[0] in ("--json", "--factor"):
+        if args[0] == "--json":
+            json_out = args[1]
+        else:
+            factor = int(args[1])
+        args = args[2:]
+    corr_src = args[0] if args else "/root/testdata/sf0.001"
+    perf_src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    queries = args[2:] or SKEW_QUERIES
+
+    # --- correctness half: full catalog vs oracle on skewed data
+    deco = tempfile.mkdtemp(prefix="bes_skewsf_")
+    try:
+        build_skewed_dir(corr_src, deco)
+        print(
+            f"skewed copy of {corr_src} at {deco};"
+            " running verify_local ...",
+            file=sys.stderr,
+        )
+        corr_json = tempfile.mktemp(suffix=".json")
+        r = subprocess.run(
+            [
+                sys.executable,
+                "tools/verify_local.py",
+                "--json",
+                corr_json,
+                deco,
+            ],
+            cwd=REPO,
+        )
+        correctness_rc = r.returncode
+        with open(corr_json) as f:
+            corr = json.load(f)
+        os.unlink(corr_json)
+    finally:
+        shutil.rmtree(deco, ignore_errors=True)
+
+    # --- straggler half: uniform vs skewed timing at perf SF
+    probe = perf_probe(perf_src, queries, factor=factor)
+
+    result = {
+        "correctness_sf": corr_src,
+        "correctness_pass": correctness_rc == 0,
+        "correctness_n": len(corr),
+        "perf_sf": perf_src,
+        "perf_factor": factor,
+        "probe": probe,
+    }
+    line = json.dumps(result)
+    print(line)
+    if json_out:
+        with open(json_out, "w") as f:
+            f.write(line + "\n")
+    sys.exit(correctness_rc)
+
+
+if __name__ == "__main__":
+    main()
