@@ -168,6 +168,91 @@ def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "moving_average_ranged",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+               4) AS ma_1h
+    FROM events
+    """,
+)
+def moving_average_ranged(
+    spark: SparkSession,
+    sf_dir: str,
+    width_s: int = 3600,
+    paned: bool = True,
+) -> DataFrame:
+    """Trailing-hour moving average per entity, computed so that a
+    HOT KEY no longer serializes one task: the skew sweep measured
+    the classic ``Window.partitionBy(user_id)`` forms at 1.4-1.8x
+    under a 30%-hot key at a replicated decade (SKEW_SWEEP_r11), and
+    at 100 TB a bot user with 10^8 events makes that one task the
+    whole job.  Row-count frames (``moving_average``'s ROWS 3
+    PRECEDING) cannot split — a sparse key's frame reaches arbitrarily
+    far back in time — but a TIME-RANGE frame decomposes exactly:
+
+    - pane id = epoch_us div frame_width; a row's frame
+      ``[t - W, t]`` can only touch its own pane and the one before
+      (t in [pW, (p+1)W) implies t - W >= (p-1)W);
+    - every row is replicated ONCE into the next pane as a
+      contributor-only GHOST, so partition (user, pane) holds the
+      complete candidate set for each of its own rows;
+    - the identical RANGE frame runs per (user, pane) — the hot key
+      now splits across as many tasks as it spans panes — and ghost
+      rows' outputs are discarded.
+
+    Value-EXACT vs the single-partition form (the frame SET is
+    identical; only the partitioning moved): the oracle is the plain
+    per-user RANGE window, and ``paned=False`` wires the classic
+    form for A/B.  Cost: 2x rows through one exchange keyed
+    (user_id, pane) — the shuffle a splittable plan buys vs the
+    straggler it retires.  Ordering key is integer epoch-µs on both
+    engines, so frame bounds agree exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    width_us = width_s * 1_000_000
+    us = F.unix_micros("ts")  # == DuckDB epoch_us bit-for-bit
+    if not paned:
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(us)
+            .rangeBetween(-width_us, 0)
+        )
+        return ev.select(
+            "user_id", "event_id", "ts",
+            F.round(F.avg("value").over(w), 4).alias("ma_1h"),
+        )
+    base = ev.select(
+        "user_id", "event_id", "ts", "value",
+        us.alias("us"),
+        F.floor(us / width_us).cast("long").alias("pane"),
+        F.lit(False).alias("ghost"),
+    )
+    ghosts = base.select(
+        "user_id", "event_id", "ts", "value", "us",
+        (F.col("pane") + 1).alias("pane"),
+        F.lit(True).alias("ghost"),
+    )
+    w = (
+        Window.partitionBy("user_id", "pane")
+        .orderBy("us")
+        .rangeBetween(-width_us, 0)
+    )
+    return (
+        base.unionByName(ghosts)
+        .select(
+            "user_id", "event_id", "ts", "ghost",
+            F.round(F.avg("value").over(w), 4).alias("ma_1h"),
+        )
+        .where(~F.col("ghost"))
+        .drop("ghost")
+    )
+
+
+@register(
     "orders_fulfillment",
     oracle="""
     SELECT o.o_orderkey, o.o_orderstatus,

@@ -154,6 +154,90 @@ def test_skew_hardened_representative(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------
+# moving_average_ranged: the hot-key-splittable sliding window
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_moving_average_ranged_splits_hot_key(spark, sf_dir):
+    """The paned plan must window over (user_id, pane) — the hot key
+    splits across panes — with NO user_id-only window partition
+    anywhere; the unpaned knob must produce identical values (the
+    frame SET is unchanged, only the partitioning moved)."""
+    import re
+
+    catalog.load_all()
+    paned = catalog.QUERIES["moving_average_ranged"](spark, sf_dir)
+    plan = _plan(paned)
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, pane#", plan), (
+        "window is not partitioned by (user_id, pane)"
+    )
+    assert not re.search(r"hashpartitioning\(user_id#\d+L?, \d+\)", plan), (
+        "a user_id-only exchange survived — the hot key would"
+        " serialize one task"
+    )
+    classic = catalog.QUERIES["moving_average_ranged"](
+        spark, sf_dir, paned=False
+    )
+    got = sorted(
+        map(tuple, paned.select("user_id", "event_id", "ma_1h").collect())
+    )
+    want = sorted(
+        map(tuple, classic.select("user_id", "event_id", "ma_1h").collect())
+    )
+    assert got == want
+
+
+def test_moving_average_ranged_pane_boundary_exact(spark):
+    """Rows straddling a pane boundary: a row early in pane p must
+    average over the ghost rows of pane p-1 that fall inside its
+    trailing window — the replication correctness the decomposition
+    rests on (checked against a hand-computed frame)."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [1] * 5,
+            "event_id": [1, 2, 3, 4, 5],
+            # seconds: 100, 3500, 3650, 7300, 7400 — panes 0,0,1,2,2
+            # (width 3600): event 3's frame reaches 50..3650 so it
+            # needs BOTH pane-0 ghosts (events 1,2); event 4's
+            # reaches 3700..7300 (event 4 only — 3650 just misses)
+            "ts": pd.to_datetime(
+                [100, 3500, 3650, 7300, 7400], unit="s", utc=True
+            ).tz_localize(None),
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bes_mar_")
+    sdf = spark.createDataFrame(rows)
+    sdf.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    catalog.load_all()
+    out = {
+        r["event_id"]: r["ma_1h"]
+        for r in catalog.QUERIES["moving_average_ranged"](
+            spark, d
+        ).collect()
+    }
+    assert out == {
+        1: 1.0,          # alone
+        2: 1.5,          # frame -100..3500 → events 1,2
+        3: 2.0,          # frame 50..3650 → events 1,2,3 (ghosts)
+        4: 4.0,          # frame 3700..7300 → event 4 only
+        5: 4.5,          # frame 3800..7400 → events 4,5
+    }
+
+
+# ---------------------------------------------------------------------
 # backfill: markerless coarser-layout rejection
 
 
