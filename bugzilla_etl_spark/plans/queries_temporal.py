@@ -107,6 +107,43 @@ def state_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "state_rollforward_paned",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           last(purchase_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_purchase_value
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+        FROM events
+    )
+    """,
+)
+def state_rollforward_paned(
+    spark: SparkSession, sf_dir: str, width_s: int = 3600
+) -> DataFrame:
+    """state_rollforward's HOT-KEY-SPLITTABLE form (#173): the same
+    forward-fill, decomposed as a two-level prefix scan (docstring
+    at operators/snapshot.state_rollforward_paned) — in-pane carry
+    per (user, pane), one summary row per pane, sequential pass over
+    the tiny summary only.  Same oracle as state_rollforward: the
+    decomposition is value-exact, only the partitioning moved.
+    reference: parse_bug_history.py:111 processRow."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_value"
+        ),
+    )
+    out = S.state_rollforward_paned(
+        ev, fields=["purchase_value"], width_s=width_s
+    )
+    return out.select("user_id", "event_id", "ts", "last_purchase_value")
+
+
+@register(
     "set_accumulate",
     oracle="""
     SELECT user_id, event_id, ts,

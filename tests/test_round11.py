@@ -237,6 +237,64 @@ def test_moving_average_ranged_pane_boundary_exact(spark):
     }
 
 
+def test_state_rollforward_paned_two_level_scan(spark, sf_dir):
+    """The paned forward-fill must (a) window the CORPUS on
+    (user_id, _pane) with exactly one user-only exchange — the
+    post-aggregation pane-summary prefix pass — and (b) produce the
+    identical carry as the classic single-partition form."""
+    import re
+
+    catalog.load_all()
+    paned = catalog.QUERIES["state_rollforward_paned"](spark, sf_dir)
+    plan = _plan(paned)
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, _pane#", plan)
+    assert (
+        len(re.findall(r"hashpartitioning\(user_id#\d+L?, \d+\)", plan))
+        == 1
+    ), "expected exactly one user-only exchange (the summary prefix)"
+    classic = catalog.QUERIES["state_rollforward"](spark, sf_dir)
+    got = sorted(map(tuple, paned.collect()))
+    want = sorted(map(tuple, classic.collect()))
+    assert got == want
+
+
+def test_state_rollforward_paned_prefix_crosses_empty_panes(spark):
+    """A carry must survive any number of carrier-less panes: a
+    purchase in pane 0 must reach a row three panes later even when
+    the panes between contain only non-purchase rows (the prefix
+    pass runs over pane summaries, and intermediate all-null
+    summaries must not reset it)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [1] * 4,
+            "event_id": [1, 2, 3, 4],
+            # panes (width 3600): 0, 1, 2, 3
+            "ts": pd.to_datetime(
+                [100, 3700, 7300, 10900], unit="s", utc=True
+            ).tz_localize(None),
+            "event_type": ["purchase", "view", "view", "view"],
+            "value": [9.0, 1.0, 2.0, 3.0],
+        }
+    )
+    d = tempfile.mkdtemp(prefix="bes_srp_")
+    spark.createDataFrame(rows).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "events.parquet"))
+    catalog.load_all()
+    out = {
+        r["event_id"]: r["last_purchase_value"]
+        for r in catalog.QUERIES["state_rollforward_paned"](
+            spark, d
+        ).collect()
+    }
+    assert out == {1: 9.0, 2: 9.0, 3: 9.0, 4: 9.0}
+
+
 # ---------------------------------------------------------------------
 # backfill: markerless coarser-layout rejection
 

@@ -85,6 +85,8 @@ SKEW_QUERIES = [
     "topk_per_group",
     "moving_average",
     "moving_average_ranged",  # the pane-split mitigation (#172)
+    "state_rollforward",
+    "state_rollforward_paned",  # the prefix-scan mitigation (#173)
     "time_rollup",
     "tpch_q13",
     "tpch_q18",
