@@ -169,6 +169,10 @@ HEADLINE = [
     # and the composed replicate cycle)
     "full_backfill_clustered",
     "replicate_cycle",
+    # round-11 additions (the hot-key-splittable temporal trilogy)
+    "moving_average_ranged",
+    "state_rollforward_paned",
+    "events_sessionize_paned",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into

@@ -441,6 +441,113 @@ def events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sessionize_paned",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN floor(epoch(ts))::BIGINT
+                         - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, event_id, ts,
+               (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW))::BIGINT AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(floor(epoch(ts))::BIGINT) AS session_start,
+           max(floor(epoch(ts))::BIGINT) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize_paned(
+    spark: SparkSession, sf_dir: str, width_s: int = 3600
+) -> DataFrame:
+    """events_sessionize's HOT-KEY-SPLITTABLE form (#174) — the
+    third member of the skew-immune temporal trilogy (bounded frame
+    #172, unbounded carry #173, gap sessionize here), same oracle as
+    the classic form.  Gap sessionization looks inherently
+    sequential (every session id depends on the whole prefix) but
+    both of its sequential ingredients decompose:
+
+    - the boundary flag needs only the PREVIOUS event's time: inside
+      a pane that is lag(); for a pane's first event it is the last
+      event time among earlier panes = max over the per-pane
+      time-summary PREFIX (one row per non-empty pane — sparse keys
+      whose previous event is many panes back included);
+    - the session id is a prefix SUM of boundary flags: in-pane
+      cumsum + the count of boundaries in earlier panes, read off a
+      second per-pane summary prefix.
+
+    The corpus crosses one (user, pane) exchange serving both
+    in-pane windows and both summary joins; the summaries are
+    panes-per-user rows; the final per-session aggregate partials
+    combine map-side, so even a session spanning many panes (or one
+    mega-session) never serializes raw rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    sec = F.col("ts").cast("long")
+    base = ev.withColumn(
+        "_pane", F.floor(sec / F.lit(width_s)).cast("long")
+    )
+    # pass A: last event time per pane -> time entering each pane
+    ts_summ = base.groupBy("user_id", "_pane").agg(
+        F.max(sec).alias("_pane_last_sec")
+    )
+    w_pref = (
+        Window.partitionBy("user_id")
+        .orderBy("_pane")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    entering = ts_summ.select(
+        "user_id", "_pane",
+        F.max("_pane_last_sec").over(w_pref).alias("_prev_sec_in"),
+    )
+    w_pane = (
+        Window.partitionBy("user_id", "_pane")
+        .orderBy("ts", "event_id")
+    )
+    prev_sec = F.coalesce(
+        F.lag(sec).over(w_pane), F.col("_prev_sec_in")
+    )
+    marked = base.join(entering, on=["user_id", "_pane"]).select(
+        "user_id", "event_id", "ts", "_pane",
+        F.when(
+            prev_sec.isNull() | ((sec - prev_sec) > 1800), 1
+        ).otherwise(0).alias("is_new"),
+    )
+    # pass B: boundaries per pane -> session-id offset entering each
+    # pane (prefix SUM over the boundary summary)
+    nb_summ = marked.groupBy("user_id", "_pane").agg(
+        F.sum("is_new").alias("_pane_new")
+    )
+    offsets = nb_summ.select(
+        "user_id", "_pane",
+        F.coalesce(F.sum("_pane_new").over(w_pref), F.lit(0)).alias(
+            "_sess_off"
+        ),
+    )
+    w_cum = w_pane.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = marked.join(offsets, on=["user_id", "_pane"]).select(
+        "user_id", "ts",
+        (F.col("_sess_off") + F.sum("is_new").over(w_cum)).alias(
+            "session_id"
+        ),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.col("ts").cast("long")).alias("session_start"),
+        F.max(F.col("ts").cast("long")).alias("session_end"),
+    )
+
+
+@register(
     "events_funnel",
     oracle="""
     WITH firsts AS (

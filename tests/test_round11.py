@@ -295,6 +295,68 @@ def test_state_rollforward_paned_prefix_crosses_empty_panes(spark):
     assert out == {1: 9.0, 2: 9.0, 3: 9.0, 4: 9.0}
 
 
+def test_events_sessionize_paned_splits_hot_key(spark, sf_dir):
+    """The paned sessionizer must window the corpus on (user_id,
+    _pane) — user-only exchanges may carry only the per-pane
+    summaries — and must produce the identical session set as the
+    classic lag+cumsum form."""
+    import re
+
+    catalog.load_all()
+    paned = catalog.QUERIES["events_sessionize_paned"](spark, sf_dir)
+    plan = _plan(paned)
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, _pane#", plan)
+    classic = catalog.QUERIES["events_sessionize"](spark, sf_dir)
+    got = sorted(map(tuple, paned.collect()))
+    want = sorted(map(tuple, classic.collect()))
+    assert got == want
+
+
+def test_events_sessionize_paned_boundaries(spark):
+    """The two decomposition hazards, hand-computed: (a) a session
+    SPANNING a pane boundary must not split (gap 600 s across the
+    3600 s pane line); (b) a sparse key whose previous event sits
+    several panes back must still break the session on the true gap
+    (prefix max over non-empty pane summaries, not just the adjacent
+    pane)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "event_id": [1, 2, 3, 4, 5],
+            # user 1: 3300, 3900 (panes 0,1 — gap 600 ≤ 1800: SAME
+            # session), then 9000 (gap 5100 > 1800: new session).
+            # user 2: 100 then 14500 — THREE empty panes between;
+            # gap 14400 > 1800 must still start session 2.
+            "ts": pd.to_datetime(
+                [3300, 3900, 9000, 100, 14500], unit="s", utc=True
+            ).tz_localize(None),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="bes_esp_")
+    spark.createDataFrame(rows).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "events.parquet"))
+    catalog.load_all()
+    got = sorted(
+        (r["user_id"], r["session_id"], r["n_events"],
+         r["session_start"], r["session_end"])
+        for r in catalog.QUERIES["events_sessionize_paned"](
+            spark, d
+        ).collect()
+    )
+    assert got == [
+        (1, 1, 2, 3300, 3900),   # spans panes 0->1, one session
+        (1, 2, 1, 9000, 9000),
+        (2, 1, 1, 100, 100),
+        (2, 2, 1, 14500, 14500),  # boundary seen across empty panes
+    ]
+
+
 # ---------------------------------------------------------------------
 # backfill: markerless coarser-layout rejection
 

@@ -79,6 +79,7 @@ SKEW = {
 # keys, and the salted/unsalted pair whose delta IS the mitigation.
 SKEW_QUERIES = [
     "events_sessionize",
+    "events_sessionize_paned",  # the prefix-sum mitigation (#174)
     "previous_values",
     "set_final",
     "set_final_salted",
