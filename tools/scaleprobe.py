@@ -63,6 +63,11 @@ DEFAULT_QUERIES = [
     "full_backfill_clustered",
     "dual_pipeline_cutover",
     "replicate_cycle",
+    # round-11: the hot-key-splittable temporal trilogy — pane
+    # decompositions must stay sublinear like the classics they A/B
+    "moving_average_ranged",
+    "state_rollforward_paned",
+    "events_sessionize_paned",
 ]
 
 # Knob variants: probe a catalog entry with a non-default parameter
