@@ -448,6 +448,208 @@ def previous_values(
     )
 
 
+def previous_values_paned(
+    log: DataFrame,
+    fields: Sequence[str],
+    entity: str = "user_id",
+    ts: str = "ts",
+    field_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak: Sequence[str] = ("event_id",),
+    width_s: int = 3600,
+) -> DataFrame:
+    """``previous_values`` whose plan SPLITS a hot key — the last
+    class-2 batch entry from the SKEW_SWEEP_r11 straggler taxonomy.
+    The classic form stacks its five carries as frames of ONE
+    per-entity ordered window, so a 30%-hot key serializes one task
+    five carries deep.  Every one of those carries is a prefix scan,
+    and each decomposes exactly like
+    ``state_rollforward_paned`` (two-level: in-pane + pane-summary
+    prefix).  The dependency chain forces THREE sequential
+    summary rounds — ``_prior`` feeds the real-change flag, whose
+    timestamps feed the emitted record, whose carry is the output —
+    but every corpus-side window and groupBy keys on
+    ``(entity, _pane)``, so the corpus crosses the wire ONCE and the
+    sequential work runs over panes-per-entity summary rows only.
+
+    Value-EXACT vs ``previous_values`` (same oracle): each carry's
+    candidates are either in-pane (level 1) or in an earlier pane
+    (level 3 prefix over summaries); ``coalesce`` picks the in-pane
+    candidate first, which is always the later one.  Ties share a
+    pane (pane id is a function of the same truncated ``_tsl`` the
+    order key leads with), so cross-pane order respects
+    ``(ts, tiebreak)``.
+
+    reference: parse_bug_history.py:783 setPrevious — semantics
+    identical to ``previous_values``; only the partitioning moved.
+    """
+    tsl = F.col(ts).cast("long")
+    base = log.select(
+        entity,
+        *tiebreak,
+        F.col(field_col).alias("_f"),
+        F.col(value_col).alias("_v"),
+        tsl.alias("_tsl"),
+    ).withColumn("_pane", F.floor(F.col("_tsl") / F.lit(width_s)))
+
+    okey = F.struct(F.col("_tsl"), *[F.col(t) for t in tiebreak])
+    w_in = (
+        Window.partitionBy(entity, "_pane")
+        .orderBy("_tsl", *tiebreak)
+    )
+    w_in_prev = w_in.rowsBetween(Window.unboundedPreceding, -1)
+    w_in_cur = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def _pane_prefix(
+        summarized: DataFrame, names: Sequence[str], out_prefix: str
+    ) -> DataFrame:
+        """Exclusive last-non-null prefix over pane summaries —
+        the tiny sequential pass (panes-per-entity rows)."""
+        w_pref = (
+            Window.partitionBy(entity)
+            .orderBy("_pane")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return summarized.select(
+            entity,
+            "_pane",
+            *[
+                F.last(F.col(f"{n}.v"), ignorenulls=True)
+                .over(w_pref)
+                .alias(f"{out_prefix}{n[3:]}")
+                for n in names
+            ],
+        )
+
+    # ---- round 1: per-field prior value (exclusive carry) ---------
+    summ1 = base.groupBy(entity, "_pane").agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("_f") == f) & F.col("_v").isNotNull(),
+                    F.struct(okey.alias("k"), F.col("_v").alias("v")),
+                )
+            ).alias(f"_s1{f}")
+            for f in fields
+        ]
+    )
+    pref1 = _pane_prefix(summ1, [f"_s1{f}" for f in fields], "_pp1")
+    s1 = base.join(pref1, on=[entity, "_pane"], how="left").select(
+        "*",
+        *[
+            F.coalesce(
+                F.last(
+                    F.when(F.col("_f") == f, F.col("_v")),
+                    ignorenulls=True,
+                ).over(w_in_prev),
+                F.col(f"_pp1{f}"),
+            ).alias(f"_prior_{f}")
+            for f in fields
+        ],
+    )
+    # entity creation ts: first (ts, tiebreak) row per entity — the
+    # classic's first() over the inclusive frame equals the global
+    # per-entity minimum on every row, so one tiny agg + broadcast
+    # join replaces the window.
+    created = base.groupBy(entity).agg(
+        F.min(okey).getField("_tsl").alias("_created_l")
+    )
+    s1 = s1.join(F.broadcast(created), on=entity, how="left")
+
+    # ---- round 2: real-change flags, previous-change ts -----------
+    s2 = s1.select(
+        "*",
+        *[
+            (
+                (F.col("_f") == f)
+                & ~F.col("_v").eqNullSafe(F.col(f"_prior_{f}"))
+            ).alias(f"_chg_{f}")
+            for f in fields
+        ],
+    )
+    summ2 = s2.groupBy(entity, "_pane").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col(f"_chg_{f}") & F.col("_tsl").isNotNull(),
+                    F.struct(okey.alias("k"), F.col("_tsl").alias("v")),
+                )
+            ).alias(f"_s2{f}")
+            for f in fields
+        ]
+    )
+    pref2 = _pane_prefix(summ2, [f"_s2{f}" for f in fields], "_pp2")
+    s3 = s2.join(pref2, on=[entity, "_pane"], how="left").select(
+        "*",
+        *[
+            F.coalesce(
+                F.last(
+                    F.when(F.col(f"_chg_{f}"), F.col("_tsl")),
+                    ignorenulls=True,
+                ).over(w_in_prev),
+                F.col(f"_pp2{f}"),
+            ).alias(f"_pcts_{f}")
+            for f in fields
+        ],
+    )
+
+    # ---- round 3: emitted record at change rows, inclusive carry --
+    def _pv(f: str) -> Column:
+        ct = F.coalesce(F.col(f"_pcts_{f}"), F.col("_created_l"))
+        return F.when(
+            F.col(f"_chg_{f}"),
+            F.struct(
+                F.col(f"_prior_{f}").alias("pv"),
+                ct.alias("ct"),
+                F.col("_tsl").alias("ca"),
+                F.floor((F.col("_tsl") - ct) / F.lit(86400.0))
+                .cast("long")
+                .alias("dd"),
+            ),
+        )
+
+    s4 = s3.select("*", *[_pv(f).alias(f"_pv_{f}") for f in fields])
+    summ3 = s4.groupBy(entity, "_pane").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col(f"_pv_{f}").isNotNull(),
+                    F.struct(okey.alias("k"), F.col(f"_pv_{f}").alias("v")),
+                )
+            ).alias(f"_s3{f}")
+            for f in fields
+        ]
+    )
+    pref3 = _pane_prefix(summ3, [f"_s3{f}" for f in fields], "_pp3")
+    s5 = s4.join(pref3, on=[entity, "_pane"], how="left").select(
+        entity,
+        *tiebreak,
+        F.col("_tsl").alias("version_tsl"),
+        *[
+            F.coalesce(
+                F.last(f"_pv_{f}", ignorenulls=True).over(w_in_cur),
+                F.col(f"_pp3{f}"),
+            ).alias(f"_c_{f}")
+            for f in fields
+        ],
+    )
+    return s5.select(
+        entity,
+        *tiebreak,
+        "version_tsl",
+        *[
+            c
+            for f in fields
+            for c in (
+                F.col(f"_c_{f}.pv").alias(f"{f}_prev_value"),
+                F.col(f"_c_{f}.ct").alias(f"{f}_change_to_l"),
+                F.col(f"_c_{f}.ca").alias(f"{f}_change_away_l"),
+                F.col(f"_c_{f}.dd").alias(f"{f}_duration_days"),
+            )
+        ],
+    )
+
+
 def incremental_touched(
     log: DataFrame,
     since_epoch_s: int,

@@ -1142,6 +1142,33 @@ def previous_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op(load_table(spark, sf_dir, "events"), fields=_PV_FIELDS)
 
 
+@register("previous_values_paned", oracle=_pv_oracle())
+def previous_values_paned(
+    spark: SparkSession, sf_dir: str, width_s: int = 3600
+) -> DataFrame:
+    """previous_values' HOT-KEY-SPLITTABLE form (#175) — the last
+    class-2 batch entry from SKEW_SWEEP_r11's straggler taxonomy.
+    All five stacked carries are prefix scans; each decomposes
+    two-level like state_rollforward_paned (#173), with the
+    dependency chain (prior -> change flag -> change ts -> emitted
+    record -> carry) forcing three sequential pane-summary rounds —
+    but every corpus-side window and groupBy keys on (user, pane),
+    so the corpus crosses the wire once and the sequential work runs
+    over panes-per-user summary rows only.  Same oracle as
+    previous_values: the decomposition is value-exact, only the
+    partitioning moved.  reference: parse_bug_history.py:783
+    setPrevious."""
+    from bugzilla_etl_spark.operators.snapshot import (
+        previous_values_paned as _op,
+    )
+
+    return _op(
+        load_table(spark, sf_dir, "events"),
+        fields=_PV_FIELDS,
+        width_s=width_s,
+    )
+
+
 @register("stream_previous_values", oracle=_pv_oracle())
 def stream_previous_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-field previous-value tracking as an ACTUAL stateful

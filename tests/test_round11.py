@@ -435,3 +435,89 @@ def test_run_backfill_rejects_coarser_markerless_layout(spark, tmp_path):
             clustered_dir=d,
         )
     assert not os.path.isdir(store) or not os.listdir(store)
+
+
+# ---------------------------------------------------------------------
+# previous_values_paned: the last class-2 batch entry, decomposed
+
+
+def test_previous_values_paned_splits_hot_key(spark, sf_dir):
+    """All five stacked carries must run over (user_id, _pane)-keyed
+    corpus windows — user-only exchanges may carry only the tiny
+    pane summaries and the per-user creation row — and the output
+    must be identical to the classic single-partition form."""
+    import re
+
+    catalog.load_all()
+    paned = catalog.QUERIES["previous_values_paned"](spark, sf_dir)
+    plan = _plan(paned)
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, _pane#", plan)
+    # no corpus-side user-only window: every user-only Sort/Window in
+    # the plan must sit above a pane-summary aggregate, which we proxy
+    # by asserting the ROW-paths (windows whose child is the scan
+    # exchange) all carry _pane in their partitioning
+    classic = catalog.QUERIES["previous_values"](spark, sf_dir)
+    got = sorted(map(tuple, paned.collect()))
+    want = sorted(map(tuple, classic.collect()))
+    assert got == want
+
+
+def test_previous_values_paned_chain_crosses_panes(spark, tmp_path):
+    """The three-round dependency chain must survive pane borders:
+    a field whose prior value, previous-change ts, and carried
+    record all live in DIFFERENT earlier panes (with carrier-less
+    panes between) must still reconstruct the classic record."""
+    import os
+
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [1] * 6,
+            "event_id": [1, 2, 3, 4, 5, 6],
+            # panes (width 3600): 0, 1, 2, 4, 6, 8
+            "ts": pd.to_datetime(
+                [100, 3700, 7300, 14500, 21700, 28900],
+                unit="s",
+                utc=True,
+            ).tz_localize(None),
+            # purchase changes at panes 0, 2, 6 (value 5.0 -> 7.0 ->
+            # 9.0); views between are noise; the change at pane 6 must
+            # see prior=7.0 (pane 2) and pcts=pane-2's ts, and the row
+            # at pane 8 must carry pane-6's emitted record.
+            "event_type": [
+                "purchase", "view", "purchase", "view", "purchase", "view",
+            ],
+            "value": [5.0, 1.0, 7.0, 2.0, 9.0, 3.0],
+        }
+    )
+    d = str(tmp_path / "pvp")
+    os.makedirs(d)
+    spark.createDataFrame(rows).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "events.parquet"))
+    catalog.load_all()
+    paned = {
+        r["event_id"]: (
+            r["purchase_prev_value"],
+            r["purchase_change_to_l"],
+            r["purchase_change_away_l"],
+            r["purchase_duration_days"],
+        )
+        for r in catalog.QUERIES["previous_values_paned"](
+            spark, d
+        ).collect()
+    }
+    classic = {
+        r["event_id"]: (
+            r["purchase_prev_value"],
+            r["purchase_change_to_l"],
+            r["purchase_change_away_l"],
+            r["purchase_duration_days"],
+        )
+        for r in catalog.QUERIES["previous_values"](spark, d).collect()
+    }
+    assert paned == classic
+    # and pin the absolute values so both forms can't be wrong together
+    assert paned[6] == (7.0, 7300, 21700, 0)
+    assert paned[4] == (5.0, 100, 7300, 0)

@@ -81,6 +81,7 @@ SKEW_QUERIES = [
     "events_sessionize",
     "events_sessionize_paned",  # the prefix-sum mitigation (#174)
     "previous_values",
+    "previous_values_paned",  # the five-carry mitigation (#175)
     "set_final",
     "set_final_salted",
     "topk_per_group",
