@@ -391,14 +391,18 @@ def stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file-stream source requires a DIRECTORY; the test tables
     # are single files, so expose the file through a temp dir (in
     # production this is the landing directory the extractor drops
-    # incremental batches into)
-    import os
+    # incremental batches into).  stage_stream_source symlinks by
+    # default; under the arrival-order knob it lands bounded-disorder
+    # parts instead (state here is a commutative (ts, id) max-merge,
+    # so ANY arrival order must converge — the sweep proves it).
+    from bugzilla_etl_spark.streaming.landing import (
+        stage_stream_source,
+        stream_reader,
+    )
 
     srcdir = tracked_mkdtemp(prefix="bes_ssrc_")
-    os.symlink(path, os.path.join(srcdir, "events.parquet"))
-    src = normalize_events_ts(
-        spark.readStream.schema(static.schema).parquet(srcdir)
-    )
+    stage_stream_source(path, srcdir)
+    src = normalize_events_ts(stream_reader(spark, static.schema, srcdir))
     name = f"stream_snap_{uuid.uuid4().hex[:8]}"
     q = (
         stream_current_state(src)
@@ -456,12 +460,17 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     static = spark.read.parquet(path)
-    srcdir = tracked_mkdtemp(prefix="bes_sdup_")
-    os.symlink(path, os.path.join(srcdir, "events_a.parquet"))
-    os.symlink(path, os.path.join(srcdir, "events_b.parquet"))
-    src = normalize_events_ts(
-        spark.readStream.schema(static.schema).parquet(srcdir)
+    from bugzilla_etl_spark.streaming.landing import (
+        stage_stream_source,
+        stream_reader,
     )
+
+    srcdir = tracked_mkdtemp(prefix="bes_sdup_")
+    # copies=2: the replay.  Under the arrival knob the duplicate
+    # copy of each part arrives one micro-batch later — a delayed
+    # replay the within-watermark id state must still absorb.
+    stage_stream_source(path, srcdir, copies=2)
+    src = normalize_events_ts(stream_reader(spark, static.schema, srcdir))
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     q = (
         stream_dedup_events(src)
@@ -514,11 +523,14 @@ def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     static = spark.read.parquet(path)
-    srcdir = tracked_mkdtemp(prefix="bes_sroll_")
-    os.symlink(path, os.path.join(srcdir, "events.parquet"))
-    src = normalize_events_ts(
-        spark.readStream.schema(static.schema).parquet(srcdir)
+    from bugzilla_etl_spark.streaming.landing import (
+        stage_stream_source,
+        stream_reader,
     )
+
+    srcdir = tracked_mkdtemp(prefix="bes_sroll_")
+    stage_stream_source(path, srcdir)
+    src = normalize_events_ts(stream_reader(spark, static.schema, srcdir))
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
     q = (
         stream_time_rollup(src)
@@ -872,11 +884,14 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     static = spark.read.parquet(path)
-    srcdir = tracked_mkdtemp(prefix="bes_sess_")
-    os.symlink(path, os.path.join(srcdir, "events.parquet"))
-    src = normalize_events_ts(
-        spark.readStream.schema(static.schema).parquet(srcdir)
+    from bugzilla_etl_spark.streaming.landing import (
+        stage_stream_source,
+        stream_reader,
     )
+
+    srcdir = tracked_mkdtemp(prefix="bes_sess_")
+    stage_stream_source(path, srcdir)
+    src = normalize_events_ts(stream_reader(spark, static.schema, srcdir))
     src = src.select(
         "user_id", F.col("ts").cast("long").alias("tsl"), "event_id"
     )
@@ -907,6 +922,82 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_sessionize_ooo",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN floor(epoch(ts))::BIGINT
+                         - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, event_id, ts,
+               (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW))::BIGINT AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(floor(epoch(ts))::BIGINT) AS session_start,
+           max(floor(epoch(ts))::BIGINT) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_sessionize_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_sessionize WITHOUT the in-order-delivery assumption
+    (#177): watermark-buffered finalize-then-sessionize — sessions
+    close the moment the watermark passes their end by more than the
+    gap, emit EXACTLY ONCE in append mode (no update-mode re-emit,
+    no sink-side latest-per-session dedup pass), and the event-time
+    timeout plus two heartbeat sentinels drain the tail.  Same
+    oracle as stream_sessionize/events_sessionize: any arrival order
+    within the 2h watermark must converge to the batch session set.
+    reference: the incremental==full guarantee (bz_etl.py:172) under
+    out-of-order delivery."""
+    import uuid
+
+    from bugzilla_etl_spark.streaming.landing import (
+        stage_stream_source,
+        write_heartbeats,
+    )
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        stream_sessionize_ooo as _op,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(path)
+    srcdir = tracked_mkdtemp(prefix="bes_sesso_")
+    stage_stream_source(path, srcdir)
+    write_heartbeats(path, srcdir)
+    src = normalize_events_ts(
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    src = src.select(
+        "user_id", "event_id", "ts",
+        F.col("ts").cast("long").alias("tsl"),
+    )
+    name = f"stream_sesso_{uuid.uuid4().hex[:8]}"
+    q = (
+        _op(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tracked_mkdtemp(prefix="bes_sessoq_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).where(F.col("user_id") >= 0)
+
+
 @register("stream_bug_versions", oracle=_FULL_ORACLE)
 def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's incremental ETL loop as a REAL streaming run:
@@ -923,10 +1014,22 @@ def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_full_rebuild,
     )
 
+    from bugzilla_etl_spark.streaming.landing import arrival_mode
+
     ev = load_table(spark, sf_dir, "events")
     work = tracked_mkdtemp(prefix="bes_incv_")
     src = f"{work}/src"
-    # three time-ordered slices = three incremental deliveries
+    # three time-ordered slices = three incremental deliveries; under
+    # the arrival-order knob the slice NAMES reverse, so the newest
+    # delivery arrives first — rebuild-from-accumulated-archive is
+    # order-insensitive by construction (each entity's final rebuild
+    # sees its full archived history) and must converge anyway
+    n_slices = 3
+    arrival = (
+        list(reversed(range(n_slices)))
+        if arrival_mode() is not None
+        else list(range(n_slices))
+    )
     lo_hi = ev.approxQuantile("event_id", [1 / 3, 2 / 3], 0.0)
     lo = None
     for i, hi in enumerate([*lo_hi, None]):
@@ -935,7 +1038,9 @@ def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             sl = sl.where(F.col("event_id") > lo)
         if hi is not None:
             sl = sl.where(F.col("event_id") <= hi)
-        sl.coalesce(1).write.mode("overwrite").parquet(f"{src}/slice={i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/slice={arrival[i]}"
+        )
         lo = hi
     stream = (
         spark.readStream.schema(ev.schema)
@@ -1191,11 +1296,19 @@ def stream_previous_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     static = spark.read.parquet(path)
-    srcdir = tracked_mkdtemp(prefix="bes_pv_")
-    os.symlink(path, os.path.join(srcdir, "events.parquet"))
-    src = normalize_events_ts(
-        spark.readStream.schema(static.schema).parquet(srcdir)
+    from bugzilla_etl_spark.streaming.landing import (
+        stage_stream_source,
+        stream_reader,
     )
+
+    srcdir = tracked_mkdtemp(prefix="bes_pv_")
+    # _pv_state's contract is IN-ORDER-per-entity delivery; under the
+    # arrival-order sweep this entry documents the contract's edge
+    # (the sweep expects divergence here) and
+    # stream_previous_values_ooo is the watermark-buffered form that
+    # retires the assumption.
+    stage_stream_source(path, srcdir)
+    src = normalize_events_ts(stream_reader(spark, static.schema, srcdir))
     src = src.select(
         "user_id", "event_id", F.col("ts").cast("long").alias("tsl"),
         "event_type", "value",
@@ -1212,6 +1325,67 @@ def stream_previous_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register("stream_previous_values_ooo", oracle=_pv_oracle())
+def stream_previous_values_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_previous_values WITHOUT the in-order-delivery
+    assumption (#176): per-entity state additionally buffers events
+    newer than the 2h watermark; each batch finalizes the
+    watermark-passed prefix in event-time order through the IDENTICAL
+    replay core as the in-order form (_pv_replay — one
+    implementation, two delivery contracts), and an event-time
+    timeout flushes the tail.  Two far-future heartbeat files bound
+    the availableNow run the way stream_attribution's sentinels do.
+    Always multi-batch (maxFilesPerTrigger=1) so the buffered path is
+    actually exercised; under the arrival-order sweep the landing is
+    scrambled within the watermark and the result must STILL equal
+    the batch oracle — the property the classic form cannot offer.
+    reference: parse_bug_history.py:783 setPrevious under
+    out-of-order incremental delivery."""
+    import uuid
+
+    from bugzilla_etl_spark.streaming.landing import (
+        stage_stream_source,
+        write_heartbeats,
+    )
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        stream_previous_values_ooo as _op,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(path)
+    srcdir = tracked_mkdtemp(prefix="bes_pvo_")
+    stage_stream_source(path, srcdir)
+    write_heartbeats(path, srcdir)
+    src = normalize_events_ts(
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    src = src.select(
+        "user_id", "event_id", "ts",
+        F.col("ts").cast("long").alias("tsl"),
+        "event_type", "value",
+    )
+    name = f"stream_pvo_{uuid.uuid4().hex[:8]}"
+    q = (
+        _op(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tracked_mkdtemp(prefix="bes_pvoq_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # sentinel rows ride through the stateful op as their own group;
+    # filter them on the MATERIALIZED result (in-stream filtering
+    # would push below the watermark node — see the operator's
+    # docstring)
+    return spark.table(name).where(F.col("user_id") >= 0)
 
 
 @register(
@@ -1275,8 +1449,13 @@ def stream_heavy_hitters(
 
     path = f"{sf_dir}/documents.parquet"
     static = spark.read.parquet(path)
+    from bugzilla_etl_spark.streaming.landing import stage_stream_source
+
     srcdir = tracked_mkdtemp(prefix="bes_shh_")
-    os.symlink(path, os.path.join(srcdir, "documents.parquet"))
+    # documents carry no event time: under the arrival knob the
+    # staging shards by doc_id — arbitrary order, which this
+    # un-watermarked commutative count must tolerate outright
+    stage_stream_source(path, srcdir, ts_col=None, id_col="doc_id")
     src = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1548,11 +1727,14 @@ def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     static = spark.read.parquet(path)
+    from bugzilla_etl_spark.streaming.landing import stage_stream_source
+
     landing = tracked_mkdtemp(prefix="bes_hll_")
-    os.symlink(path, os.path.join(landing, "events_a.parquet"))
-    # second batch: the same file again — a REPLAY; max-merge absorbs
-    # it, which is exactly the claim under test
-    os.symlink(path, os.path.join(landing, "events_b.parquet"))
+    # copies=2: the same rows again — a REPLAY; max-merge absorbs it,
+    # which is exactly the claim under test (and under the arrival
+    # knob the replay arrives scrambled AND batch-delayed: register
+    # max-merge is commutative, so any order must converge)
+    stage_stream_source(path, landing, copies=2)
     state_dir = tracked_mkdtemp(prefix="bes_hlls_")
     state_path = os.path.join(state_dir, "registers")
 

@@ -56,3 +56,167 @@ def read_store_or_empty(spark, path: str, schema: str):
     if not os.path.exists(path):
         return spark.createDataFrame([], schema=schema)
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------
+# Arrival-order hostility (tools/order_sweep.py)
+#
+# Production ingest is never event-time-ordered across partitions: a
+# Kafka topic's partitions drain at different rates, a landing bucket
+# lists uploads in arrival order, a backfill races the live feed.  The
+# BES_STREAM_ARRIVAL env knob lets the order sweep re-run every
+# file-source streaming entry over a BOUNDED-DISORDER landing — same
+# rows, arrival order scrambled within the 2h watermark contract — so
+# the sweep can separate operators whose state is genuinely
+# order-insensitive (commutative merges, rebuild-from-archive) from
+# those that assume in-order-per-entity delivery (the documented
+# contract of _pv_state/_sessionize_state, whose *_ooo forms retire
+# the assumption).  Unset (the driver's path), staging is a plain
+# symlink and behavior is byte-identical to before the knob existed.
+
+ARRIVAL_ENV = "BES_STREAM_ARRIVAL"
+
+
+def arrival_mode() -> tuple[int, int] | None:
+    """Parse BES_STREAM_ARRIVAL: ``delay[:n_files[:margin_s]]`` ->
+    (n_files, margin_s); unset/empty -> None.  margin_s is the
+    event-time width of the delayed tail and MUST stay under every
+    consumer's watermark delay (2h) minus the in-flight slack — the
+    sweep's point is bounded disorder the watermark contract admits,
+    not data loss."""
+    import os
+
+    raw = os.environ.get(ARRIVAL_ENV, "").strip()
+    if not raw:
+        return None
+    parts = raw.split(":")
+    assert parts[0] == "delay", f"unknown {ARRIVAL_ENV} mode {raw!r}"
+    n_files = int(parts[1]) if len(parts) > 1 else 6
+    margin_s = int(parts[2]) if len(parts) > 2 else 5400
+    return n_files, margin_s
+
+
+def stage_stream_source(
+    path: str, srcdir: str, copies: int = 1, ts_col: str | None = "ts",
+    id_col: str = "event_id",
+) -> None:
+    """Stage one parquet file (or Spark-written dir) into ``srcdir``
+    for a file-source stream.  Default: symlink (one micro-batch per
+    copy under availableNow — the historical behavior).  Under
+    BES_STREAM_ARRIVAL=delay, rewrite into ``n_files`` time-sliced
+    part files where half of each slice's trailing ``margin_s``
+    seconds (by id parity) lands one file LATE — arrival interleaves
+    old-after-new, but every row stays above the watermark when it
+    arrives (margin < delay), so a correct operator must produce the
+    identical result.  With ``copies=2`` the duplicate copy of each
+    part lands one whole micro-batch later (a delayed replay, zero
+    event-time lateness).  Files are written in arrival order and
+    named in arrival order, so both mtime- and name-ordered source
+    listings agree."""
+    import os
+
+    mode = arrival_mode()
+    if mode is None:
+        if copies == 1:
+            os.symlink(path, os.path.join(srcdir, "events.parquet"))
+        else:
+            for c in range(copies):
+                os.symlink(
+                    path,
+                    os.path.join(
+                        srcdir, f"events_{'abcdef'[c]}.parquet"
+                    ),
+                )
+        return
+    n_files, margin_s = mode
+    import numpy as np
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    table = ds.dataset(path, format="parquet").to_table()
+    if table.num_rows == 0:
+        # empty source (the all-empty sweep): land one empty part so
+        # the stream still sees a file and stays schema-stable
+        pq.write_table(table, os.path.join(srcdir, "part_0000_a.parquet"))
+        return
+    ids = table.column(id_col).to_numpy().astype(np.int64)
+    if ts_col is None:
+        # no event-time semantics (e.g. the documents stream): shard
+        # by id into n_files — arbitrary arrival order, which an
+        # un-watermarked commutative consumer must tolerate outright
+        pos = ids % np.int64(n_files)
+        for p in range(n_files):
+            part = table.filter(pos == p)
+            for c in range(copies):
+                name = f"part_{p:04d}_{'abcdef'[c]}.parquet"
+                pq.write_table(part, os.path.join(srcdir, name))
+        return
+    ts = table.column(ts_col).to_numpy()
+    # timestamp[ns] -> epoch seconds; integer division, never float
+    tsl = ts.astype("datetime64[ns]").astype(np.int64) // 1_000_000_000
+    # file boundaries at ts quantiles so every part carries rows
+    qs = np.quantile(tsl, np.linspace(0, 1, n_files + 1)[1:-1])
+    base = np.searchsorted(qs, tsl, side="right")  # natural file
+    upper = np.concatenate([qs, [np.int64(tsl.max()) + 1]])
+    in_margin = (upper[base] - tsl) <= margin_s
+    delayed = in_margin & (ids % 2 == 1)
+    pos = np.where(delayed & (base < n_files - 1), base + 1, base)
+    for p in range(n_files):
+        part = table.filter(pos == p)
+        for c in range(copies):
+            # copy c of part p arrives c micro-batches later
+            name = f"part_{p:04d}_{'abcdef'[c]}.parquet"
+            pq.write_table(part, os.path.join(srcdir, name))
+
+
+def stream_reader(spark, schema, srcdir: str):
+    """readStream for a staged source dir: one file per trigger when
+    the arrival knob is active (each scrambled part = one REAL
+    micro-batch), plain single-batch read otherwise."""
+    reader = spark.readStream.schema(schema)
+    if arrival_mode() is not None:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    return reader.parquet(srcdir)
+
+
+def write_heartbeats(path: str, srcdir: str, user_col: str = "user_id",
+                     ts_col: str = "ts") -> None:
+    """Append two far-future heartbeat part files (one row each,
+    ``user_col`` = -1) after the staged source files — the
+    punctuation pattern of stream_attribution's sentinels: the first
+    pushes the watermark past every real row, the second gives the
+    engine a batch in which to fire the event-time timeouts that
+    flush buffered state.  Names sort (and mtimes land) after every
+    staged part, so they arrive last.  Consumers filter
+    ``user_col >= 0``."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.dataset as ds_
+    import pyarrow.parquet as pq
+
+    dataset = ds_.dataset(path, format="parquet")
+    schema = dataset.schema
+    tbl = dataset.to_table(columns=[ts_col])
+    if tbl.num_rows == 0:
+        # nothing to flush on an all-empty source; no heartbeat needed
+        return
+    mx = tbl.column(ts_col).to_numpy().max()
+    mx = pa.array([mx]).cast(pa.timestamp("us"))[0].as_py()
+    for i, days in enumerate((30, 31), start=1):
+        far = mx + datetime.timedelta(days=days)
+        cols = []
+        for field in schema:
+            if field.name == ts_col:
+                cols.append(pa.array([far], type=field.type))
+            elif field.name == user_col:
+                cols.append(pa.array([-1], type=field.type))
+            elif field.name == "event_id":
+                cols.append(pa.array([-i], type=field.type))
+            else:
+                cols.append(pa.array([None], type=field.type))
+        pq.write_table(
+            pa.table(cols, schema=schema),
+            os.path.join(srcdir, f"zz_hb{i}.parquet"),
+        )

@@ -479,21 +479,36 @@ def _pv_state(
     if not frames:
         return
     df = pd.concat(frames).sort_values(["tsl", "event_id"])
+
+    if state.exists:
+        st = list(state.get)
+    else:
+        st = [None] * (1 + 4 * len(PV_FIELDS))
+        st[0] = int(df["tsl"].iloc[0])
+
+    res, st = _pv_replay(key[0], st, df)
+    state.update(tuple(st))
+    yield res
+
+
+def _pv_replay(uid, st, df):
+    """The setPrevious replay core over one SORTED event frame:
+    given the carried state tuple ``st`` (created_l +
+    (cur, pv, ct, ca) per field; created_l already seeded), emit one
+    output row per event and roll the state forward.  Shared by the
+    in-order ``_pv_state`` (whole batch) and the watermark-buffered
+    ``_pv_state_ooo`` (finalized prefix only) — ONE replay
+    implementation, so the two delivery contracts can never drift."""
+    import numpy as np
+
     n = len(df)
     tsl = df["tsl"].to_numpy(dtype=np.int64)
     etype = df["event_type"].to_numpy()
     vals = df["value"].to_numpy(dtype=np.float64)
-
-    if state.exists:
-        st = list(state.get)
-        created = st[0]
-    else:
-        st = [None] * (1 + 4 * len(PV_FIELDS))
-        created = int(tsl[0])
-        st[0] = created
+    created = st[0]
 
     out = {
-        "user_id": np.full(n, key[0], dtype=np.int64),
+        "user_id": np.full(n, uid, dtype=np.int64),
         "event_id": df["event_id"].to_numpy(dtype=np.int64),
         "version_tsl": tsl,
     }
@@ -567,14 +582,13 @@ def _pv_state(
             ct, ca = int(c_to[-1]), int(c_away[-1])
         st[base : base + 4] = [cur, pv, ct, ca]
 
-    state.update(tuple(st))
     res = pd.DataFrame(out)
     # Long columns ride as nullable floats until here; hand Arrow
     # proper nullable ints
     for c in res.columns:
         if c.endswith(("_l", "_days")) and res[c].dtype == np.float64:
             res[c] = res[c].astype("Int64")
-    yield res
+    return res, st
 
 
 def stream_previous_values(events_stream: DataFrame) -> DataFrame:
@@ -589,4 +603,312 @@ def stream_previous_values(events_stream: DataFrame) -> DataFrame:
         stateStructType=PV_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------
+# Out-of-order-tolerant stateful forms: buffer within the watermark,
+# finalize on watermark passage.
+#
+# _pv_state/_sessionize_state document an IN-ORDER-per-entity delivery
+# contract — reasonable for a single ordered topic, false for real
+# multi-partition ingest (tools/order_sweep.py shows both diverging
+# the moment bounded disorder appears).  The *_ooo forms retire the
+# assumption the way a production watermarked pipeline does: each
+# entity's state additionally carries a BUFFER of events newer than
+# the watermark; on every invocation the buffer's watermark-passed
+# prefix is finalized IN EVENT-TIME ORDER through the identical
+# replay core, and an event-time timeout flushes the tail when the
+# watermark passes it (the entry's two heartbeat sentinels bound the
+# flush for availableNow runs — the punctuation pattern
+# stream_attribution already uses).  State is bounded by
+# (per-entity arrival rate x watermark delay), not stream length;
+# emitted rows are FINAL, so the sink needs no dedup pass.
+
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+PV_OOO_STATE_SCHEMA = StructType(
+    list(PV_STATE_SCHEMA.fields)
+    + [
+        StructField("buf_eid", ArrayType(LongType())),
+        StructField("buf_tsl", ArrayType(LongType())),
+        StructField("buf_et", ArrayType(StringType())),
+        StructField("buf_val", ArrayType(DoubleType())),
+    ]
+)
+
+_N_CARRY = 1 + 4 * len(PV_FIELDS)
+
+
+def _pv_state_ooo(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Watermark-buffered ``previous_values`` state: tolerates ANY
+    within-watermark arrival disorder.  Finalize-then-replay: events
+    strictly older than the current watermark can never be preceded
+    by a future arrival (later rows are dropped by the watermark
+    filter before reaching this function), so replaying exactly that
+    prefix in (tsl, event_id) order reproduces the batch operator
+    row for row."""
+    import numpy as np
+
+    wm_ms = state.getCurrentWatermarkMs()
+
+    if state.exists:
+        st = list(state.get)
+        carry, buf = st[:_N_CARRY], st[_N_CARRY:]
+        parts = [
+            pd.DataFrame(
+                {
+                    "event_id": np.asarray(buf[0], dtype=np.int64),
+                    "tsl": np.asarray(buf[1], dtype=np.int64),
+                    "event_type": buf[2],
+                    "value": np.asarray(buf[3], dtype=np.float64),
+                }
+            )
+        ]
+    else:
+        carry = [None] * _N_CARRY
+        parts = []
+    for pdf in pdfs:
+        if len(pdf):
+            parts.append(
+                pdf[["event_id", "tsl", "event_type", "value"]]
+            )
+    if not parts:
+        return
+    df = pd.concat(parts, ignore_index=True)
+
+    if state.hasTimedOut:
+        # watermark passed the timeout we set at max buffered tsl:
+        # everything left is final
+        final = df.sort_values(["tsl", "event_id"])
+        rest = df.iloc[0:0]
+    else:
+        mask = df["tsl"] * 1000 < wm_ms  # strict: ties can still arrive
+        final = df[mask].sort_values(["tsl", "event_id"])
+        rest = df[~mask]
+
+    if len(final):
+        if carry[0] is None:
+            # first finalized row IS the entity's first event:
+            # finalization is watermark-ordered, so nothing earlier
+            # can ever arrive
+            carry[0] = int(final["tsl"].iloc[0])
+        res, carry = _pv_replay(key[0], carry, final)
+    else:
+        res = None
+
+    if len(rest):
+        state.update(
+            tuple(
+                carry
+                + [
+                    rest["event_id"].astype("int64").tolist(),
+                    rest["tsl"].astype("int64").tolist(),
+                    rest["event_type"].tolist(),
+                    rest["value"].astype("float64").tolist(),
+                ]
+            )
+        )
+        # flush when the watermark passes the newest buffered event
+        state.setTimeoutTimestamp(
+            max(int(rest["tsl"].max()) * 1000 + 1, wm_ms + 1)
+        )
+    elif state.hasTimedOut:
+        # keep the carry (a quiet entity may speak again) but drop
+        # the drained buffer; no pending timeout
+        state.update(tuple(carry + [[], [], [], []]))
+    else:
+        state.update(tuple(carry + [[], [], [], []]))
+    if res is not None:
+        yield res
+
+
+def stream_previous_values_ooo(events_stream: DataFrame) -> DataFrame:
+    """``stream_previous_values`` without the in-order-delivery
+    assumption: input must carry an event-time ``ts`` TimestampType
+    column; a 2h watermark bounds both lateness and buffer state.
+    Emitted rows are final (append mode, no sink-side dedup).
+
+    Heartbeat sentinels (user_id = -1) flow THROUGH the stateful
+    operator as their own group and are filtered by the caller on
+    the materialized result — filtering them here would push the
+    predicate into the scan, below the watermark node, and the
+    sentinel could never advance the watermark (the exact trap
+    stream_attribution's sentinel comment documents)."""
+    return (
+        events_stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _pv_state_ooo,
+            outputStructType=PV_OUTPUT_SCHEMA,
+            stateStructType=PV_OOO_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+SESSION_OOO_STATE_SCHEMA = StructType(
+    list(SESSION_STATE_SCHEMA.fields)
+    + [
+        StructField("buf_tsl", ArrayType(LongType())),
+        StructField("buf_eid", ArrayType(LongType())),
+    ]
+)
+
+
+def _sessionize_state_ooo(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Watermark-buffered gap sessionization: tolerates ANY
+    within-watermark arrival disorder and emits each session EXACTLY
+    ONCE, closed and final (append mode — no update-mode re-emit, no
+    sink-side latest-per-session pass).
+
+    Finalize-then-sessionize: events strictly older than the
+    watermark are complete and in final event-time order (finalized
+    sets are watermark-monotone, so the carried open session always
+    precedes every newly finalized event); a session is CLOSED the
+    moment the watermark passes its end by more than the gap — no
+    future arrival can extend it, because any such arrival's ts
+    exceeds the watermark and hence opens a gap.  The event-time
+    timeout (set past the newest buffered event and past the open
+    session's gap horizon) closes the tail when the stream drains."""
+    import numpy as np
+
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_s = wm_ms // 1000
+
+    if state.exists:
+        st = state.get
+        n_closed, o_start, o_end, o_n = st[0], st[1], st[2], st[3]
+        buf_tsl = list(st[4]) if st[4] is not None else []
+        buf_eid = list(st[5]) if st[5] is not None else []
+    else:
+        n_closed, o_start, o_end, o_n = 0, None, None, 0
+        buf_tsl, buf_eid = [], []
+
+    for pdf in pdfs:
+        if len(pdf):
+            buf_tsl.extend(pdf["tsl"].astype("int64").tolist())
+            buf_eid.extend(pdf["event_id"].astype("int64").tolist())
+
+    tsl = np.asarray(buf_tsl, dtype=np.int64)
+    eid = np.asarray(buf_eid, dtype=np.int64)
+    if state.hasTimedOut:
+        fmask = np.ones(len(tsl), dtype=bool)
+    else:
+        fmask = tsl * 1000 < wm_ms  # strict: ties can still arrive
+    order = np.lexsort((eid[fmask], tsl[fmask]))
+    ftsl = tsl[fmask][order]
+    rest_tsl, rest_eid = tsl[~fmask], eid[~fmask]
+
+    closed = []  # (ordinal, n, start, end)
+    if len(ftsl):
+        cont = o_end is not None and (ftsl[0] - o_end) <= SESSION_GAP_S
+        if o_end is not None and not cont:
+            n_closed += 1
+            closed.append((n_closed, o_n, o_start, o_end))
+            o_start = o_end = None
+            o_n = 0
+        prev = np.empty_like(ftsl)
+        prev[0] = ftsl[0]
+        prev[1:] = ftsl[:-1]
+        sid = np.cumsum((ftsl - prev) > SESSION_GAP_S)
+        counts = np.bincount(sid).astype(np.int64)
+        starts = ftsl[np.unique(sid, return_index=True)[1]]
+        bounds = np.concatenate(
+            (np.nonzero(np.diff(sid))[0], [len(sid) - 1])
+        )
+        ends = ftsl[bounds]
+        if cont:
+            counts[0] += o_n
+            starts[0] = min(int(o_start), int(starts[0]))
+            ends[0] = max(int(o_end), int(ends[0]))
+        # all but the last finalized session close now; the last
+        # becomes (or stays) the open session
+        for i in range(len(counts) - 1):
+            n_closed += 1
+            closed.append(
+                (n_closed, int(counts[i]), int(starts[i]), int(ends[i]))
+            )
+        o_start, o_end, o_n = (
+            int(starts[-1]),
+            int(ends[-1]),
+            int(counts[-1]),
+        )
+
+    flush_open = state.hasTimedOut or (
+        o_end is not None
+        and len(rest_tsl) == 0
+        and o_end + SESSION_GAP_S < wm_s
+    )
+    if flush_open and o_end is not None:
+        n_closed += 1
+        closed.append((n_closed, o_n, o_start, o_end))
+        o_start = o_end = None
+        o_n = 0
+
+    state.update(
+        (
+            int(n_closed),
+            o_start,
+            o_end,
+            int(o_n),
+            rest_tsl.tolist(),
+            rest_eid.tolist(),
+        )
+    )
+    if not state.hasTimedOut and (len(rest_tsl) or o_end is not None):
+        horizon = 0
+        if len(rest_tsl):
+            horizon = int(rest_tsl.max())
+        if o_end is not None:
+            horizon = max(horizon, int(o_end) + SESSION_GAP_S)
+        state.setTimeoutTimestamp(max(horizon * 1000 + 1, wm_ms + 1))
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(closed), key[0], dtype=np.int64),
+                "session_id": np.array(
+                    [c[0] for c in closed], dtype=np.int64
+                ),
+                "n_events": np.array(
+                    [c[1] for c in closed], dtype=np.int64
+                ),
+                "session_start": np.array(
+                    [c[2] for c in closed], dtype=np.int64
+                ),
+                "session_end": np.array(
+                    [c[3] for c in closed], dtype=np.int64
+                ),
+            }
+        )
+
+
+def stream_sessionize_ooo(events_stream: DataFrame) -> DataFrame:
+    """``stream_sessionize`` without the in-order-delivery
+    assumption: input needs user_id, event_id, tsl AND an event-time
+    ``ts`` TimestampType column; the 2h watermark bounds lateness
+    and buffer state.  Sessions emit exactly once, final, in append
+    mode.  Heartbeat sentinels (user_id = -1) must ride through to
+    the sink — see stream_previous_values_ooo on why filtering them
+    in-stream would break watermark advancement."""
+    return (
+        events_stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_state_ooo,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_OOO_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

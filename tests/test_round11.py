@@ -521,3 +521,99 @@ def test_previous_values_paned_chain_crosses_panes(spark, tmp_path):
     # and pin the absolute values so both forms can't be wrong together
     assert paned[6] == (7.0, 7300, 21700, 0)
     assert paned[4] == (5.0, 100, 7300, 0)
+
+
+# ---------------------------------------------------------------------
+# Arrival-order axis: the *_ooo watermark-buffered streaming forms
+
+
+@pytest.fixture(scope="module")
+def dense_dir(tmp_path_factory):
+    """Time-densified copy of sf0.001 (ts compressed 24x -> ~30h
+    span): the corpus where the order sweep's bounded disorder
+    produces REAL per-entity cross-batch inversions (on the raw
+    30-day testdata per-user gaps dwarf the 90-min margin and
+    in-order-assuming operators pass by sparsity)."""
+    from tools.order_sweep import build_dense_dir
+
+    d = str(tmp_path_factory.mktemp("dense"))
+    build_dense_dir("/root/testdata/sf0.001", d)
+    return d
+
+
+def _with_arrival(monkeypatch, mode="delay:12:5400"):
+    from bugzilla_etl_spark.streaming.landing import ARRIVAL_ENV
+
+    monkeypatch.setenv(ARRIVAL_ENV, mode)
+
+
+def test_stream_pv_ooo_converges_under_disorder(
+    spark, dense_dir, monkeypatch
+):
+    """The watermark-buffered form must reproduce the BATCH
+    previous_values row set exactly even when arrival interleaves
+    old-after-new across micro-batches (bounded by the watermark)."""
+    catalog.load_all()
+    want = sorted(
+        map(tuple, _q("previous_values", spark, dense_dir).collect())
+    )
+    _with_arrival(monkeypatch)
+    got = sorted(
+        map(
+            tuple,
+            catalog.QUERIES["stream_previous_values_ooo"](
+                spark, dense_dir
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_stream_sessionize_ooo_converges_under_disorder(
+    spark, dense_dir, monkeypatch
+):
+    """Same property for the buffered sessionizer: the final session
+    set equals the batch sessionization under scrambled arrival, and
+    every session is emitted exactly once (no update-mode dedup was
+    applied — duplicate emission would surface as duplicate rows)."""
+    catalog.load_all()
+    want = _q("events_sessionize", spark, dense_dir).collect()
+    _with_arrival(monkeypatch)
+    rows = catalog.QUERIES["stream_sessionize_ooo"](
+        spark, dense_dir
+    ).collect()
+    got = sorted(
+        (r["user_id"], r["session_id"], r["session_start"],
+         r["session_end"], r["n_events"])
+        for r in rows
+    )
+    assert len(rows) == len(set(got)), "a session emitted twice"
+    want_keys = sorted(
+        (r["user_id"], r["session_id"], r["session_start"],
+         r["session_end"], r["n_events"])
+        for r in want
+    )
+    assert got == want_keys
+
+
+def test_classic_stream_pv_diverges_under_disorder(
+    spark, dense_dir, monkeypatch
+):
+    """Pin the documented boundary: the classic in-order form REALLY
+    diverges on the dense corpus under bounded disorder — if this
+    ever starts passing, the sweep's disorder has gone toothless and
+    the *_ooo forms are no longer being differentiated."""
+    catalog.load_all()
+    want = sorted(
+        map(tuple, _q("previous_values", spark, dense_dir).collect())
+    )
+    _with_arrival(monkeypatch)
+    got = sorted(
+        map(
+            tuple,
+            catalog.QUERIES["stream_previous_values"](
+                spark, dense_dir
+            ).collect(),
+        )
+    )
+    assert got != want
