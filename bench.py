@@ -169,10 +169,14 @@ HEADLINE = [
     # and the composed replicate cycle)
     "full_backfill_clustered",
     "replicate_cycle",
-    # round-11 additions (the hot-key-splittable temporal trilogy)
+    # round-11 additions (the hot-key-splittable temporal trilogy,
+    # previous_values' full-chain paned form, and BM25 retrieval;
+    # the *_ooo streaming pair is timed in tools/streambench.py)
     "moving_average_ranged",
     "state_rollforward_paned",
     "events_sessionize_paned",
+    "previous_values_paned",
+    "bm25_topk",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into

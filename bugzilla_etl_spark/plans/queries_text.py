@@ -579,3 +579,139 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("score").desc(), F.col("pair").asc()
     ).limit(20)
+
+
+# ---------------------------------------------------------------------
+# BM25 retrieval (#178)
+
+# The retrieval query set is a LITERAL, embedded identically on both
+# engines: retrieval benchmarks fix the query set; the corpus is the
+# variable.  Terms are drawn from the corpus vocabulary with distinct
+# document frequencies so the idf component actually discriminates.
+_BM25_QUERIES = (
+    (1, "hash join merge"),
+    (2, "window sort order"),
+    (3, "fast scan filter"),
+    (4, "stream batch query"),
+    (5, "vector column table"),
+    (6, "slow group agg key"),
+)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH q(query_id, qtext) AS (VALUES
+        {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}
+    ), qterm AS (
+        SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+        FROM q
+    ), dl AS (
+        SELECT doc_id,
+               len({DUCK_TOKENS}) AS dl
+        FROM documents WHERE text IS NOT NULL
+    ), stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT avg(dl) FROM dl) AS avgdl
+    ), tf AS (
+        SELECT t.doc_id, t.term, count(*) AS tf, any_value(dl.dl) AS dl
+        FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS term
+              FROM documents WHERE text IS NOT NULL) t
+        JOIN dl ON dl.doc_id = t.doc_id
+        WHERE t.term IN (SELECT term FROM qterm)
+        GROUP BY t.doc_id, t.term
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), contrib AS (
+        SELECT qterm.query_id, tf.doc_id,
+               floor(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B}
+                         + {_BM25_B} * tf.dl / stats.avgdl))
+                   * 1000000.0 + 0.5)::BIGINT AS c_u
+        FROM tf
+        JOIN qterm ON qterm.term = tf.term
+        JOIN df ON df.term = tf.term
+        CROSS JOIN stats
+    )
+    SELECT query_id, doc_id, score_u, rnk FROM (
+        SELECT query_id, doc_id, sum(c_u)::BIGINT AS score_u,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sum(c_u) DESC, doc_id ASC) AS rnk
+        FROM contrib GROUP BY query_id, doc_id
+    ) WHERE rnk <= {_BM25_TOPK}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (#178): rank documents against a fixed
+    query set with Okapi BM25 (k1=1.2, b=0.75, Lucene idf).  The
+    scale shape is the point: the query vocabulary is tiny and
+    BROADCAST, so the corpus token stream is semi-filtered MAP-SIDE
+    (isin over the literal vocab reaches the scan side of the
+    explode) before any shuffle — tf/df aggregate only query-vocab
+    tokens, never the full term stream; corpus-wide N and avgdl are
+    two scalar aggregates.  Per-term contributions are rounded to
+    integer micro-units BEFORE the sum so the cross-engine score is
+    exact (float sums are order-sensitive; integer sums are not) and
+    the top-k tie-break (score, doc_id) is total.  reference: the
+    jx-side term scoring this generalizes (jx_elasticsearch scoring
+    passthrough); a training-data pipeline's retrieval/decontam dual.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = sorted({t for _, q in _BM25_QUERIES for t in q.split()})
+    qterm = spark.createDataFrame(
+        [(i, t) for i, q in _BM25_QUERIES for t in set(q.split())],
+        "query_id int, term string",
+    )
+    nn = docs.where(F.col("text").isNotNull())
+    with_dl = nn.select(
+        "doc_id", F.size(T.tokens("text")).alias("dl"),
+        F.explode(T.tokens("text")).alias("term"),
+    ).where(F.col("term").isin(vocab))
+    tf = with_dl.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # both corpus scalars in ONE scan/job (count over all rows, mean
+    # doc length over non-null texts)
+    n_docs, avgdl = docs.agg(
+        F.count(F.lit(1)),
+        F.avg(
+            F.when(
+                F.col("text").isNotNull(), F.size(T.tokens("text"))
+            )
+        ),
+    ).first()
+    if avgdl is None:
+        avgdl = 1.0  # empty/all-null corpus: no tf rows survive anyway
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / float(avgdl)
+    )
+    c_u = F.floor(
+        idf * (F.col("tf") * (_BM25_K1 + 1.0)) / norm * 1e6 + 0.5
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(df), on="term")
+        .join(F.broadcast(qterm), on="term")
+        .select("query_id", "doc_id", c_u.alias("c_u"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_u").alias("score_u"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score_u", "rnk")
+    )

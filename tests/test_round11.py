@@ -617,3 +617,46 @@ def test_classic_stream_pv_diverges_under_disorder(
         )
     )
     assert got != want
+
+
+# ---------------------------------------------------------------------
+# BM25 retrieval (#178): ranking semantics pinned on a hand corpus
+
+
+def test_bm25_topk_ranking(spark, tmp_path):
+    """Multi-term coverage must outrank single-term frequency (BM25's
+    tf saturation + idf sum), docs with no query terms and null-text
+    docs must be absent, and ranks must be dense from 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (1, "hash join merge hash join merge"),   # all 3 terms of q1
+        (2, "hash hash hash hash hash hash"),     # 1 term, high tf
+        (3, "quick brown fox jumps over dogs"),   # no query terms
+        (4, None),                                # null text
+        # filler so df(hash) > df(join)=df(merge): idf discriminates
+        (5, "hash lines"), (6, "hash lines"), (7, "hash lines"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["t"] * len(rows)),
+            "n_chars": pa.array(
+                [len(r[1] or "") for r in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = _q("bm25_topk", spark, str(tmp_path)).collect()
+    assert all(r["doc_id"] not in (3, 4) for r in out)
+    q1 = sorted(
+        ((r["rnk"], r["doc_id"], r["score_u"]) for r in out
+         if r["query_id"] == 1)
+    )
+    # q1 = "hash join merge": doc 1 carries the two rare terms
+    assert [r[1] for r in q1[:2]] == [1, 2]
+    assert q1[0][2] > q1[1][2]
+    assert [r[0] for r in q1] == list(range(1, len(q1) + 1))

@@ -46,6 +46,9 @@ STREAMING = [
     "stream_decontam",
     "stream_attribution",
     "stream_attribution_outer",
+    # round-11: the watermark-buffered out-of-order forms
+    "stream_previous_values_ooo",
+    "stream_sessionize_ooo",
 ]
 
 N_RUNS = 2
