@@ -227,3 +227,67 @@ def test_sessionize_ooo_any_arrival_order_converges(log):
         for s, n, a, b in _batch_sessions(g["tsl"].to_numpy(np.int64)):
             want_rows.append((int(uid), s, n, a, b))
     assert sorted(got_rows) == sorted(want_rows)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_event_log())
+def test_pv_ooo_state_is_exactly_the_watermark_suffix(log):
+    """The 100 TB state-size claim, as an invariant: after every
+    batch, a key's buffered rows are EXACTLY its arrived events with
+    ts >= the watermark at the key's LAST INVOCATION (a key drains
+    only when invoked — by data or by its event-time timeout) —
+    state is the non-finalizable suffix, bounded by (arrival rate x
+    watermark horizon), never by stream length."""
+    rows, order, cuts = log
+    batches = _to_batches(rows, order, cuts)
+    if not batches:
+        return
+    states: dict[int, FakeGroupState] = {}
+    future_min = [0] * (len(batches) + 1)
+    future_min[-1] = 1 << 60
+    for b in range(len(batches) - 1, -1, -1):
+        mn = (
+            int(batches[b]["tsl"].min()) * 1000
+            if len(batches[b])
+            else (1 << 60)
+        )
+        future_min[b] = min(future_min[b + 1], mn)
+    arrived: dict[int, list[tuple[int, int]]] = {}
+    last_inv_wm: dict[int, int] = {}
+    wm = 0
+    for b, batch in enumerate(batches):
+        wm = max(wm, future_min[b])
+        seen = set()
+        for uid, g in batch.groupby("user_id", sort=True):
+            stt = states.setdefault(int(uid), FakeGroupState())
+            stt.wm_ms = wm
+            stt.hasTimedOut = False
+            stt.timeout_ms = None
+            list(_pv_state_ooo((int(uid),), [g.reset_index(drop=True)], stt))
+            arrived.setdefault(int(uid), []).extend(
+                zip(g["event_id"].tolist(), g["tsl"].tolist())
+            )
+            last_inv_wm[int(uid)] = wm
+            seen.add(int(uid))
+        for uid, stt in states.items():
+            if uid in seen or stt.timeout_ms is None:
+                continue
+            if stt.timeout_ms < wm:
+                stt.wm_ms = wm
+                stt.hasTimedOut = True
+                stt.timeout_ms = None
+                list(_pv_state_ooo((uid,), [], stt))
+                stt.hasTimedOut = False
+                last_inv_wm[uid] = wm
+        for uid, stt in states.items():
+            if not stt.exists:
+                continue
+            buf_eids = sorted(stt.get[_N_CARRY])
+            lw = last_inv_wm[uid]
+            expect = sorted(
+                e for e, t in arrived.get(uid, []) if t * 1000 >= lw
+            )
+            assert buf_eids == expect, (
+                f"user {uid} batch {b}: buffered {buf_eids} !="
+                f" last-invocation watermark suffix {expect}"
+            )
