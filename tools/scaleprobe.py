@@ -68,6 +68,10 @@ DEFAULT_QUERIES = [
     "moving_average_ranged",
     "state_rollforward_paned",
     "events_sessionize_paned",
+    "previous_values_paned",
+    # round-11: BM25's broadcast-vocab semi-filter must keep the
+    # decade exponent at the token-scan slope, not the shuffle slope
+    "bm25_topk",
 ]
 
 # Knob variants: probe a catalog entry with a non-default parameter
