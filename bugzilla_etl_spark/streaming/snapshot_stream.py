@@ -717,11 +717,9 @@ def _pv_state_ooo(
         state.setTimeoutTimestamp(
             max(int(rest["tsl"].max()) * 1000 + 1, wm_ms + 1)
         )
-    elif state.hasTimedOut:
+    else:
         # keep the carry (a quiet entity may speak again) but drop
         # the drained buffer; no pending timeout
-        state.update(tuple(carry + [[], [], [], []]))
-    else:
         state.update(tuple(carry + [[], [], [], []]))
     if res is not None:
         yield res
