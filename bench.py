@@ -177,6 +177,7 @@ HEADLINE = [
     "events_sessionize_paned",
     "previous_values_paned",
     "bm25_topk",
+    "doc_chunks",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into

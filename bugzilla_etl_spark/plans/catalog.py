@@ -45,7 +45,7 @@ _loaded = False
 # registration order, then the twice-green rotation tail.
 #
 # Rotation policy (the catalog exceeds 3x the 50-row cap; full
-# cycle = ceil(N/50) = 4 windows at the current 171): (1) never-driver-tested
+# cycle = ceil(N/50) = 4 windows at the current 172): (1) never-driver-tested
 # queries lead, (2) then queries whose BEHAVIOR this round touched,
 # (3) then the stalest green rows, oldest driver round first; the
 # local gate (tools/verify_local.py, driver-strict canonicalizer,
@@ -53,16 +53,16 @@ _loaded = False
 # regardless of window position, and ROTATION.md ledgers each
 # query's newest driver row.
 #
-# r11-window composition (per the standing rotation policy): the 7
+# r11-window composition (per the standing rotation policy): the 8
 # round-11 additions lead (never driver-tested), then the 16
 # remaining r7 greens (ledger order:
 # range_window_load..zorder_layout — the block the r10 window left),
 # then the 2 entries whose BEHAVIOR round 11 touched (anomaly_mad /
 # anomaly_mad_hist: the hist path gained the exact form's null
 # screen, changing both the plan and the oracle), then the r8 block
-# alphabetically (alias_compact..skyline_orders) fills the 50.
+# alphabetically (alias_compact..set_final_salted) fills the 50.
 # After this round no query's newest driver row is older than r8;
-# the remaining 21 r8 names (stream_attribution,
+# the remaining 22 r8 names (skyline_orders, stream_attribution,
 # stream_attribution_outer, stream_bug_versions, stream_decontam,
 # stream_dedup, stream_hll,
 # stream_rollup..value_percentiles, kept in registration order
@@ -76,6 +76,7 @@ _PRIORITY = (
     "stream_previous_values_ooo",
     "stream_sessionize_ooo",
     "bm25_topk",
+    "doc_chunks",
     # ---- r7-stale greens (all 16, ledger order)
     "range_window_load",
     "semdedup",
@@ -122,7 +123,6 @@ _PRIORITY = (
     "rollup_returns",
     "set_final",
     "set_final_salted",
-    "skyline_orders",
 )
 # Rotated past position 50: every entry here has a GREEN r9 or r10
 # driver row (the freshest in the ledger), is re-verified by the

@@ -1247,3 +1247,87 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, schema="dim BIGINT, weight BIGINT"
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------
+# Passage chunking (#179)
+
+_CHUNK_W = 64   # tokens per chunk
+_CHUNK_S = 48   # stride (16-token overlap)
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), n AS (
+        SELECT doc_id, toks, len(toks) AS n_tok,
+               1 + greatest(0, ceil((len(toks) - {_CHUNK_W})
+                                    / {_CHUNK_S}.0))::BIGINT AS n_chunks
+        FROM d
+    ), e AS (
+        SELECT doc_id, toks, n_tok,
+               unnest(range(0, n_chunks)) AS i
+        FROM n
+    )
+    SELECT doc_id, i AS chunk_idx,
+           (i * {_CHUNK_S} + 1)::BIGINT AS tok_start,
+           least(i * {_CHUNK_S} + {_CHUNK_W}, n_tok)::BIGINT AS tok_end,
+           array_to_string(
+               list_slice(toks, i * {_CHUNK_S} + 1,
+                          i * {_CHUNK_S} + {_CHUNK_W}), ' ')
+               AS chunk_text
+    FROM e
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage chunking (#179): split each document into 64-token
+    windows at stride 48 (16-token overlap), emitting chunk ordinal,
+    1-based token offsets, and the chunk text — the materialization
+    step between cleaning and packing in a training/RAG pipeline
+    (dedup_chunk scores chunk sharing, seq_packing bins token
+    counts; this op EMITS the passages).  Entirely codegen column
+    algebra: tokenize once, explode a sequence of chunk ordinals,
+    slice the token array per ordinal — no Python, no shuffle at
+    all (the plan is scan → project → generate), so it scales as a
+    pure map over the corpus; output size is input x (1 + overlap
+    fraction), the honest cost of overlapping windows.  Null text
+    chunks to nothing (null contract rule 3: a missing document has
+    no passages)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_tok = F.size("toks")
+    n_chunks = (
+        F.lit(1)
+        + F.greatest(
+            F.lit(0),
+            F.ceil((n_tok - _CHUNK_W) / float(_CHUNK_S)),
+        )
+    ).cast("long")
+    start = F.col("chunk_idx") * _CHUNK_S  # 0-based slice origin
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            n_tok.alias("n_tok"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (start + 1).cast("long").alias("tok_start"),
+            F.least(start + _CHUNK_W, F.col("n_tok"))
+            .cast("long")
+            .alias("tok_end"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), start + 1, _CHUNK_W)
+            ).alias("chunk_text"),
+        )
+    )
