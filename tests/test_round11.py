@@ -1,4 +1,6 @@
-"""Round-11 hardening: the two ADVICE-r10 code findings.
+"""Round-11 hardening: the ADVICE-r10 code findings, the round-11 hostile-input
+slices, the hot-key paned family, and the out-of-order streaming
+pair.
 
 1. The hist MAD path now applies the exact form's null screen
    (observed values of attributable types) INSIDE _anomaly_mad_hist,
