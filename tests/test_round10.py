@@ -244,10 +244,13 @@ def test_bench_alert_pins_parse_and_r10_is_clean():
     # round-10 additions pinned
     assert "full_backfill_clustered" in pins and "replicate_cycle" in pins
 
-    report = BA.check(
-        str(repo / "BENCH_LOCAL_r10.json"),
-        str(repo / "STREAMBENCH_r10.json"),
-    )
+    # check the NEWEST committed artifacts (r10 artifacts predate
+    # later rounds' pins, so re-checking them against the living pin
+    # table would fail closed on queries that did not yet exist —
+    # the gate's contract is "newest artifacts vs all pins")
+    bench = max(repo.glob("BENCH_LOCAL_r*.json"))
+    stream = max(repo.glob("STREAMBENCH_r*.json"))
+    report = BA.check(str(bench), str(stream))
     assert report["ok"], (report["alerts"], report["missing_pinned"])
     assert not report["unpinned"], report["unpinned"]
     assert not report["missing_pinned"], report["missing_pinned"]
