@@ -679,14 +679,16 @@ def test_bm25_vocab_filter_is_map_side(spark, sf_dir):
     assert "INSET" in plan or "IN (" in plan, "vocab filter missing"
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # the INSET filter must sit below the first exchange: everything
-    # before the first Exchange in the formatted plan is map-side
+    # the vocab filter must sit below the tf aggregation's exchange:
+    # in the formatted tree the INSET filter node appears AFTER the
+    # exchange that consumes it (children print below parents), so
+    # every INSET occurrence following the first Exchange is map-side
     first_ex = plan.find("Exchange")
-    assert first_ex != -1
-    assert ("INSET" in plan[first_ex:]) or True  # INSET appears per-branch
-    # stronger: no scan of documents WITHOUT the vocab filter in the
-    # tf branch — both document scans carry the text IsNotNull push
-    assert plan.count("PushedFilters: [IsNotNull(text)]") >= 1
+    assert first_ex != -1 and "INSET" in plan[first_ex:], (
+        "vocab INSET filter is not below the tf exchange"
+    )
+    # and the document scans push the text null screen to parquet
+    assert "IsNotNull(text)" in plan
 
 
 def test_doc_chunks_plans_zero_exchanges(spark, sf_dir):
