@@ -687,7 +687,14 @@ def _pv_state_ooo(
         final = df.sort_values(["tsl", "event_id"])
         rest = df.iloc[0:0]
     else:
-        mask = df["tsl"] * 1000 < wm_ms  # strict: ties can still arrive
+        # finalize only FULLY-passed seconds: tsl is the
+        # second-floored event time but the watermark (and Spark's
+        # late-row filter) keep full ts precision, so when the
+        # watermark lands mid-second an event in floored second X
+        # with ts >= watermark can still legally arrive; finalizing
+        # X at that point would replay out of (tsl, event_id) order
+        # against such a late same-second sibling
+        mask = (df["tsl"] + 1) * 1000 <= wm_ms
         final = df[mask].sort_values(["tsl", "event_id"])
         rest = df[~mask]
 
@@ -713,9 +720,13 @@ def _pv_state_ooo(
                 ]
             )
         )
-        # flush when the watermark passes the newest buffered event
+        # flush when the watermark fully passes the newest buffered
+        # event's SECOND ((tsl+1)*1000, not tsl*1000+1): tsl is
+        # floored, so a mid-second timeout could flush second X
+        # while an X-second sibling with ts >= watermark is still
+        # legal — the same boundary the finalize mask guards
         state.setTimeoutTimestamp(
-            max(int(rest["tsl"].max()) * 1000 + 1, wm_ms + 1)
+            max((int(rest["tsl"].max()) + 1) * 1000, wm_ms + 1)
         )
     else:
         # keep the carry (a quiet entity may speak again) but drop
@@ -802,7 +813,11 @@ def _sessionize_state_ooo(
     if state.hasTimedOut:
         fmask = np.ones(len(tsl), dtype=bool)
     else:
-        fmask = tsl * 1000 < wm_ms  # strict: ties can still arrive
+        # fully-passed seconds only — tsl is second-floored while
+        # the watermark keeps full ts precision (same boundary as
+        # _pv_state_ooo; here the output is tie-insensitive but the
+        # masks should agree)
+        fmask = (tsl + 1) * 1000 <= wm_ms
     order = np.lexsort((eid[fmask], tsl[fmask]))
     ftsl = tsl[fmask][order]
     rest_tsl, rest_eid = tsl[~fmask], eid[~fmask]
@@ -869,7 +884,10 @@ def _sessionize_state_ooo(
             horizon = int(rest_tsl.max())
         if o_end is not None:
             horizon = max(horizon, int(o_end) + SESSION_GAP_S)
-        state.setTimeoutTimestamp(max(horizon * 1000 + 1, wm_ms + 1))
+        # (horizon+1)*1000: the horizon is in floored seconds, so
+        # the timeout must wait out the horizon second's full span
+        # before a flush is safe (mirrors the finalize mask)
+        state.setTimeoutTimestamp(max((horizon + 1) * 1000, wm_ms + 1))
 
     if closed:
         yield pd.DataFrame(

@@ -74,9 +74,16 @@ def _drive(kernel, batches: list[pd.DataFrame]) -> list[pd.DataFrame]:
     future_min = [0] * (len(batches) + 1)
     future_min[-1] = 1 << 60
     for b in range(len(batches) - 1, -1, -1):
-        mn = int(batches[b]["tsl"].min()) * 1000 if len(batches[b]) else (
-            1 << 60
-        )
+        if not len(batches[b]):
+            mn = 1 << 60
+        elif "ts_ms" in batches[b]:
+            # sub-second mode: the watermark (and legality) use full
+            # ts precision while the kernel sees only floored tsl —
+            # the mid-second-watermark regime the whole-second
+            # harness can never reach
+            mn = int(batches[b]["ts_ms"].min())
+        else:
+            mn = int(batches[b]["tsl"].min()) * 1000
         future_min[b] = min(future_min[b + 1], mn)
     wm = 0
     for b, batch in enumerate(batches):
@@ -189,6 +196,125 @@ def test_pv_ooo_any_arrival_order_converges(log):
         "event_id"
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+@st.composite
+def _event_log_subsec(draw):
+    """Like _event_log but events carry sub-second ts precision: the
+    watermark advances to mid-second positions while the kernel's
+    tsl stays floored.  This is the regime the round-11 advice
+    flagged — a watermark landing mid-second must NOT finalize that
+    second, because a same-floored-second sibling with ts >=
+    watermark (and possibly a LOWER event_id) is still a legal
+    arrival."""
+    n_users = draw(st.integers(1, 2))
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        n = draw(st.integers(1, 25))
+        for _ in range(n):
+            eid += 1
+            sec = draw(st.integers(0, 40))  # tight range: dense ties
+            frac = draw(st.integers(0, 999))
+            rows.append(
+                (
+                    u,
+                    eid,
+                    sec,
+                    sec * 1000 + frac,
+                    draw(st.sampled_from(PV_FIELDS)),
+                    draw(
+                        st.one_of(
+                            st.just(float("nan")),
+                            st.integers(0, 5).map(float),
+                        )
+                    ),
+                )
+            )
+    order = draw(st.permutations(range(len(rows))))
+    n_batches = draw(st.integers(1, 6))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(0, len(rows)),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            )
+        )
+    )
+    return rows, order, cuts
+
+
+def _to_batches_subsec(rows, order, cuts) -> list[pd.DataFrame]:
+    arranged = [rows[i] for i in order]
+    bounds = [0] + list(cuts) + [len(rows)]
+    batches = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        chunk = arranged[a:b]
+        batches.append(
+            pd.DataFrame(
+                chunk,
+                columns=["user_id", "event_id", "tsl", "ts_ms",
+                         "event_type", "value"],
+            ).astype({"user_id": np.int64, "event_id": np.int64,
+                      "tsl": np.int64, "ts_ms": np.int64,
+                      "value": np.float64})
+        )
+    return [b for b in batches if len(b)]
+
+
+@settings(max_examples=60, deadline=None)
+@given(_event_log_subsec())
+def test_pv_ooo_subsecond_watermark_converges(log):
+    """previous_values under mid-second watermarks: finalization must
+    wait for a second to FULLY pass ((tsl+1)*1000 <= wm) — the
+    pre-round-12 strict mask (tsl*1000 < wm) replays floored second X
+    while a same-second lower-event_id sibling is still in flight,
+    and this test catches that within a few dozen examples."""
+    rows, order, cuts = log
+    batches = _to_batches_subsec(rows, order, cuts)
+    if not batches:
+        return
+    got = pd.concat(
+        _drive(_pv_state_ooo, batches), ignore_index=True
+    ).sort_values("event_id").reset_index(drop=True)
+
+    full = pd.concat(batches, ignore_index=True)
+    wants = []
+    for uid, g in full.groupby("user_id", sort=True):
+        g = g.sort_values(["tsl", "event_id"]).reset_index(drop=True)
+        st0 = [None] * _N_CARRY
+        st0[0] = int(g["tsl"].iloc[0])
+        res, _ = _pv_replay(int(uid), st0, g)
+        wants.append(res)
+    want = pd.concat(wants, ignore_index=True).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_event_log_subsec())
+def test_sessionize_ooo_subsecond_watermark_converges(log):
+    rows, order, cuts = log
+    batches = _to_batches_subsec(rows, order, cuts)
+    if not batches:
+        return
+    outs = _drive(_sessionize_state_ooo, batches)
+    got_rows = []
+    for o in outs:
+        got_rows.extend(
+            (int(r.user_id), int(r.session_id), int(r.n_events),
+             int(r.session_start), int(r.session_end))
+            for r in o.itertuples()
+        )
+    assert len(got_rows) == len(set(got_rows)), "a session emitted twice"
+    full = pd.concat(batches, ignore_index=True)
+    want_rows = []
+    for uid, g in full.groupby("user_id", sort=True):
+        for s, n, a, b in _batch_sessions(g["tsl"].to_numpy(np.int64)):
+            want_rows.append((int(uid), s, n, a, b))
+    assert sorted(got_rows) == sorted(want_rows)
 
 
 def _batch_sessions(tsl: np.ndarray) -> list[tuple[int, int, int, int]]:

@@ -54,3 +54,58 @@ def test_rotation_check_tolerates_untracked_newer_artifact():
 def test_rotation_check_green_on_clean_tree():
     r = _run_check()
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+# ---------------------------------------------------------------------
+# OOO finalize boundary (round-11 advice, medium).
+
+
+def test_pv_ooo_midsecond_watermark_boundary():
+    """Deterministic witness for the round-11 advice item: a
+    mid-second watermark must NOT finalize the second it lands in.
+    Event A (id=2, second 10, ts 10.2s) arrives, the watermark moves
+    to 10.6s (driven by C at second 20 still in flight), then B
+    (id=1, second 10, ts 10.6s >= watermark — legal) arrives.  The
+    pre-fix strict mask (tsl*1000 < wm) finalized+replayed A before B
+    existed, producing replay order (A, B) where the batch operator
+    orders (tsl, event_id) = (B, A).  The fully-passed-seconds mask
+    ((tsl+1)*1000 <= wm) buffers second 10 until the watermark
+    clears 11.0s, so replay order matches the batch exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        _N_CARRY,
+        PV_FIELDS,
+        _pv_replay,
+        _pv_state_ooo,
+    )
+    from tests.test_ooo_properties import _drive
+
+    f = PV_FIELDS[0]
+
+    def mk(rows):
+        return pd.DataFrame(
+            rows,
+            columns=["user_id", "event_id", "tsl", "ts_ms",
+                     "event_type", "value"],
+        ).astype({"user_id": np.int64, "event_id": np.int64,
+                  "tsl": np.int64, "ts_ms": np.int64,
+                  "value": np.float64})
+
+    batches = [
+        mk([(0, 2, 10, 10200, f, 1.0)]),
+        mk([(0, 3, 20, 20000, f, 3.0)]),
+        mk([(0, 1, 10, 10600, f, 2.0)]),
+    ]
+    got = pd.concat(
+        _drive(_pv_state_ooo, batches), ignore_index=True
+    ).sort_values("event_id").reset_index(drop=True)
+    full = pd.concat(batches, ignore_index=True).sort_values(
+        ["tsl", "event_id"]
+    ).reset_index(drop=True)
+    st0 = [None] * _N_CARRY
+    st0[0] = int(full["tsl"].iloc[0])
+    want, _ = _pv_replay(0, st0, full)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_like=True)
