@@ -549,12 +549,17 @@ def previous_values_paned(
     )
     # entity creation ts: first (ts, tiebreak) row per entity — the
     # classic's first() over the inclusive frame equals the global
-    # per-entity minimum on every row, so one tiny agg + broadcast
-    # join replaces the window.
+    # per-entity minimum on every row, so one tiny agg + join
+    # replaces the window.  NO broadcast hint: the aggregate's row
+    # count scales with distinct entities (unbounded at 100 TB), and
+    # the join key is the same entity key the surrounding windows
+    # already partition by, so the shuffle is co-located anyway; AQE
+    # still picks a broadcast at runtime when the side is actually
+    # small (round-11 advice).
     created = base.groupBy(entity).agg(
         F.min(okey).getField("_tsl").alias("_created_l")
     )
-    s1 = s1.join(F.broadcast(created), on=entity, how="left")
+    s1 = s1.join(created, on=entity, how="left")
 
     # ---- round 2: real-change flags, previous-change ts -----------
     s2 = s1.select(

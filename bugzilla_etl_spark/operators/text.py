@@ -432,3 +432,62 @@ def char_lm_score(
         F.col(id_col), F.col(text_col)
     ).mapInPandas(score, schema="doc_id long, n_trans long, nll double")
 
+
+
+def chunk_passages(
+    docs,
+    width: int = 64,
+    stride: int = 48,
+    carry: tuple[str, ...] = (),
+):
+    """Split each document into ``width``-token windows at
+    ``stride`` (overlap = width - stride), emitting chunk ordinal,
+    1-based token offsets, and the chunk text — the passage
+    materialization step between cleaning and packing in a
+    training/RAG pipeline.  ``carry`` lists extra input columns to
+    pass through unchanged (e.g. ``source`` for per-stream packing).
+
+    Entirely codegen column algebra: tokenize once, explode a
+    sequence of chunk ordinals, slice the token array per ordinal —
+    no Python, no shuffle (scan → project → generate), a pure map
+    over the corpus; output size is input x (1 + overlap fraction).
+    Null text chunks to nothing (null contract rule 3: a missing
+    document has no passages).  Shared verbatim by the batch
+    ``doc_chunks`` entry, the composed ``chunk_dedup_pack`` pipeline,
+    and the ``stream_doc_chunks`` ingest twin, so streaming == batch
+    by construction."""
+    toks = tokens("text")
+    n_tok = F.size("toks")
+    n_chunks = (
+        F.lit(1)
+        + F.greatest(
+            F.lit(0),
+            F.ceil((n_tok - width) / float(stride)),
+        )
+    ).cast("long")
+    start = F.col("chunk_idx") * stride  # 0-based slice origin
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", *carry, toks.alias("toks"))
+        .select(
+            "doc_id",
+            *carry,
+            "toks",
+            n_tok.alias("n_tok"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            *carry,
+            "chunk_idx",
+            (start + 1).cast("long").alias("tok_start"),
+            F.least(start + width, F.col("n_tok"))
+            .cast("long")
+            .alias("tok_end"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), start + 1, width)
+            ).alias("chunk_text"),
+        )
+    )

@@ -45,7 +45,7 @@ _loaded = False
 # registration order, then the twice-green rotation tail.
 #
 # Rotation policy (the catalog exceeds 3x the 50-row cap; full
-# cycle = ceil(N/50) = 4 windows at the current 172): (1) never-driver-tested
+# cycle = ceil(N/50) = 4 windows at the current 174): (1) never-driver-tested
 # queries lead, (2) then queries whose BEHAVIOR this round touched,
 # (3) then the stalest green rows, oldest driver round first; the
 # local gate (tools/verify_local.py, driver-strict canonicalizer,
@@ -53,84 +53,55 @@ _loaded = False
 # regardless of window position, and ROTATION.md ledgers each
 # query's newest driver row.
 #
-# r11-window composition (per the standing rotation policy): the 8
-# round-11 additions lead (never driver-tested), then the 16
-# remaining r7 greens (ledger order:
-# range_window_load..zorder_layout — the block the r10 window left),
-# then the 2 entries whose BEHAVIOR round 11 touched (anomaly_mad /
-# anomaly_mad_hist: the hist path gained the exact form's null
-# screen, changing both the plan and the oracle), then the r8 block
-# alphabetically (alias_compact..set_final_salted) fills the 50.
-# After this round no query's newest driver row is older than r8;
-# the remaining 22 r8 names (skyline_orders, stream_attribution,
-# stream_attribution_outer, stream_bug_versions, stream_decontam,
-# stream_dedup, stream_hll,
-# stream_rollup..value_percentiles, kept in registration order
-# between window and tail) lead the r12 window.
+# r12-window composition (per the standing rotation policy): the 2
+# round-12 additions lead (never driver-tested), then the 4 entries
+# whose BEHAVIOR round 12 touched (bm25_topk: scoring moved to the
+# engine-insensitive shared fragment, VALUES changed; the *_ooo
+# pair: finalize boundary moved to fully-passed seconds;
+# previous_values_paned: forced broadcast dropped — plan only),
+# then ALL 23 r8-stale greens (the round-11 verdict's stalest-first
+# list, ledger order), then the 21 oldest r9 greens (ledger order)
+# fill the 50.  After this round no query's newest driver row is
+# older than r9; the remaining 28 r9 names (diff_apply..
+# stream_heavy_hitters_capped, kept in registration order between
+# window and tail) lead the r13 window.
 _PRIORITY = (
-    # ---- round-11 additions (never driver-tested)
-    "moving_average_ranged",
-    "state_rollforward_paned",
-    "events_sessionize_paned",
-    "previous_values_paned",
+    # ---- round-12 additions (never driver-tested)
+    "chunk_dedup_pack",
+    "stream_doc_chunks",
+    # ---- round-12 behavior-touched: bm25's scoring moved to the
+    # engine-insensitive shared fragment (values changed); the *_ooo
+    # pair's finalize boundary moved to fully-passed seconds; the
+    # paned previous_values dropped its forced broadcast (plan)
+    "bm25_topk",
     "stream_previous_values_ooo",
     "stream_sessionize_ooo",
-    "bm25_topk",
-    "doc_chunks",
-    # ---- r7-stale greens (all 16, ledger order)
-    "range_window_load",
-    "semdedup",
-    "stratified_split",
-    "stream_neardup_ingest",
-    "tpch_q11",
-    "tpch_q14",
-    "tpch_q17",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "triangle_count",
-    "trunc_uncertain",
-    "zorder_layout",
-    # ---- round-11 behavior-touched (hist null screen)
-    "anomaly_mad",
-    "anomaly_mad_hist",
-    # ---- oldest r8 greens (ledger order; fills the 50)
-    "alias_compact",
-    "bloom_decontam",
-    "bloom_join_prune",
-    "bucketed_join_zero_shuffle",
-    "bug_version_docs",
-    "bug_version_full",
-    "compact_store",
-    "cube_order_stats",
-    "dedup_jaccard_invindex",
-    "dedup_ngram_jaccard",
-    "es_alias_cutover",
-    "es_file_extract",
-    "events_funnel",
-    "hll_distinct",
-    "kmeans_embeddings",
-    "moving_average",
-    "nested_docs",
-    "pagerank_trade",
-    "pivot_event_counts",
-    "private_subentity",
-    "profile_table",
-    "profile_table_hll",
-    "rollup_returns",
-    "set_final",
+    "previous_values_paned",
+    # ---- the 23 r8-stale greens (ledger order) — the whole block
     "set_final_salted",
-)
-# Rotated past position 50: every entry here has a GREEN r9 or r10
-# driver row (the freshest in the ledger), is re-verified by the
-# local gate (tools/verify_local.py, driver-strict canonicalizer)
-# every round, and rotates back in r13+.  The unlisted middle (the
-# 18 remaining r8 rows) keeps registration order between the window
-# and this tail and leads the r12 window.
-_DEPRIORITY = (
+    "skyline_orders",
+    "stream_attribution",
+    "stream_attribution_outer",
+    "stream_bug_versions",
+    "stream_decontam",
+    "stream_dedup",
+    "stream_hll",
+    "stream_rollup",
+    "stream_snapshot",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q5",
+    "unpivot_measures",
+    "value_percentiles",
+    # ---- oldest r9 greens (ledger order; fills the 50)
     "activity_invert",
     "alias_analysis",
     "alias_minimize",
@@ -141,84 +112,98 @@ _DEPRIORITY = (
     "ann_pq",
     "ann_topk",
     "attachment_versions",
-    "bpe_pair_counts",
-    "canonical_fields",
-    "cc_fuzzy_match",
-    "char_lm_perplexity",
     "comments_etl",
-    "compaction_plan",
-    "cooccurrence_pmi",
-    "count_min_freq",
     "curate_corpus",
-    "date_normalize",
-    "decontam_neardup",
     "decontam_overlap",
     "dedup_chunk",
     "dedup_components",
-    "dedup_containment",
     "dedup_exact",
     "dedup_latest",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dependency_edges",
-    "diff_apply",
-    "diff_rollback",
-    "doc_fingerprint",
-    "docs_json_roundtrip",
+)
+# Rotated past position 50: every entry here has a GREEN r10 or r11
+# driver row (the freshest in the ledger), is re-verified by the
+# local gate (tools/verify_local.py, driver-strict canonicalizer)
+# every round, and rotates back in r14+.  The unlisted middle (the
+# 28 remaining r9 rows) keeps registration order between the window
+# and this tail and leads the r13 window.
+_DEPRIORITY = (
+    "alias_compact",
+    "anomaly_mad",
+    "anomaly_mad_hist",
+    "bloom_decontam",
+    "bloom_join_prune",
+    "bpe_pair_counts",
+    "bucketed_join_zero_shuffle",
+    "bug_version_docs",
+    "bug_version_full",
+    "canonical_fields",
+    "cc_fuzzy_match",
+    "char_lm_perplexity",
+    "compact_store",
+    "compaction_plan",
+    "cooccurrence_pmi",
+    "count_min_freq",
+    "cube_order_stats",
+    "date_normalize",
+    "decontam_neardup",
+    "dedup_containment",
+    "dedup_jaccard_invindex",
+    "dedup_ngram_jaccard",
+    "doc_chunks",
     "dsir_weights",
-    "dual_pipeline_cutover",
-    "embedding_neardup",
     "embedding_outliers",
     "embedding_pca",
-    "es_docs",
-    "events_sessionize",
-    "events_sessionize_native",
+    "es_alias_cutover",
+    "es_file_extract",
+    "events_funnel",
+    "events_sessionize_paned",
     "filter_funnel",
     "flag_fuzzy_match",
-    "flag_parse",
-    "flag_state_versions",
     "frequent_pairs",
     "full_backfill_clustered",
     "full_backfill_resume",
     "heavy_hitters_ngrams",
     "hist_quantile",
+    "hll_distinct",
     "html_strip",
-    "incremental_touched",
-    "interval_asof_join",
-    "json_props_extract",
     "key_skew_stats",
-    "kmv_source_overlap",
-    "kmv_source_overlap_sketch",
+    "kmeans_embeddings",
     "lang_id",
     "merge_order_union",
-    "mix_weights",
-    "mm_features",
     "mm_frame_sample",
-    "mm_resize",
+    "moving_average",
+    "moving_average_ranged",
+    "nested_docs",
     "ngram_novelty",
     "normalize_scrub",
-    "orders_fulfillment",
+    "pagerank_trade",
     "partition_prune_stats",
-    "pii_scrub",
+    "pivot_event_counts",
     "previous_values",
     "private_retract",
     "private_screen",
-    "quality_repetition",
-    "quota_sample",
+    "private_subentity",
+    "profile_table",
+    "profile_table_hll",
+    "range_window_load",
     "replicate_cycle",
     "replicate_pending",
-    "rolling_distinct_users",
+    "rollup_returns",
     "sample_stratified",
     "screen_mask",
-    "seq_packing",
+    "semdedup",
     "set_accumulate",
-    "shuffle_shards",
+    "set_final",
     "snapshot_asof",
     "snapshot_versions",
     "state_rollforward",
-    "stream_heavy_hitters",
-    "stream_heavy_hitters_capped",
+    "state_rollforward_paned",
+    "stratified_split",
+    "stream_neardup_ingest",
     "stream_previous_values",
     "stream_sessionize",
     "text_quality",
@@ -227,9 +212,21 @@ _DEPRIORITY = (
     "token_count",
     "topk_per_group",
     "tpch_q1",
+    "tpch_q11",
+    "tpch_q14",
+    "tpch_q17",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q4",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "triangle_count",
+    "trunc_uncertain",
     "winnow_fingerprints",
     "winnow_pairs",
+    "zorder_layout",
 )
 
 

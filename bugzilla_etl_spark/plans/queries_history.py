@@ -1031,17 +1031,24 @@ def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         else list(range(n_slices))
     )
     lo_hi = ev.approxQuantile("event_id", [1 / 3, 2 / 3], 0.0)
-    lo = None
-    for i, hi in enumerate([*lo_hi, None]):
+    bounds = [(None, lo_hi[0]), (lo_hi[0], lo_hi[1]), (lo_hi[1], None)]
+    # write slices IN ARRIVAL ORDER: the file source dispatches
+    # micro-batches by file modification time, so reversing only the
+    # directory NAMES (the pre-round-12 form) left delivery order
+    # unchanged and the order sweep's coverage of this entry vacuous
+    # (round-11 advice) — under the knob the newest time slice must
+    # be WRITTEN first to actually arrive first; dir names follow
+    # write order so mtime- and name-ordered listings agree
+    for pos in range(n_slices):
+        lo, hi = bounds[arrival.index(pos)]
         sl = ev
         if lo is not None:
             sl = sl.where(F.col("event_id") > lo)
         if hi is not None:
             sl = sl.where(F.col("event_id") <= hi)
         sl.coalesce(1).write.mode("overwrite").parquet(
-            f"{src}/slice={arrival[i]}"
+            f"{src}/slice={pos}"
         )
-        lo = hi
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1662,6 +1669,74 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id", "n_hits", "is_neardup")
     finally:
         index.unpersist()
+
+
+from bugzilla_etl_spark.plans.queries_pipeline import (  # noqa: E402
+    _CHUNK_S,
+    _CHUNK_W,
+    DOC_CHUNKS_ORACLE,
+)
+
+
+@register("stream_doc_chunks", oracle=DOC_CHUNKS_ORACLE)
+def stream_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time passage chunking as a REAL multi-batch
+    streaming run (#181): the documents table lands as three files
+    (-> three micro-batches under maxFilesPerTrigger=1) and each
+    batch is chunked through the IDENTICAL
+    operators.text.chunk_passages projection as the batch
+    ``doc_chunks`` entry — streaming == batch by construction, so
+    the oracle IS the batch entry's SQL.  Chunking is stateless
+    (zero shuffles per micro-batch, no watermark because there is
+    no state), so ANY arrival order converges; under the
+    order-sweep knob the parts land newest-first — content order
+    and landing names/mtimes move together, so delivery order
+    really reverses (the round-11 stream_bug_versions lesson)."""
+    import shutil
+
+    from bugzilla_etl_spark.streaming.chunk_stream import (
+        run_chunk_ingest,
+    )
+    from bugzilla_etl_spark.streaming.landing import (
+        arrival_mode,
+        land_parts,
+        read_store_or_empty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    landing = tracked_mkdtemp(prefix="bes_chl_")
+    out_dir = tracked_mkdtemp(prefix="bes_cho_")
+    ckpt = tracked_mkdtemp(prefix="bes_chk_")
+    shutil.rmtree(out_dir)
+
+    order = list(range(3))
+    if arrival_mode() is not None:
+        order.reverse()
+    land_parts(
+        landing,
+        [
+            (
+                f"part_{pos}",
+                docs.where(F.col("doc_id") % 3 == order[pos]),
+            )
+            for pos in range(3)
+        ],
+    )
+    run_chunk_ingest(
+        spark,
+        landing,
+        docs.schema,
+        out_dir,
+        ckpt,
+        width=_CHUNK_W,
+        stride=_CHUNK_S,
+    )
+    return read_store_or_empty(
+        spark,
+        out_dir,
+        "doc_id long, chunk_idx long, tok_start long,"
+        " tok_end long, chunk_text string",
+    ).select("doc_id", "chunk_idx", "tok_start", "tok_end", "chunk_text")
 
 
 @register(

@@ -1256,9 +1256,10 @@ _CHUNK_W = 64   # tokens per chunk
 _CHUNK_S = 48   # stride (16-token overlap)
 
 
-@register(
-    "doc_chunks",
-    oracle=f"""
+# shared by the batch entry and the stream_doc_chunks ingest twin
+# (queries_history) — streaming == batch is the twin's whole claim,
+# so they must compare against the SAME oracle text
+DOC_CHUNKS_ORACLE = f"""
     WITH d AS (
         SELECT doc_id,
                regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -1281,8 +1282,10 @@ _CHUNK_S = 48   # stride (16-token overlap)
                           i * {_CHUNK_S} + {_CHUNK_W}), ' ')
                AS chunk_text
     FROM e
-    """,
-)
+    """
+
+
+@register("doc_chunks", oracle=DOC_CHUNKS_ORACLE)
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage chunking (#179): split each document into 64-token
     windows at stride 48 (16-token overlap), emitting chunk ordinal,
@@ -1296,38 +1299,138 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure map over the corpus; output size is input x (1 + overlap
     fraction), the honest cost of overlapping windows.  Null text
     chunks to nothing (null contract rule 3: a missing document has
-    no passages)."""
+    no passages).  The projection itself lives in
+    operators.text.chunk_passages, shared verbatim with
+    chunk_dedup_pack and the stream_doc_chunks ingest twin."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    n_tok = F.size("toks")
-    n_chunks = (
-        F.lit(1)
-        + F.greatest(
-            F.lit(0),
-            F.ceil((n_tok - _CHUNK_W) / float(_CHUNK_S)),
-        )
-    ).cast("long")
-    start = F.col("chunk_idx") * _CHUNK_S  # 0-based slice origin
-    return (
-        docs.where(F.col("text").isNotNull())
-        .select("doc_id", toks.alias("toks"))
-        .select(
+    return T.chunk_passages(docs, width=_CHUNK_W, stride=_CHUNK_S)
+
+
+_H_CKEY = duckdb_hash64("('p:' || ckey)")
+_CHUNK_BUDGET = 256
+
+
+@register(
+    "chunk_dedup_pack",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), n AS (
+        SELECT doc_id, source, toks, len(toks) AS n_tok,
+               1 + greatest(0, ceil((len(toks) - {_CHUNK_W})
+                                    / {_CHUNK_S}.0))::BIGINT AS n_chunks
+        FROM d
+    ), e AS (
+        SELECT doc_id, source, toks, n_tok,
+               unnest(range(0, n_chunks)) AS i
+        FROM n
+    ), ch AS (
+        SELECT doc_id, source, i AS chunk_idx,
+               (least(i * {_CHUNK_S} + {_CHUNK_W}, n_tok)
+                - i * {_CHUNK_S})::BIGINT AS n_tokens,
+               {duckdb_hash64(
+                   "array_to_string(list_slice(toks,"
+                   f" i * {_CHUNK_S} + 1, i * {_CHUNK_S} + {_CHUNK_W}),"
+                   " ' ')"
+               )} AS chash
+        FROM e
+    ), canon AS (
+        SELECT doc_id, source, chunk_idx, n_tokens, n_dups FROM (
+            SELECT doc_id, source, chunk_idx, n_tokens,
+                   count(*) OVER (PARTITION BY chash) AS n_dups,
+                   row_number() OVER (PARTITION BY chash
+                       ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+            FROM ch
+        ) WHERE rn = 1
+    ), k AS (
+        SELECT *, CAST(doc_id AS VARCHAR) || ':'
+                  || CAST(chunk_idx AS VARCHAR) AS ckey
+        FROM canon
+    )
+    SELECT doc_id, chunk_idx, source, n_tokens,
+           CAST(n_dups AS BIGINT) AS n_dups,
+           CAST((cum - n_tokens) // {_CHUNK_BUDGET} AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % {_CHUNK_BUDGET} AS BIGINT)
+               AS offset_in_seq
+    FROM (
+        SELECT *, sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY {_H_CKEY} ASC, ckey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+        FROM k
+    )
+    """,
+)
+def chunk_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk -> chunk-level dedup -> pack, composed end-to-end in ONE
+    Catalyst plan (#180) — the RAG/pretrain analogue of
+    curate_corpus: documents are split into passages (the identical
+    operators.text.chunk_passages projection doc_chunks materializes),
+    exact-duplicate passages collapse to their canonical first
+    occurrence (keeping the duplicate count as the sharing stat
+    dedup_chunk reports), and the survivors are packed into
+    256-token training sequences per source stream (the identical
+    operators.sampling.pack_sequences layout seq_packing uses).
+
+    Scale shape: the chunk stage is a pure map sharing one corpus
+    scan; dedup is ONE hash-groupBy on the portable 60-bit chunk
+    fingerprint (map-side combinable min/count — never an all-pairs
+    or windowed pass over chunk text, and the canonical row's fields
+    ride the min-struct so there is no join back to the chunk
+    stream); packing is one window cumsum per source partition.  Two
+    shuffles total (chash, then source), both on keys the data is
+    about to be consumed by.  Duplicate-chunk skew concentrates into
+    single chash groups, but a group costs O(1) state (min + count),
+    so a 10^6-way boilerplate chunk is one combiner cell, not a
+    straggler."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = T.chunk_passages(
+        docs, width=_CHUNK_W, stride=_CHUNK_S, carry=("source",)
+    )
+    from bugzilla_etl_spark.functions.hashing import hash64
+    from bugzilla_etl_spark.operators import sampling as S
+
+    canon = (
+        ch.select(
             "doc_id",
-            "toks",
-            n_tok.alias("n_tok"),
-            F.explode(
-                F.sequence(F.lit(0).cast("long"), n_chunks - 1)
-            ).alias("chunk_idx"),
-        )
-        .select(
-            "doc_id",
+            "source",
             "chunk_idx",
-            (start + 1).cast("long").alias("tok_start"),
-            F.least(start + _CHUNK_W, F.col("n_tok"))
-            .cast("long")
-            .alias("tok_end"),
-            F.concat_ws(
-                " ", F.slice(F.col("toks"), start + 1, _CHUNK_W)
-            ).alias("chunk_text"),
+            (F.col("tok_end") - F.col("tok_start") + 1).alias("n_tokens"),
+            hash64(F.col("chunk_text")).alias("chash"),
         )
+        .groupBy("chash")
+        .agg(
+            F.min(
+                F.struct("doc_id", "chunk_idx", "source", "n_tokens")
+            ).alias("c"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("c.*", "n_dups")
+        .withColumn(
+            "ckey",
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("chunk_idx").cast("string"),
+            ),
+        )
+    )
+    packed = S.pack_sequences(
+        canon,
+        stream="source",
+        key="ckey",
+        n_tokens="n_tokens",
+        budget=_CHUNK_BUDGET,
+    )
+    return packed.select(
+        "doc_id",
+        "chunk_idx",
+        "source",
+        "n_tokens",
+        "n_dups",
+        "seq_id",
+        F.col("offset_in_seq").cast("long").alias("offset_in_seq"),
     )

@@ -599,6 +599,50 @@ _BM25_QUERIES = (
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_TOPK = 10
+_BM25_LN_SQRTS = 20
+
+
+def _det_ln_sql(u: str) -> str:
+    """Engine-insensitive natural log as a SQL fragment: ``u`` is
+    range-reduced by {_BM25_LN_SQRTS} repeated sqrts to
+    x = u^(1/2^20) (x-1 ~ ln(u)/2^20), then expanded by a two-term
+    atanh series, ln(u) = 2^21 * z * (1 + z^2/3), z = (x-1)/(x+1).
+    Every op used (+ - * / sqrt) is IEEE-754 correctly rounded on
+    BOTH engines, so JVM and DuckDB produce BIT-IDENTICAL doubles —
+    unlike libm ``ln``, which is not correctly rounded and may
+    differ by ULPs across engines (round-11 advice: a contribution
+    within an ULP of a .5 micro-unit boundary could flip score_u by
+    1 and near-tie ranks with it).  Truncation+rounding error is
+    ~1e-11 relative for u up to ~e^30 — this IS the operator's
+    definition of idf, shared verbatim by query and oracle, so the
+    boundary hazard vanishes rather than shrinks."""
+    x = u
+    for _ in range(_BM25_LN_SQRTS):
+        x = f"sqrt({x})"
+    z = f"(({x} - 1.0) / ({x} + 1.0))"
+    return f"(2097152.0 * ({z} * (1.0 + ({z} * {z}) / 3.0)))"
+
+
+def _bm25_cu_sql(n_docs: str, n_texts: str, tot_tokens: str) -> str:
+    """The per-(doc, term) BM25 contribution in integer micro-units,
+    as ONE SQL fragment evaluated by both engines over identical
+    integer inputs (columns tf/df/dl plus the three corpus scalars).
+    avgdl is never materialized as a float: dl/avgdl is computed as
+    (dl * n_texts) / tot_tokens from exact integers (one correctly-
+    rounded multiply + divide), immune to summation-order ULPs in a
+    float avg.  dl * n_texts stays exact below 2^53 — at ~10^4
+    tokens/doc that holds to ~10^11 documents; beyond, pre-scale
+    dl to a double first."""
+    u = f"(({n_docs} - df + 0.5) / (df + 0.5) + 1.0)"
+    idf = _det_ln_sql(u)
+    norm = (
+        f"(tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}"
+        f" * ((dl * {n_texts}) / {tot_tokens})))"
+    )
+    return (
+        f"CAST(floor({idf} * (tf * ({_BM25_K1} + 1.0))"
+        f" / {norm} * 1000000.0 + 0.5) AS BIGINT)"
+    )
 
 
 @register(
@@ -615,7 +659,9 @@ _BM25_TOPK = 10
         FROM documents WHERE text IS NOT NULL
     ), stats AS (
         SELECT (SELECT count(*) FROM documents) AS n_docs,
-               (SELECT avg(dl) FROM dl) AS avgdl
+               (SELECT count(*) FROM dl) AS n_texts,
+               (SELECT coalesce(sum(dl), 0)::BIGINT FROM dl)
+                   AS tot_tokens
     ), tf AS (
         SELECT t.doc_id, t.term, count(*) AS tf, any_value(dl.dl) AS dl
         FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS term
@@ -625,19 +671,20 @@ _BM25_TOPK = 10
         GROUP BY t.doc_id, t.term
     ), df AS (
         SELECT term, count(*) AS df FROM tf GROUP BY term
-    ), contrib AS (
-        SELECT qterm.query_id, tf.doc_id,
-               floor(
-                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-                   * (tf.tf * ({_BM25_K1} + 1.0))
-                   / (tf.tf + {_BM25_K1}
-                      * (1.0 - {_BM25_B}
-                         + {_BM25_B} * tf.dl / stats.avgdl))
-                   * 1000000.0 + 0.5)::BIGINT AS c_u
+    ), joined AS (
+        SELECT qterm.query_id, tf.doc_id, tf.tf AS tf, df.df AS df,
+               tf.dl AS dl, stats.n_docs AS n_docs,
+               stats.n_texts AS n_texts,
+               CASE WHEN stats.tot_tokens = 0 THEN 1
+                    ELSE stats.tot_tokens END AS tot_tokens
         FROM tf
         JOIN qterm ON qterm.term = tf.term
         JOIN df ON df.term = tf.term
         CROSS JOIN stats
+    ), contrib AS (
+        SELECT query_id, doc_id,
+               {_bm25_cu_sql("n_docs", "n_texts", "tot_tokens")} AS c_u
+        FROM joined
     )
     SELECT query_id, doc_id, score_u, rnk FROM (
         SELECT query_id, doc_id, sum(c_u)::BIGINT AS score_u,
@@ -655,11 +702,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST, so the corpus token stream is semi-filtered MAP-SIDE
     (isin over the literal vocab reaches the scan side of the
     explode) before any shuffle — tf/df aggregate only query-vocab
-    tokens, never the full term stream; corpus-wide N and avgdl are
-    two scalar aggregates.  Per-term contributions are rounded to
-    integer micro-units BEFORE the sum so the cross-engine score is
-    exact (float sums are order-sensitive; integer sums are not) and
-    the top-k tie-break (score, doc_id) is total.  reference: the
+    tokens, never the full term stream; corpus-wide N / n_texts /
+    total-token-count are three scalar aggregates in one scan.
+    Cross-engine exactness is BY CONSTRUCTION, not by tolerance:
+    per-term contributions are computed by the shared SQL fragment
+    ``_bm25_cu_sql`` — idf via the arithmetic-only ``_det_ln_sql``
+    (repeated-sqrt + atanh series, every op IEEE correctly rounded,
+    so JVM and DuckDB agree bit for bit), dl/avgdl as exact-integer
+    (dl * n_texts) / tot_tokens — then rounded to integer micro-units
+    BEFORE the sum (integer sums are order-insensitive), and the
+    top-k tie-break (score, doc_id) is total.  reference: the
     jx-side term scoring this generalizes (jx_elasticsearch scoring
     passthrough); a training-data pipeline's retrieval/decontam dual.
     """
@@ -678,28 +730,23 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # both corpus scalars in ONE scan/job (count over all rows, mean
-    # doc length over non-null texts)
-    n_docs, avgdl = docs.agg(
+    # all three corpus scalars in ONE scan/job — exact INTEGERS
+    # (count, non-null-text count, total token count), so the
+    # avgdl-equivalent ratio is immune to float-summation order
+    n_docs, n_texts, tot_tokens = docs.agg(
         F.count(F.lit(1)),
-        F.avg(
+        F.count(F.when(F.col("text").isNotNull(), 1)),
+        F.sum(
             F.when(
                 F.col("text").isNotNull(), F.size(T.tokens("text"))
             )
         ),
     ).first()
-    if avgdl is None:
-        avgdl = 1.0  # empty/all-null corpus: no tf rows survive anyway
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        + 1.0
+    if not tot_tokens:
+        n_texts, tot_tokens = 0, 1  # empty/all-null: no tf rows anyway
+    c_u = F.expr(
+        _bm25_cu_sql(str(n_docs), str(n_texts), str(tot_tokens))
     )
-    norm = F.col("tf") + _BM25_K1 * (
-        1.0 - _BM25_B + _BM25_B * F.col("dl") / float(avgdl)
-    )
-    c_u = F.floor(
-        idf * (F.col("tf") * (_BM25_K1 + 1.0)) / norm * 1e6 + 0.5
-    ).cast("long")
     scored = (
         tf.join(F.broadcast(df), on="term")
         .join(F.broadcast(qterm), on="term")

@@ -109,3 +109,62 @@ def test_pv_ooo_midsecond_watermark_boundary():
     want, _ = _pv_replay(0, st0, full)
     want = want.sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+# ---------------------------------------------------------------------
+# BM25 cross-engine bit-identity (round-11 verdict task 6).
+
+
+def test_bm25_contribution_bit_identical_across_engines(spark):
+    """The shared _bm25_cu_sql fragment must yield the IDENTICAL
+    integer micro-unit contribution on Spark (JVM) and DuckDB (libm)
+    for adversarial integer inputs — including df values that push
+    the idf argument through its full range and tf/dl combinations
+    dense enough to land contributions near .5 boundaries.  This is
+    the property the old F.log/ln pair could not guarantee: libm ln
+    is not correctly rounded, so the two engines could disagree by 1
+    micro-unit on a boundary-straddling contribution.  The fragment
+    uses only IEEE correctly-rounded ops, so equality here is exact,
+    not tolerance-based."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from bugzilla_etl_spark.plans.queries_text import _bm25_cu_sql
+
+    rng = random.Random(12)
+    rows = []
+    for _ in range(4000):
+        n_docs = rng.choice([1, 2, 10, 600, 59_986, 10**9])
+        df_v = rng.randint(1, n_docs)
+        rows.append(
+            (
+                rng.randint(1, 500),        # tf
+                df_v,
+                rng.randint(1, 10_000),     # dl
+                n_docs,
+                max(1, n_docs - rng.randint(0, 1)),   # n_texts
+                rng.randint(1, 10**12),     # tot_tokens
+            )
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["tf", "df", "dl", "n_docs", "n_texts", "tot_tokens"],
+    )
+    frag = _bm25_cu_sql("n_docs", "n_texts", "tot_tokens")
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    got_spark = [
+        r.c_u
+        for r in sdf.select(F.expr(frag).alias("c_u"))
+        .collect()
+    ]
+    got_duck = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {frag} AS c_u FROM pdf"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
