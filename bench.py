@@ -178,6 +178,9 @@ HEADLINE = [
     "previous_values_paned",
     "bm25_topk",
     "doc_chunks",
+    # round-12 additions (chunk -> dedup -> pack composed plan; the
+    # stream_doc_chunks ingest twin is timed in tools/streambench.py)
+    "chunk_dedup_pack",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into

@@ -168,3 +168,96 @@ def test_bm25_contribution_bit_identical_across_engines(spark):
         ).fetchall()
     ]
     assert got_spark == got_duck
+
+
+# ---------------------------------------------------------------------
+# Round-12 additions: chunk_dedup_pack (#180), stream_doc_chunks (#181)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_chunk_dedup_pack_plans_two_exchanges(spark, sf_dir):
+    """#180's scale claim: chunk (pure map) -> dedup (ONE hash-groupBy
+    on the chunk fingerprint, min-struct canonicalization — no join
+    back to the chunk stream) -> pack (one window per source).  The
+    plan must show exactly the two claimed shuffles (chash agg, then
+    source window; AQE may add nothing), no SortMergeJoin, no Python
+    eval, and the text null screen pushed to the scan."""
+    from bugzilla_etl_spark.plans import catalog
+
+    import re
+
+    catalog.load_all()
+    plan = _plan(catalog.QUERIES["chunk_dedup_pack"](spark, sf_dir))
+    # formatted mode prints each node twice (tree + numbered detail);
+    # count the detail headers
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex <= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # dedup is agg-only
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Generate" in plan  # the chunk explode
+    assert "IsNotNull(text)" in plan
+
+
+def test_chunk_dedup_pack_semantics(spark):
+    """Crafted corpus: two docs sharing an identical one-chunk text
+    plus one unique doc.  The duplicate chunk must collapse to its
+    lowest (doc_id, chunk_idx) occurrence with n_dups=2; packing must
+    lay survivors end-to-end per source in portable-hash order."""
+    import pandas as pd
+
+    from bugzilla_etl_spark.plans import catalog
+    from bugzilla_etl_spark.sources import tables as SRC
+
+    catalog.load_all()
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["s", "s", "s"],
+            "text": ["alpha beta", "alpha beta", "gamma delta"],
+        }
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cdp_sem_")
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    rows = {
+        (r.doc_id, r.chunk_idx): r
+        for r in catalog.QUERIES["chunk_dedup_pack"](spark, d).collect()
+    }
+    assert set(rows) == {(1, 0), (3, 0)}  # doc 2's chunk deduped away
+    assert rows[(1, 0)].n_dups == 2
+    assert rows[(3, 0)].n_dups == 1
+    # both survivors pack into seq 0 of stream 's': offsets 0 and 2
+    offs = sorted(
+        (r.seq_id, r.offset_in_seq) for r in rows.values()
+    )
+    assert offs == [(0, 0), (0, 2)]
+    assert {r.n_tokens for r in rows.values()} == {2}
+
+
+def test_stream_doc_chunks_matches_batch(spark, sf_dir):
+    """The ingest twin's whole claim: streaming output == the batch
+    doc_chunks result, row for row."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    got = {
+        tuple(r)
+        for r in catalog.QUERIES["stream_doc_chunks"](
+            spark, sf_dir
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in catalog.QUERIES["doc_chunks"](spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

@@ -106,7 +106,9 @@ SKEW_QUERIES = [
 _ROW_GROUP = 16384
 
 
-def build_skewed_dir(src: str, dst: str, skew: bool = True) -> None:
+def build_skewed_dir(
+    src: str, dst: str, skew: bool = True, hot_share: float | None = None
+) -> None:
     """Rewrite ``src`` into ``dst`` through one writer; with
     ``skew=True`` remap the SKEW keys, with ``skew=False`` copy
     values unchanged.  The perf probe compares a skew=False rewrite
@@ -133,6 +135,12 @@ def build_skewed_dir(src: str, dst: str, skew: bool = True) -> None:
                 shutil.copyfile(src_file, dst_file)
             continue
         id_col, key_col, hot_sql, mod, nhot = SKEW[t]
+        if hot_share is not None:
+            # crossover-probe mode (round-11 verdict task 3): push the
+            # hot key's share beyond the standing 30/50% so the
+            # classic per-key-ordered forms actually straggle at
+            # local[32]; 1000 buckets give 0.1% share resolution
+            mod, nhot = 1000, max(1, min(999, round(hot_share * 1000)))
         hot = con.execute(
             f"SELECT {hot_sql} FROM '{src_file}'"
         ).fetchone()[0]
@@ -164,7 +172,12 @@ def build_skewed_dir(src: str, dst: str, skew: bool = True) -> None:
         assert n_src == n_dst, (t, n_src, n_dst)
 
 
-def perf_probe(perf_src: str, queries: list[str], factor: int = 1) -> dict:
+def perf_probe(
+    perf_src: str,
+    queries: list[str],
+    factor: int = 1,
+    hot_share: float | None = None,
+) -> dict:
     from bugzilla_etl_spark.plans import catalog
     from bugzilla_etl_spark.session import get_spark
     from bugzilla_etl_spark.tmpdirs import gc_now, tracked_mkdtemp
@@ -192,7 +205,7 @@ def perf_probe(perf_src: str, queries: list[str], factor: int = 1) -> dict:
     build_skewed_dir(perf_src, uniform, skew=False)
     perf_src = uniform
     skewed = tracked_mkdtemp(prefix="bes_skewperf_")
-    build_skewed_dir(perf_src, skewed)
+    build_skewed_dir(perf_src, skewed, hot_share=hot_share)
 
     out: dict = {}
     for name in queries:
@@ -234,13 +247,19 @@ def main() -> None:
     args = sys.argv[1:]
     json_out = None
     factor = 1
+    hot_share = None
     skip_corr = False
-    while args and args[0] in ("--json", "--factor", "--skip-correctness"):
+    while args and args[0] in (
+        "--json", "--factor", "--hot-share", "--skip-correctness"
+    ):
         if args[0] == "--json":
             json_out = args[1]
             args = args[2:]
         elif args[0] == "--factor":
             factor = int(args[1])
+            args = args[2:]
+        elif args[0] == "--hot-share":
+            hot_share = float(args[1])
             args = args[2:]
         else:
             # focused perf probes: the correctness half is the slow
@@ -286,7 +305,9 @@ def main() -> None:
         shutil.rmtree(deco, ignore_errors=True)
 
     # --- straggler half: uniform vs skewed timing at perf SF
-    probe = perf_probe(perf_src, queries, factor=factor)
+    probe = perf_probe(
+        perf_src, queries, factor=factor, hot_share=hot_share
+    )
 
     result = {
         "correctness_sf": corr_src,
@@ -296,6 +317,7 @@ def main() -> None:
         "correctness_n": len(corr),
         "perf_sf": perf_src,
         "perf_factor": factor,
+        "hot_share": hot_share,
         "probe": probe,
     }
     line = json.dumps(result)

@@ -49,6 +49,8 @@ STREAMING = [
     # round-11: the watermark-buffered out-of-order forms
     "stream_previous_values_ooo",
     "stream_sessionize_ooo",
+    # round-12: the chunking ingest twin
+    "stream_doc_chunks",
 ]
 
 N_RUNS = 2
