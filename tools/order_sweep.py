@@ -71,6 +71,9 @@ CONVERGE = [
     "stream_bug_versions",
     "stream_previous_values_ooo",
     "stream_sessionize_ooo",
+    # round-12: the chunking ingest twin — stateless per-batch map,
+    # so ANY arrival order converges
+    "stream_doc_chunks",
 ]
 IN_ORDER_CONTRACT = ["stream_previous_values", "stream_sessionize"]
 
