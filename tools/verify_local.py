@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -90,9 +91,12 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written table (a directory of part files), e.g.
+            # the sf1 gate's replicated corpus: glob the parts
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     results: dict[str, dict] = {}
     failures = []
