@@ -51,6 +51,12 @@ STATE_HEAVY = [
     "hist_quantile",
     "kmv_source_overlap_sketch",
     "pagerank_trade",
+    # triangle_count stays listed: at sf1 its DUCKDB ORACLE (not the
+    # operator) spills past local temp disk — the wedge join the
+    # Spark side df-caps explodes uncapped in the oracle SQL.  The
+    # r12 artifact records that honestly (spark_rows=10, oracle
+    # IO Error); the operator's own sf1 behavior is witnessed by the
+    # Spark side completing and by SCALEPROBE's 0.72 exponent.
     "triangle_count",
     "dedup_components",
     "kmeans_embeddings",
