@@ -1020,18 +1020,25 @@ def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tracked_mkdtemp(prefix="bes_incv_")
     src = f"{work}/src"
     # three time-ordered slices = three incremental deliveries; under
-    # the arrival-order knob the slice NAMES reverse, so the newest
-    # delivery arrives first — rebuild-from-accumulated-archive is
-    # order-insensitive by construction (each entity's final rebuild
-    # sees its full archived history) and must converge anyway
-    n_slices = 3
+    # the arrival-order knob the newest delivery arrives first —
+    # rebuild-from-accumulated-archive is order-insensitive by
+    # construction (each entity's final rebuild sees its full
+    # archived history) and must converge anyway
+    lo_hi = ev.approxQuantile("event_id", [1 / 3, 2 / 3], 0.0)
+    # an empty/degenerate corpus yields no quantiles: land the whole
+    # (possibly empty) table as a single slice so the stream still
+    # sees a file and stays schema-stable (the all-empty sweep)
+    bounds = []
+    lo = None
+    for hi in [*lo_hi, None]:
+        bounds.append((lo, hi))
+        lo = hi
+    n_slices = len(bounds)
     arrival = (
         list(reversed(range(n_slices)))
         if arrival_mode() is not None
         else list(range(n_slices))
     )
-    lo_hi = ev.approxQuantile("event_id", [1 / 3, 2 / 3], 0.0)
-    bounds = [(None, lo_hi[0]), (lo_hi[0], lo_hi[1]), (lo_hi[1], None)]
     # write slices IN ARRIVAL ORDER: the file source dispatches
     # micro-batches by file modification time, so reversing only the
     # directory NAMES (the pre-round-12 form) left delivery order

@@ -35,6 +35,7 @@ def main() -> None:
         out_json = args[1]
         args = args[2:]
     src = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from bugzilla_etl_spark import tmpdirs
     from bugzilla_etl_spark.plans import catalog
@@ -56,6 +57,8 @@ def main() -> None:
     results: dict[str, dict] = {}
     fails = 0
     for name, fn in catalog.QUERIES.items():
+        if only and name not in only:
+            continue
         try:
             n = fn(spark, empty).count()
             results[name] = {"ok": True, "rows": n, "err": None}
