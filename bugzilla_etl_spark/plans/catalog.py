@@ -53,114 +53,54 @@ _loaded = False
 # regardless of window position, and ROTATION.md ledgers each
 # query's newest driver row.
 #
-# r12-window composition (per the standing rotation policy): the 2
-# round-12 additions lead (never driver-tested), then the 4 entries
-# whose BEHAVIOR round 12 touched (bm25_topk: scoring moved to the
-# engine-insensitive shared fragment, VALUES changed; the *_ooo
-# pair: finalize boundary moved to fully-passed seconds;
-# previous_values_paned: forced broadcast dropped — plan only),
-# then ALL 23 r8-stale greens (the round-11 verdict's stalest-first
-# list, ledger order), then the 21 oldest r9 greens (ledger order)
-# fill the 50.  After this round no query's newest driver row is
-# older than r9; the remaining 28 r9 names (diff_apply..
-# stream_heavy_hitters_capped, kept in registration order between
-# window and tail) lead the r13 window.
+# r13-window composition (per the standing rotation policy): the 28
+# r9-stale greens lead (ledger order — the round-12 verdict's
+# rotate-next list, exactly), then the 22 oldest r10 greens (ledger
+# order) fill the 50.  After this round no query's newest driver
+# row is older than r10; the remaining 28 r10 names lead the r14
+# window.
 _PRIORITY = (
-    # ---- round-12 additions (never driver-tested)
-    "chunk_dedup_pack",
-    "stream_doc_chunks",
-    # ---- round-12 behavior-touched: bm25's scoring moved to the
-    # engine-insensitive shared fragment (values changed); the *_ooo
-    # pair's finalize boundary moved to fully-passed seconds; the
-    # paned previous_values dropped its forced broadcast (plan)
-    "bm25_topk",
-    "stream_previous_values_ooo",
-    "stream_sessionize_ooo",
-    "previous_values_paned",
-    # ---- the 23 r8-stale greens (ledger order) — the whole block
-    "set_final_salted",
-    "skyline_orders",
-    "stream_attribution",
-    "stream_attribution_outer",
-    "stream_bug_versions",
-    "stream_decontam",
-    "stream_dedup",
-    "stream_hll",
-    "stream_rollup",
-    "stream_snapshot",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q5",
-    "unpivot_measures",
-    "value_percentiles",
-    # ---- oldest r9 greens (ledger order; fills the 50)
-    "activity_invert",
-    "alias_analysis",
-    "alias_minimize",
-    "alias_resolve",
-    "ann_ivf",
-    "ann_ivf_nprobe",
-    "ann_lsh_buckets",
-    "ann_pq",
-    "ann_topk",
-    "attachment_versions",
-    "comments_etl",
-    "curate_corpus",
-    "decontam_overlap",
-    "dedup_chunk",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_latest",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dependency_edges",
-)
-# Rotated past position 50: every entry here has a GREEN r10 or r11
-# driver row (the freshest in the ledger), is re-verified by the
-# local gate (tools/verify_local.py, driver-strict canonicalizer)
-# every round, and rotates back in r14+.  The unlisted middle (the
-# 28 remaining r9 rows) keeps registration order between the window
-# and this tail and leads the r13 window.
-_DEPRIORITY = (
-    "alias_compact",
-    "anomaly_mad",
-    "anomaly_mad_hist",
-    "bloom_decontam",
-    "bloom_join_prune",
+    "diff_apply",
+    "diff_rollback",
+    "doc_fingerprint",
+    "docs_json_roundtrip",
+    "dual_pipeline_cutover",
+    "embedding_neardup",
+    "es_docs",
+    "events_sessionize",
+    "events_sessionize_native",
+    "flag_parse",
+    "flag_state_versions",
+    "incremental_touched",
+    "interval_asof_join",
+    "json_props_extract",
+    "kmv_source_overlap",
+    "kmv_source_overlap_sketch",
+    "mix_weights",
+    "mm_features",
+    "mm_resize",
+    "orders_fulfillment",
+    "pii_scrub",
+    "quality_repetition",
+    "quota_sample",
+    "rolling_distinct_users",
+    "seq_packing",
+    "shuffle_shards",
+    "stream_heavy_hitters",
+    "stream_heavy_hitters_capped",
     "bpe_pair_counts",
-    "bucketed_join_zero_shuffle",
-    "bug_version_docs",
-    "bug_version_full",
     "canonical_fields",
     "cc_fuzzy_match",
     "char_lm_perplexity",
-    "compact_store",
     "compaction_plan",
     "cooccurrence_pmi",
     "count_min_freq",
-    "cube_order_stats",
     "date_normalize",
     "decontam_neardup",
     "dedup_containment",
-    "dedup_jaccard_invindex",
-    "dedup_ngram_jaccard",
-    "doc_chunks",
     "dsir_weights",
     "embedding_outliers",
     "embedding_pca",
-    "es_alias_cutover",
-    "es_file_extract",
-    "events_funnel",
-    "events_sessionize_paned",
     "filter_funnel",
     "flag_fuzzy_match",
     "frequent_pairs",
@@ -168,9 +108,55 @@ _DEPRIORITY = (
     "full_backfill_resume",
     "heavy_hitters_ngrams",
     "hist_quantile",
-    "hll_distinct",
     "html_strip",
     "key_skew_stats",
+)
+# Rotated past position 50: every entry here has a GREEN r10, r11
+# or r12 driver row (the freshest in the ledger), is re-verified by
+# the local gate (tools/verify_local.py, driver-strict
+# canonicalizer) every round, and rotates back in r14+.
+_DEPRIORITY = (
+    "activity_invert",
+    "alias_analysis",
+    "alias_compact",
+    "alias_minimize",
+    "alias_resolve",
+    "ann_ivf",
+    "ann_ivf_nprobe",
+    "ann_lsh_buckets",
+    "ann_pq",
+    "ann_topk",
+    "anomaly_mad",
+    "anomaly_mad_hist",
+    "attachment_versions",
+    "bloom_decontam",
+    "bloom_join_prune",
+    "bm25_topk",
+    "bucketed_join_zero_shuffle",
+    "bug_version_docs",
+    "bug_version_full",
+    "chunk_dedup_pack",
+    "comments_etl",
+    "compact_store",
+    "cube_order_stats",
+    "curate_corpus",
+    "decontam_overlap",
+    "dedup_chunk",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_jaccard_invindex",
+    "dedup_latest",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dependency_edges",
+    "doc_chunks",
+    "es_alias_cutover",
+    "es_file_extract",
+    "events_funnel",
+    "events_sessionize_paned",
+    "hll_distinct",
     "kmeans_embeddings",
     "lang_id",
     "merge_order_union",
@@ -184,6 +170,7 @@ _DEPRIORITY = (
     "partition_prune_stats",
     "pivot_event_counts",
     "previous_values",
+    "previous_values_paned",
     "private_retract",
     "private_screen",
     "private_subentity",
@@ -198,32 +185,58 @@ _DEPRIORITY = (
     "semdedup",
     "set_accumulate",
     "set_final",
+    "set_final_salted",
+    "skyline_orders",
     "snapshot_asof",
     "snapshot_versions",
     "state_rollforward",
     "state_rollforward_paned",
     "stratified_split",
+    "stream_attribution",
+    "stream_attribution_outer",
+    "stream_bug_versions",
+    "stream_decontam",
+    "stream_dedup",
+    "stream_doc_chunks",
+    "stream_hll",
     "stream_neardup_ingest",
     "stream_previous_values",
+    "stream_previous_values_ooo",
+    "stream_rollup",
     "stream_sessionize",
+    "stream_sessionize_ooo",
+    "stream_snapshot",
     "text_quality",
     "tfidf_top_terms",
     "time_rollup",
     "token_count",
     "topk_per_group",
     "tpch_q1",
+    "tpch_q10",
     "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
     "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
     "tpch_q2",
     "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
     "tpch_q4",
+    "tpch_q5",
     "tpch_q6",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
     "triangle_count",
     "trunc_uncertain",
+    "unpivot_measures",
+    "value_percentiles",
     "winnow_fingerprints",
     "winnow_pairs",
     "zorder_layout",
