@@ -219,6 +219,40 @@ def _family(name: str) -> str:
 # doing — min-of-n is self-denoising.
 N_RUNS = 3
 
+# Queries whose operator records a wall-clock split (landing write
+# vs layout validation vs block walk, operators/backfill.LAST_SPLIT).
+# The split of each query's WINNING (min) pass is embedded in the
+# output line: the round-12 driver-lane alert on
+# full_backfill_clustered (27.9 s vs a 9.2 s pin while the builder's
+# quiet host read 7.5 s on identical code) was only attributable to
+# "probably the partitionBy landing under IO contention"; with the
+# split recorded, a crossing localizes itself.
+SPLIT_QUERIES = {"full_backfill_clustered", "full_backfill_resume"}
+
+
+def _io_probe_mb_s(mb: int = 32) -> float:
+    """Sequential write+fsync throughput of the scratch volume the
+    backfill/streaming entries land on — recorded at bench start and
+    end so a bench artifact carries its own IO-load context."""
+    import tempfile
+
+    buf = os.urandom(1 << 20)
+    fd, path = tempfile.mkstemp(prefix="bes_ioprobe_")
+    try:
+        t0 = time.perf_counter()
+        with os.fdopen(fd, "wb") as f:
+            for _ in range(mb):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+        dt = time.perf_counter() - t0
+    finally:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+    return round(mb / dt, 1)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -227,16 +261,20 @@ def main() -> None:
 
     from bugzilla_etl_spark.session import get_spark
     from bugzilla_etl_spark.plans import catalog
+    from bugzilla_etl_spark.operators import backfill as _backfill
 
     catalog.load_all()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    io_probe_start = _io_probe_mb_s()
 
     # JVM/codegen warmup outside the timed region
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    splits: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES.get(name)
         if fn is None:
@@ -246,14 +284,25 @@ def main() -> None:
         # which is the apples-to-apples basis against the reference's
         # long-running single-node ETL loop
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        runs = []
+        runs: list[float] = []
+        best_split: dict[str, float] | None = None
         for _ in range(N_RUNS):
+            if name in SPLIT_QUERIES:
+                _backfill.reset_split()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if name in SPLIT_QUERIES and (not runs or dt < min(runs)):
+                best_split = dict(_backfill.LAST_SPLIT)
+                best_split["pass_total_sec"] = round(dt, 3)
+            runs.append(dt)
         runs.sort()
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
+        if best_split:
+            splits[name] = best_split
+
+    io_probe_end = _io_probe_mb_s()
 
     fam: dict[str, float] = {}
     for name, t in timings.items():
@@ -269,6 +318,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        "splits": splits,
+        "io_probe_mb_s": {"start": io_probe_start, "end": io_probe_end},
         "runs_per_query": N_RUNS,
         "aggregation": "min",
         "n_queries": len(timings),

@@ -43,10 +43,31 @@ layout only changes how much the scan skips.
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Wall-clock split of the last backfill run, accumulated across the
+# operator calls an entry makes (landing write vs layout validation
+# vs block walk).  bench.py resets this before each timed pass and
+# embeds the snapshot of the winning pass in its JSON line, so the
+# recorded BENCH artifact itself says WHERE the time went — the
+# round-12 driver-lane alert on full_backfill_clustered (27.9 s vs
+# a 9.2 s pin, builder quiet-host 7.5 s on identical code) could
+# only be attributed to "probably the partitionBy landing under IO
+# contention"; with the split recorded, the next crossing is a
+# diagnosis, not a hypothesis.
+LAST_SPLIT: dict[str, float] = {}
+
+
+def reset_split() -> None:
+    LAST_SPLIT.clear()
+
+
+def _add_split(key: str, sec: float) -> None:
+    LAST_SPLIT[key] = round(LAST_SPLIT.get(key, 0.0) + sec, 3)
 
 
 def block_plan(end: int, increment: int) -> list[tuple[int, int]]:
@@ -95,6 +116,7 @@ def get_min_entity_id(
 def land_clustered(
     ev: DataFrame, out_dir: str, increment: int,
     entity: str = "user_id",
+    files_per_block: int = 4,
 ) -> None:
     """Land the events table partitioned by ENTITY BLOCK
     (``entity_block = (id div increment) * increment`` — each
@@ -103,19 +125,35 @@ def land_clustered(
     directory pruning (zero rows of other blocks touched — the
     Spark analogue of the reference's MySQL primary-key range walk,
     bz_etl.py:305 ``{{min}} <= b.bug_id AND b.bug_id < {{max}}``);
-    without it, each block is a pushed-filter full scan.  One
-    shuffle-free write (partitionBy on a derived column), paid once
+    without it, each block is a pushed-filter full scan.  Paid once
     — the zorder_layout/bucketed_join write-time-layout discipline
     applied to the backfill source.  A ``_layout.json`` marker
     records the increment and entity so a later walk can fail-fast
     on a mismatched layout instead of silently reading empty
-    blocks."""
+    blocks.
+
+    File-count discipline: a bare ``partitionBy`` write emits up to
+    tasks x blocks files (32 x 5 = 160 small files at the demo SF —
+    the round-12 driver-lane alert traced to exactly this commit
+    storm on a contended disk), so the landing repartitions on
+    ``(entity_block, hash(entity) % files_per_block)`` first: file
+    count is bounded at blocks x files_per_block regardless of task
+    count, while the salt keeps ``files_per_block``-way write
+    parallelism inside each block.  At 100 TB the one added shuffle
+    is the standard price of a bounded-file layout (the same trade
+    ``compact_store`` prices); size ``files_per_block`` so each file
+    lands near ``spark.sql.files.maxPartitionBytes``."""
     import json
 
+    t0 = time.perf_counter()
+    blocked = ev.withColumn(
+        "entity_block",
+        (F.col(entity) - F.col(entity) % increment).cast("long"),
+    )
     (
-        ev.withColumn(
-            "entity_block",
-            (F.col(entity) - F.col(entity) % increment).cast("long"),
+        blocked.repartition(
+            F.col("entity_block"),
+            F.pmod(F.hash(F.col(entity)), F.lit(files_per_block)),
         )
         .write.mode("overwrite")
         .partitionBy("entity_block")
@@ -123,6 +161,7 @@ def land_clustered(
     )
     with open(os.path.join(out_dir, "_layout.json"), "w") as f:
         json.dump({"increment": increment, "entity": entity}, f)
+    _add_split("landing_write_sec", time.perf_counter() - t0)
 
 
 def read_block(
@@ -290,10 +329,13 @@ def run_backfill(
     if clustered_dir is not None and plan:
         # fail-fast: a wrong path or a mismatched layout must error
         # here, not silently land all-empty blocks
+        t0 = time.perf_counter()
         clustered_los = validate_clustered_layout(
             clustered_dir, increment, entity, spark=spark
         )
+        _add_split("validate_sec", time.perf_counter() - t0)
     done: list[tuple[int, int]] = []
+    t_walk = time.perf_counter()
     for lo, hi in plan:
         if clustered_dir is not None:
             if clustered_los is not None and lo in clustered_los:
@@ -313,6 +355,8 @@ def run_backfill(
         done.append((lo, hi))
         if crash_after is not None and len(done) >= crash_after:
             break
+    _add_split("walk_sec", time.perf_counter() - t_walk)
+    _add_split("blocks_walked", float(len(done)))
     return done
 
 
