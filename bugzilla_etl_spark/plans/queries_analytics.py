@@ -1798,7 +1798,17 @@ def pagerank_trade(
         JOIN ok_parts op ON op.pk = a.pk
         GROUP BY a.sk, b.sk
     ),
-    edges AS (
+    -- MATERIALIZED is load-bearing at scale, not a style choice:
+    -- edges is consumed three times (e1, e2, and the EXISTS's e3)
+    -- and DuckDB inlines plain CTEs, so the un-hinted form re-runs
+    -- the whole ps->co->top-5000 pipeline per consumer plus a
+    -- delim-join decorrelation — three simultaneous corpus-scale
+    -- hash builds that spilled >17 GB and exhausted local disk at
+    -- sf1 (LOCAL_GATE_sf1_r12's one red row) while the hinted form
+    -- runs in ~6 s.  Spark's side needs no hint: Catalyst's
+    -- ReuseExchange deduplicates the identical subtree (see the
+    -- operator docstring).
+    edges AS MATERIALIZED (
         SELECT s1, s2 FROM co
         ORDER BY w DESC, s1 ASC, s2 ASC LIMIT 5000
     ),

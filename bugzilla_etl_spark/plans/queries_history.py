@@ -2042,10 +2042,20 @@ def _attribution_streams(
     return clicks, purchases
 
 
-def _run_attribution(spark: SparkSession, out) -> DataFrame:
+def _run_attribution(
+    spark: SparkSession, out, tag: str = "stream_attribution"
+) -> DataFrame:
     """Run an attribution join to a memory sink (availableNow,
-    one real micro-batch per landed file) and return the table."""
+    one real micro-batch per landed file) and return the table.
+    The finished query's progress summary (state rows/memory,
+    per-batch durationMs components) is stashed in
+    ``streaming.progress.LAST[tag]`` so the streambench lane can
+    embed it — the r12 interval-join re-pin taught that a wall-
+    clock step with no recorded state/commit metrics cannot be
+    root-caused after the fact."""
     import uuid
+
+    from bugzilla_etl_spark.streaming import progress as _progress
 
     name = f"stream_att_{uuid.uuid4().hex[:8]}"
     q = (
@@ -2059,6 +2069,7 @@ def _run_attribution(spark: SparkSession, out) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _progress.record(tag, q)
     return spark.table(name)
 
 
@@ -2136,6 +2147,6 @@ def stream_attribution_outer(
             " div 1000000"
         ).alias("gap_s"),
     )
-    return _run_attribution(spark, out).where(
-        F.col("user_id") != -1
-    )
+    return _run_attribution(
+        spark, out, tag="stream_attribution_outer"
+    ).where(F.col("user_id") != -1)

@@ -612,10 +612,15 @@ def _det_ln_sql(u: str) -> str:
     unlike libm ``ln``, which is not correctly rounded and may
     differ by ULPs across engines (round-11 advice: a contribution
     within an ULP of a .5 micro-unit boundary could flip score_u by
-    1 and near-tie ranks with it).  Truncation+rounding error is
-    ~1e-11 relative for u up to ~e^30 — this IS the operator's
-    definition of idf, shared verbatim by query and oracle, so the
-    boundary hazard vanishes rather than shrinks."""
+    1 and near-tie ranks with it).  Error bound (gated against libm
+    in tests/test_round13.py): ~2^-32 ~ 2.3e-10 ABSOLUTE — the sqrt
+    chain leaves x within an ulp of 1, and the 2^21 factor
+    re-amplifies that last-ulp error — plus ~1e-11 RELATIVE from
+    series truncation for u up to ~e^30.  Both are orders below the
+    0.5 micro-unit (5e-7) that could move a score_u.  This IS the
+    operator's definition of idf, shared verbatim by query and
+    oracle, so the cross-engine boundary hazard vanishes rather
+    than shrinks."""
     x = u
     for _ in range(_BM25_LN_SQRTS):
         x = f"sqrt({x})"

@@ -51,12 +51,15 @@ STATE_HEAVY = [
     "hist_quantile",
     "kmv_source_overlap_sketch",
     "pagerank_trade",
-    # triangle_count stays listed: at sf1 its DUCKDB ORACLE (not the
-    # operator) spills past local temp disk — the wedge join the
-    # Spark side df-caps explodes uncapped in the oracle SQL.  The
-    # r12 artifact records that honestly (spark_rows=10, oracle
-    # IO Error); the operator's own sf1 behavior is witnessed by the
-    # Spark side completing and by SCALEPROBE's 0.72 exponent.
+    # triangle_count's r12 red row was a DuckDB PLAN pathology, not
+    # an operator or capacity problem: the plain `edges` CTE was
+    # inlined into all three consumers (e1, e2, the EXISTS) plus a
+    # delim-join, re-running the corpus-scale ps->co->top-5000
+    # pipeline three times concurrently and spilling >17 GB.  Fixed
+    # at the oracle (`edges AS MATERIALIZED`, ~6 s at sf1); the
+    # verify_local connection now also pins temp_directory and
+    # bounds memory + temp so any future plan regression fails fast
+    # instead of exhausting the host disk.
     "triangle_count",
     "dedup_components",
     "kmeans_embeddings",
@@ -64,7 +67,51 @@ STATE_HEAVY = [
     "value_percentiles",
 ]
 
+# The dedup/similarity slice (round-12 verdict task 5): the family
+# whose correctness is most partition-count-sensitive (band
+# boundaries, posting-list df caps, cell assignment) and, after
+# triangle_count, the steepest scaleprobe curves — minhash_lsh's
+# x10 exponent is 0.39.  Value-checked at sf1 alongside STATE_HEAVY.
+DEDUP_SIM = [
+    "dedup_minhash_lsh",
+    "dedup_jaccard_invindex",
+    "semdedup",
+    "decontam_neardup",
+    "dedup_containment",
+    "dedup_simhash_pairs",
+]
+
 FACTOR = 10
+
+# Documented oracle-side limitations (NOT operator failures): a name
+# here still runs and records its row, but a red result does not
+# flip the exit code — so "gate nonzero" always means a REAL
+# regression.  Empty since the r12 triangle_count hole was fixed at
+# the root (the oracle plan, see STATE_HEAVY note); add a name only
+# with a comment citing the artifact that documents the limitation.
+XFAIL: set[str] = set()
+
+
+def evaluate(rec: dict) -> tuple[list[str], list[str]]:
+    """Split a verify_local record into (real_failures, xfailed):
+    only the former flips the gate's exit code, so a nonzero exit
+    always means a REAL regression even while a documented
+    oracle-side limitation is listed in XFAIL."""
+
+    def _green(row: dict) -> bool:
+        return bool(
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        )
+
+    real = sorted(
+        n for n, row in rec.items() if not _green(row) and n not in XFAIL
+    )
+    xfailed = sorted(
+        n for n, row in rec.items() if not _green(row) and n in XFAIL
+    )
+    return real, xfailed
 
 
 def main() -> None:
@@ -74,7 +121,7 @@ def main() -> None:
         json_out = args[1]
         args = args[2:]
     base = args[0] if args else "/root/testdata/sf0.1"
-    queries = args[1:] or STATE_HEAVY
+    queries = args[1:] or (STATE_HEAVY + DEDUP_SIM)
 
     from bugzilla_etl_spark.session import get_spark
     from tools.scaleprobe import replicate
@@ -87,7 +134,8 @@ def main() -> None:
         replicate(spark, base, big, FACTOR)
         spark.stop()  # verify_local runs its own fresh session
 
-        gate_json = tempfile.mktemp(suffix=".json")
+        fd, gate_json = tempfile.mkstemp(suffix=".json")
+        os.close(fd)
         r = subprocess.run(
             [
                 sys.executable,
@@ -102,18 +150,21 @@ def main() -> None:
         with open(gate_json) as f:
             rec = json.load(f)
         os.unlink(gate_json)
+        real_failures, xfailed = evaluate(rec)
         result = {
             "base": base,
             "factor": FACTOR,
             "queries": rec,
-            "ok": r.returncode == 0,
+            "xfailed": xfailed,
+            "real_failures": real_failures,
+            "ok": not real_failures,
         }
         line = json.dumps(result)
         print(line)
         if json_out:
             with open(json_out, "w") as f:
                 f.write(line + "\n")
-        sys.exit(r.returncode)
+        sys.exit(1 if real_failures else 0)
     finally:
         shutil.rmtree(big, ignore_errors=True)
 

@@ -102,18 +102,28 @@ def main() -> None:
     noop1 = round(min(_noop_stream(spark, 1) for _ in range(3)), 3)
     noop3 = round(min(_noop_stream(spark, 3) for _ in range(3)), 3)
 
+    from bugzilla_etl_spark.streaming import progress as _progress
+
     timings: dict[str, float] = {}
+    progress: dict[str, dict] = {}
     for name in STREAMING:
         fn = catalog.QUERIES.get(name)
         if fn is None:
             continue
         runs = []
+        best_prog = None
         for _ in range(N_RUNS):
+            _progress.LAST.pop(name, None)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if name in _progress.LAST and (not runs or dt < min(runs)):
+                best_prog = _progress.LAST[name]
+            runs.append(dt)
             gc_now()  # each pass cleans its landing/checkpoint dirs
         timings[name] = round(min(runs), 3)
+        if best_prog:
+            progress[name] = best_prog
 
     marginal = {
         n: round(max(t - noop1, 0.0), 3) for n, t in timings.items()
@@ -123,6 +133,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "marginal": marginal,
+        # winning pass's StreamingQueryProgress summary for entries
+        # whose runner records one (the stream-stream interval
+        # joins): state rows/memory and summed durationMs components
+        # — addBatch is data work, walCommit/commitOffsets/
+        # stateCommit are checkpoint IO.  Recorded because the r12
+        # re-pin of this pair could not be root-caused from wall
+        # clock alone.
+        "progress": progress,
         "noop_1batch": noop1,
         "noop_3batch": noop3,
         "per_batch_overhead": round((noop3 - noop1) / 2, 3),

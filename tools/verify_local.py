@@ -90,6 +90,15 @@ def main():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
 
     con = duckdb.connect()
+    # Spill budget: an in-memory DuckDB spills to cwd/.tmp with no
+    # cap — at the sf1 gate one pathological oracle plan filled the
+    # volume (LOCAL_GATE_sf1_r12's triangle_count red row).  Pin the
+    # temp dir somewhere disposable and bound memory so an oracle
+    # regression fails fast with an OOM error instead of taking the
+    # host's disk down with it.
+    con.execute("SET temp_directory='/tmp/bes_duck_spill'")
+    con.execute("SET max_temp_directory_size='20GB'")
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         path = f"{SF_DIR}/{t}.parquet"
         if os.path.isdir(path):
