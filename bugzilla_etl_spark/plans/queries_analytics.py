@@ -1857,7 +1857,23 @@ def triangle_count(
        oracle pins the default 5000): wedge/closure cost grows
        ~O(backbone^1.5) independent of corpus size, so the cap is
        where recall is traded for cost — measured across the data
-       decade in SCALEPROBE_r10 (default vs 2x cap);
+       decade in SCALEPROBE_r10 (default vs 2x cap).
+       CAP-INTERPLAY, measured at sf1 (round-13): the cap binds
+       HARD well before cost does — the co-supply candidate set is
+       ~500k edges per sf0.1 decade (~5M at sf1), so the default
+       keeps 0.1% of edges, the cut sits mid-distribution (weight
+       32 of max 42, with ~2.1k further edges TIED at the cut and
+       dropped by the deterministic (w, s1, s2) order — on a
+       replicated corpus that tie-break systematically favors
+       low-id suppliers), and growth in corpus size only sharpens
+       the selection.  The scale story is therefore NOT "raise
+       backbone with the data": it is that per-node triangle
+       counts are computed over a fixed-size strongest-edge
+       backbone whose graph coverage SHRINKS as the corpus grows —
+       callers wanting constant coverage must scale ``backbone``
+       (cost ~backbone^1.5, all broadcast-side) or shard the graph
+       (per-community backbones) upstream.  The x10->x40 walls and
+       the cut/tie diagnostics are recorded in SCALING.md;
     3. triangles enumerate ORIENTED (s1 < s2 everywhere), so each
        triangle is produced exactly once: wedge join on the middle
        vertex + a semi join closing the third side — never an
