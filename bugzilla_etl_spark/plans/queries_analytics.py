@@ -1632,20 +1632,23 @@ _PR_SCALE = 1_000_000_000_000  # 1e12 integer rank grid
 
 
 def _pr_iter_sql(i: int) -> str:
-    """One DuckDB power-iteration CTE pair (s{i}, r{i}) from r{i-1}."""
+    """One DuckDB power-iteration CTE pair (s{i}, r{i}) from r{i-1}.
+    MATERIALIZED on both: each iteration must be computed once over
+    the materialized graph, never inlined back through the chain
+    (see the pagerank oracle's header comment)."""
     return f"""
-    s{i} AS (
+    s{i} AS MATERIALIZED (
         SELECT e.dst AS node, sum(r.r // o.d) AS s
         FROM edges e
         JOIN r{i-1} r ON r.node = e.src
         JOIN outdeg o ON o.src = e.src
         GROUP BY e.dst
     ),
-    r{i} AS (
+    r{i} AS MATERIALIZED (
         SELECT n0.node,
                (15 * ({_PR_SCALE} // nn.n)) // 100
                + (85 * coalesce(s, 0)) // 100 AS r
-        FROM (SELECT DISTINCT src AS node FROM edges) n0
+        FROM nodes n0
         LEFT JOIN s{i} USING (node), nn
     )"""
 
@@ -1653,21 +1656,31 @@ def _pr_iter_sql(i: int) -> str:
 @register(
     "pagerank_trade",
     oracle=f"""
-    WITH trade AS (
+    -- MATERIALIZED throughout is load-bearing at scale, not style
+    -- (same lesson as triangle_count's r12 sf1 red row): the graph
+    -- CTEs are consumed by every unrolled iteration (edges ~8
+    -- consumers counting the per-iteration node lists), and DuckDB
+    -- inlines plain CTEs — the un-hinted form re-ran the
+    -- lineitem-join-orders distinct per consumer and blew through a
+    -- ~19 GB spill budget at sf1, while the hinted form computes
+    -- each stage once, exactly like the stepwise/Spark execution.
+    WITH trade AS MATERIALIZED (
         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                         's' || CAST(l_suppkey AS VARCHAR) AS dst
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT src, dst FROM trade
         UNION ALL
         SELECT dst, src FROM trade
     ),
-    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-    nn AS (SELECT count(DISTINCT src) AS n FROM edges),
-    r0 AS (
-        SELECT src AS node, {_PR_SCALE} // n AS r
-        FROM (SELECT DISTINCT src FROM edges), nn
+    outdeg AS MATERIALIZED (
+        SELECT src, count(*) AS d FROM edges GROUP BY src
+    ),
+    nn AS MATERIALIZED (SELECT count(DISTINCT src) AS n FROM edges),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    r0 AS MATERIALIZED (
+        SELECT node, {_PR_SCALE} // n AS r FROM nodes, nn
     ),
     {_pr_iter_sql(1)},
     {_pr_iter_sql(2)},

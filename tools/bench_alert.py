@@ -45,6 +45,13 @@ NON_QUERY = {
     "llm_text", "tpch", "n_queries", "runs_per_query", "sf", "value",
     "n", "rc", "cpus", "noop_1batch", "noop_3batch",
     "per_batch_overhead",
+    # r13 bench diagnostics: the `splits` sub-dict's timing keys and
+    # the io probe's start/end — recovered by the same tail regex,
+    # never query timings
+    "landing_write_sec", "validate_sec", "walk_sec", "blocks_walked",
+    "pass_total_sec", "start", "end",
+    # streambench `progress` sub-dict keys
+    "batches", "input_rows", "state_rows_max", "state_mem_bytes_max",
 }
 
 
