@@ -2048,32 +2048,59 @@ def _attribution_streams(
 
 
 def _run_attribution(
-    spark: SparkSession, out, tag: str = "stream_attribution"
+    spark: SparkSession, out, tag: str = "stream_attribution",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Run an attribution join to a memory sink (availableNow,
     one real micro-batch per landed file) and return the table.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for
+    the streaming query's lifetime (restored after), because for a
+    STATEFUL stream that conf is the state-store count — fixed at
+    checkpoint creation, and the stream-stream join keeps FOUR
+    stores per partition, every one of which loads and commits a
+    delta file EVERY micro-batch whether or not it holds data.
+    Round-13 progress metrics showed exactly that cost: at the
+    session default 32, the inner join paid 512 store commits per
+    run summing to 310 s of (heavily lock-contended) commit time
+    against 15.6 s of addBatch wall, for ~13.5k state rows — state
+    sized to the batch default instead of to the state.  Production
+    watermarked joins size this knob to watermark-horizon x arrival
+    rate; the demo corpus holds ~6 MB of state, so 8 partitions
+    (32 stores/batch) is already generous.  Results are partition-
+    count-independent (the determinism sweep's contract) — only
+    commit fan-out changes.
+
     The finished query's progress summary (state rows/memory,
-    per-batch durationMs components) is stashed in
-    ``streaming.progress.LAST[tag]`` so the streambench lane can
-    embed it — the r12 interval-join re-pin taught that a wall-
-    clock step with no recorded state/commit metrics cannot be
-    root-caused after the fact."""
+    per-batch durationMs components incl. per-operator
+    commitTimeMs) is stashed in ``streaming.progress.LAST[tag]`` so
+    the streambench lane can embed it — the r12 interval-join
+    re-pin taught that a wall-clock step with no recorded
+    state/commit metrics cannot be root-caused after the fact."""
     import uuid
 
     from bugzilla_etl_spark.streaming import progress as _progress
 
     name = f"stream_att_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option(
-            "checkpointLocation", tracked_mkdtemp(prefix="bes_att_ck_")
-        )
-        .trigger(availableNow=True)
-        .start()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(state_partitions)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tracked_mkdtemp(prefix="bes_att_ck_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     _progress.record(tag, q)
     return spark.table(name)
 
