@@ -137,3 +137,23 @@ def test_backfill_split_sums_to_wall(spark):
     # is the end probe + read_store + noop sink
     assert accounted <= wall
     assert accounted >= 0.5 * wall, (s, wall)
+
+
+# ---- attribution state-partition override hygiene ----------------------
+
+def test_attribution_restores_shuffle_partitions(spark):
+    """_run_attribution pins spark.sql.shuffle.partitions for the
+    streaming query's lifetime (state-store count sized to state,
+    the r13 interval-join fix) — and MUST restore the session value
+    afterwards, or every later query in the same session silently
+    runs at the streaming override."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    df = catalog.QUERIES["stream_attribution"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert df.count() >= 0  # memory-sink table materializes
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
