@@ -964,3 +964,94 @@ def bloom_probe(
         "n_hits",
         F.when(F.col("n_hits") > 0, 1).otherwise(0).alias("flagged"),
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring span detection (the ExactSubstr
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better") re-expressed Spark-first: instead of a
+    suffix array, a positional k-gram inverted index + a
+    gaps-and-islands merge.
+
+    A token position is DUPLICATED when the k-gram starting there
+    occurs >= 2 times anywhere in the corpus (including the same
+    document — exactly the suffix-array semantics at k-token
+    granularity).  Overlapping/adjacent duplicated grams of one
+    document merge into maximal spans [span_start, span_end]
+    (token-indexed, inclusive); removal = dropping those token
+    ranges, which this operator reports rather than applies so the
+    caller can audit before destroying data.
+
+    Plan shape, in corpus-scale order:
+      1. gram stream: map-only posexplode of adjacent k-grams — NO
+         shuffle, positions ride along for free;
+      2. duplicate detection: groupBy on the 60-bit gram hash with a
+         count >= 2 HAVING — map-side combinable, the ONLY
+         corpus-grain shuffle, carrying 8-byte keys (the hash, not
+         the k*word-length gram text; hash collisions make identical
+         false "duplicates" on both engines — at >= 1e9 distinct
+         grams switch to the full md5 as dedup_exact documents);
+      3. occurrence recovery: shuffle hash join of positions against
+         the duplicated-hash set on gh — an inverted-index semi-join
+         (bloom-prunable at 100 TB; Spark's runtime bloom join
+         applies, the positions side never amplifies because each
+         occurrence row joins at most once);
+      4. island merge: two stacked windows per doc_id (lag + running
+         sum) — doc-bounded state, one shuffle keyed on doc_id.
+
+    Spans merge when the next duplicated gram starts within k tokens
+    of the previous (overlap OR exact adjacency — adjacent removed
+    ranges are one removed range).
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_dup_grams)
+    — one row per maximal span; documents without duplicated grams
+    emit nothing.
+    """
+    from pyspark.sql.window import Window
+
+    tok = tokens(F.col(text_col))
+    from bugzilla_etl_spark.operators.text import ngrams
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ngrams(tok, k)).alias("pos", "gram"),
+    )
+    occ = grams.select("doc_id", "pos", hash64(F.col("gram")).alias("gh"))
+    dup = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("gh")
+    )
+    hits = occ.join(dup, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)
+    ).otherwise(F.lit(1))
+    # two selects: Spark forbids a lag window nested inside the sum
+    # window's argument; both land in ONE Window physical node anyway
+    # (same partitioning/ordering)
+    isl = hits.select("doc_id", "pos", brk.alias("brk")).select(
+        "doc_id",
+        "pos",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("island"),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end", "span_tokens", "n_dup_grams"
+        )
+    )

@@ -60,6 +60,8 @@ _loaded = False
 # row is older than r10; the remaining 28 r10 names lead the r14
 # window.
 _PRIORITY = (
+    # never-driver-tested (new in round 13) lead, per rotation policy
+    "dedup_spans",
     "diff_apply",
     "diff_rollback",
     "doc_fingerprint",

@@ -434,3 +434,61 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs_invindex(
         corpus, threshold=0.8, max_df=64, metric="containment"
     )
+
+
+_DUCK_SPAN_K = 8
+_H_GRAM = duckdb_hash64("s.g")
+
+
+@register(
+    "dedup_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
+    occ AS (
+        SELECT doc_id, s.pos AS pos, {_H_GRAM} AS gh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(tk) - {_DUCK_SPAN_K} + 2),
+                       i -> {{pos: i - 1,
+                             g: list_aggregate(
+                                 list_slice(tk, i, i + {_DUCK_SPAN_K} - 1),
+                                 'string_agg', ' ')}})) AS s
+            FROM t WHERE len(tk) >= {_DUCK_SPAN_K})
+    ),
+    dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
+    hits AS (
+        SELECT doc_id, pos FROM occ WHERE gh IN (SELECT gh FROM dup)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(CASE WHEN pos - prev <= {_DUCK_SPAN_K}
+                        THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS prev
+              FROM hits)
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {_DUCK_SPAN_K} - 1 AS span_end,
+           max(pos) - min(pos) + {_DUCK_SPAN_K} AS span_tokens,
+           count(*) AS n_dup_grams
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (ExactSubstr dedup, Lee et
+    al. 2022): every maximal token range whose 8-gram windows all
+    occur >= 2 times in the corpus — the removal list of
+    substring-level dedup, which catches boilerplate repeated INSIDE
+    otherwise-unique documents (the case whole-doc hashing and
+    minhash both miss).  Suffix-array semantics at 8-token
+    granularity via a positional gram inverted index + a
+    gaps-and-islands merge; see operators.dedup.
+    exact_substring_spans for the corpus-scale plan shape (one
+    map-side-combinable gram-hash shuffle, one bloom-prunable
+    semi-join, doc-bounded windows).
+    reference scope: training-data pipeline extension."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_substring_spans(docs, k=_DUCK_SPAN_K)

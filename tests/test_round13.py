@@ -157,3 +157,82 @@ def test_attribution_restores_shuffle_partitions(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     assert df.count() >= 0  # memory-sink table materializes
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# ---- dedup_spans (#182): hand-computed span semantics -----------------
+
+def test_exact_substring_spans_hand_corpus(spark):
+    """ExactSubstr semantics on a corpus small enough to verify by
+    hand (k=3): cross-doc duplication, WITHIN-doc duplication (the
+    suffix-array case whole-doc dedup misses), island merging of
+    overlapping grams, adjacency merge at gap == k, and a unique doc
+    emitting nothing."""
+    from bugzilla_etl_spark.operators.dedup import exact_substring_spans
+
+    # shared run: "x y z w" in docs 1 and 2 -> grams (x y z), (y z w)
+    # doc 3: internal repeat "p q r ... p q r" -> gram (p q r) twice
+    # doc 4: all-unique tokens -> no spans
+    # doc 5: two duplicated grams exactly k apart merge into ONE span
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 x y z w b1 c1"),
+            (2, "a2 d2 x y z w e2"),
+            (3, "p q r s3 t3 u3 p q r"),
+            (4, "f4 g4 h4 i4 j4 k4"),
+            # "m n o" at pos 0 and 6 in doc 5a/5b (gap == k=3 from
+            # span1's grams? no — cross-doc dup, positions 0 and 4)
+            (5, "m n o q5 m n o"),
+            (6, "m n o r6 s6 m n o"),
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.span_start): r
+        for r in exact_substring_spans(docs, k=3).collect()
+    }
+    # docs 1/2: positions of x=1/2 -> grams at pos 1,2 (doc1) and
+    # 2,3 (doc2); overlapping grams merge: spans (1..4) and (2..5)
+    assert out[(1, 1)].span_end == 4 and out[(1, 1)].n_dup_grams == 2
+    assert out[(2, 2)].span_end == 5 and out[(2, 2)].span_tokens == 4
+    # doc 3: gram (p q r) at pos 0 and 6 — gap 6 > k, two islands
+    assert out[(3, 0)].span_end == 2 and out[(3, 0)].span_tokens == 3
+    assert out[(3, 6)].span_end == 8
+    # doc 4: nothing
+    assert not any(d == 4 for d, _ in out)
+    # docs 5/6: "m n o" duplicated at pos 0 and 4 (doc 5) — gap 4
+    # > k=3 -> two islands in doc 5; doc 6 at pos 0 and 5 -> two
+    assert out[(5, 0)].span_end == 2 and out[(5, 4)].span_end == 6
+    assert out[(6, 0)].span_end == 2 and out[(6, 5)].span_end == 7
+    # gap == k merges: doc 7 alone would need gram dup at distance 3
+    docs2 = spark.createDataFrame(
+        [(7, "m n o q7 r7 s7"), (8, "m n o z8 q7 r7 s7 w8")],
+        schema="doc_id long, text string",
+    )
+    # doc 7: dup grams (m n o) at 0 and (q7 r7 s7) at 3 — distance
+    # exactly k -> spans touch (0..2, 3..5): ONE merged island 0..5
+    out2 = {
+        (r.doc_id, r.span_start): r
+        for r in exact_substring_spans(
+            docs.unionByName(docs2), k=3
+        ).collect()
+        if r.doc_id == 7
+    }
+    assert out2[(7, 0)].span_end == 5 and out2[(7, 0)].span_tokens == 6
+    assert out2[(7, 0)].n_dup_grams == 2
+
+
+def test_dedup_spans_null_and_short_docs(spark):
+    """Null text and docs shorter than k emit nothing (null contract
+    rule 3); a doc of exactly k duplicated tokens emits one span
+    covering the whole doc."""
+    from bugzilla_etl_spark.operators.dedup import exact_substring_spans
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "one two"), (3, "a b c"), (4, "a b c")],
+        schema="doc_id long, text string",
+    )
+    rows = exact_substring_spans(docs, k=3).collect()
+    assert sorted((r.doc_id, r.span_start, r.span_end) for r in rows) == [
+        (3, 0, 2),
+        (4, 0, 2),
+    ]
