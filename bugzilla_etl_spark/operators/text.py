@@ -491,3 +491,100 @@ def chunk_passages(
             ).alias("chunk_text"),
         )
     )
+
+
+def bpe_merge_fold(l: Column, a: str, b: str) -> Column:
+    """Apply ONE BPE merge (a, b) -> a||b to a symbol list,
+    left-to-right and non-overlapping (the classic subtlety:
+    'a a a' under merge (a,a) becomes 'aa a', never 'aa aa'), as a
+    single declarative fold — no Python in the loop.
+
+    The fold builds the space-joined result string: when the
+    accumulator's LAST symbol is exactly ``a`` (checked as
+    whole-token suffix — symbols never contain spaces) and the next
+    symbol is ``b``, append ``b`` with no separator (the last token
+    becomes a||b, which cannot re-trigger the merge because a
+    freshly-merged token no longer equals ``a``); otherwise append
+    normally.  Mirrors the DuckDB oracle's ``list_reduce`` —
+    list_reduce seeds with the first element, this fold seeds with
+    '' and special-cases the first append, producing the identical
+    step sequence."""
+    return F.aggregate(
+        l,
+        F.lit(""),
+        lambda acc, x: F.when(
+            (x == F.lit(b))
+            & ((acc == F.lit(a)) | acc.endswith(" " + a)),
+            F.concat(acc, x),
+        ).otherwise(
+            F.when(acc == F.lit(""), x).otherwise(
+                F.concat(acc, F.lit(" "), x)
+            )
+        ),
+    )
+
+
+def bpe_learn(vocab: DataFrame, rounds: int = 4) -> DataFrame:
+    """Iterative BPE training over a (term, f) vocabulary: ``rounds``
+    cycles of weighted adjacent-pair counting, top-merge selection
+    (cnt DESC, pair ASC — exact integer counts, binary string
+    tiebreak: engine-portable), and non-overlapping merge
+    application.  bpe_pair_counts (#93) is one counting scan of this
+    loop; this runs the loop.
+
+    Scale shape: the ONLY corpus-grain work is upstream (the token
+    count that built ``vocab``).  Every round here is vocab-grain —
+    at 100 TB the vocab is millions of rows against a trillions-long
+    token stream — and the per-round merge selection is a 1-row
+    bounded-model fold (the kmeans-centroid precedent), applied back
+    as literals so the merge loop stays fully declarative.
+
+    Returns (term, f, bpe, n_sym): the final symbol sequence
+    (space-joined) and its length.  Terms are non-empty by contract
+    (caller filters — '' has no symbol sequence).
+    """
+    rep = vocab.select(
+        "term",
+        "f",
+        F.expr(
+            "transform(sequence(1, length(term)),"
+            " i -> substring(term, i, 1))"
+        ).alias("l"),
+    )
+    for _ in range(rounds):
+        pairs_arr = F.filter(
+            F.zip_with(
+                F.col("l"),
+                F.slice(
+                    F.col("l"),
+                    2,
+                    F.greatest(F.size("l") - 1, F.lit(0)),
+                ),
+                lambda a, b: F.struct(a.alias("pa"), b.alias("pb")),
+            ),
+            lambda s: s["pb"].isNotNull(),
+        )
+        top = (
+            rep.select(F.explode(pairs_arr).alias("s"), "f")
+            .groupBy(F.col("s.pa").alias("pa"), F.col("s.pb").alias("pb"))
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(
+                F.col("cnt").desc(), F.col("pa").asc(), F.col("pb").asc()
+            )
+            .limit(1)
+            .collect()  # bounded-model fold: exactly one row
+        )
+        if not top:
+            break  # no pairs anywhere (all-single-symbol vocab)
+        a, b = top[0]["pa"], top[0]["pb"]
+        rep = rep.select(
+            "term",
+            "f",
+            F.split(bpe_merge_fold(F.col("l"), a, b), " ").alias("l"),
+        )
+    return rep.select(
+        "term",
+        "f",
+        F.concat_ws(" ", "l").alias("bpe"),
+        F.size("l").alias("n_sym"),
+    )

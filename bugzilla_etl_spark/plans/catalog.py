@@ -62,6 +62,7 @@ _loaded = False
 _PRIORITY = (
     # never-driver-tested (new in round 13) lead, per rotation policy
     "dedup_spans",
+    "bpe_apply",
     "diff_apply",
     "diff_rollback",
     "doc_fingerprint",

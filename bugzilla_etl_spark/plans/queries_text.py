@@ -767,3 +767,78 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _BM25_TOPK)
         .select("query_id", "doc_id", "score_u", "rnk")
     )
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled BPE round: pair counts over rep{i-1}, top merge
+    (cnt DESC, pair ASC), non-overlapping left-to-right application
+    via list_reduce (seeded with the first element — the same step
+    sequence as bpe_merge_fold's ''-seeded fold).  LEFT JOIN ON TRUE
+    keeps the representation unchanged when no pair exists (all
+    single-symbol vocab), matching the Spark loop's early break."""
+    return f""",
+    p{i} AS (
+        SELECT s.pa AS pa, s.pb AS pb, sum(f) AS cnt FROM (
+            SELECT f, unnest(list_transform(range(1, len(l)),
+                j -> {{pa: l[j], pb: l[j+1]}})) AS s
+            FROM rep{i - 1}) GROUP BY 1, 2
+    ),
+    m{i} AS (SELECT pa, pb FROM p{i}
+             ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),
+    rep{i} AS (
+        SELECT term, f,
+               CASE WHEN m.pa IS NULL THEN l
+                    ELSE string_split(list_reduce(l, (acc, x) ->
+                        CASE WHEN x = m.pb AND (acc = m.pa
+                                 OR ends_with(acc, ' ' || m.pa))
+                             THEN acc || x
+                             ELSE acc || ' ' || x END), ' ')
+               END AS l
+        FROM rep{i - 1} LEFT JOIN m{i} m ON TRUE
+    )"""
+
+
+_BPE_ROUNDS = 4
+
+
+@register(
+    "bpe_apply",
+    oracle=f"""
+    WITH v AS (
+        SELECT term, count(*) AS f
+        FROM (SELECT unnest({DUCK_TOKENS}) AS term FROM documents)
+        WHERE term <> '' GROUP BY term
+    ),
+    rep0 AS (
+        SELECT term, f,
+               list_transform(range(1, len(term) + 1),
+                              i -> term[i]) AS l
+        FROM v
+    ){"".join(_bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))}
+    SELECT term, f, array_to_string(l, ' ') AS bpe,
+           len(l) AS n_sym
+    FROM rep{_BPE_ROUNDS}
+    """,
+)
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training LOOP: 4 rounds of (weighted pair count
+    -> top merge -> non-overlapping left-to-right merge application)
+    over the corpus vocabulary — the iterative half bpe_pair_counts
+    (#93) scans once.  Output: every term with its frequency, final
+    symbol sequence, and symbol count.
+
+    Merge application is the classic stateful fold ('a a a' under
+    merge (a,a) -> 'aa a') expressed declaratively on BOTH engines
+    (F.aggregate / list_reduce — identical step sequence, see
+    operators.text.bpe_merge_fold).  Scale: corpus-grain work is one
+    map-side-combined token count; all 4 rounds run at VOCAB grain
+    with 1-row bounded-model merge selection per round.
+    reference scope: training-data pipeline extension."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(T.tokens("text")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return T.bpe_learn(vocab, rounds=_BPE_ROUNDS)

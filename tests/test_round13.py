@@ -236,3 +236,82 @@ def test_dedup_spans_null_and_short_docs(spark):
         (3, 0, 2),
         (4, 0, 2),
     ]
+
+
+# ---- bpe_apply (#183): hand-computed merge-loop semantics -------------
+
+def _py_bpe(vocab, rounds):
+    """Reference BPE: dict term->freq, returns term->symbol list."""
+    rep = {t: list(t) for t in vocab}
+    for _ in range(rounds):
+        cnt = {}
+        for t, f in vocab.items():
+            l = rep[t]
+            for i in range(len(l) - 1):
+                cnt[(l[i], l[i + 1])] = cnt.get((l[i], l[i + 1]), 0) + f
+        if not cnt:
+            break
+        (a, b) = min(cnt, key=lambda p: (-cnt[p], p[0], p[1]))
+        for t in rep:
+            l, out, i = rep[t], [], 0
+            while i < len(l):
+                if i + 1 < len(l) and l[i] == a and l[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(l[i])
+                    i += 1
+            rep[t] = out
+    return rep
+
+
+def test_bpe_learn_matches_reference(spark):
+    """bpe_learn vs a direct Python BPE on the textbook vocab plus
+    the overlap pathology ('aaaa': non-overlapping left-to-right
+    merging must give 'aa aa', then 'aaaa')."""
+    from bugzilla_etl_spark.operators.text import bpe_learn
+
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 4}
+    vdf = spark.createDataFrame(
+        [(t, f) for t, f in vocab.items()], schema="term string, f long"
+    )
+    got = {
+        r.term: (r.bpe.split(" "), r.n_sym)
+        for r in bpe_learn(vdf, rounds=4).collect()
+    }
+    want = _py_bpe(vocab, 4)
+    for t in vocab:
+        assert got[t][0] == want[t], (t, got[t][0], want[t])
+        assert got[t][1] == len(want[t])
+
+
+def test_bpe_merge_fold_overlap_and_boundaries(spark):
+    """The fold itself: overlap chains, merged-symbol suffix must not
+    re-trigger (last token 'xy' does not match a='y'), single-symbol
+    terms untouched."""
+    from pyspark.sql import functions as F
+    from bugzilla_etl_spark.operators.text import bpe_merge_fold
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a"],),
+         (["z", "y", "x", "y"],), (["q"],)],
+        schema="l array<string>",
+    )
+    out = [r.s for r in df.select(
+        bpe_merge_fold(F.col("l"), "a", "a").alias("s")).collect()]
+    assert out[0] == "aa a" and out[1] == "aa aa"
+    out2 = df.select(bpe_merge_fold(F.col("l"), "x", "y").alias("s")).collect()
+    assert out2[2].s == "z y xy" and out2[3].s == "q"
+
+
+def test_bpe_apply_tiebreak_is_lexicographic(spark):
+    """Equal pair counts resolve to the lexicographically smallest
+    (pa, pb) — the portability contract with the oracle's ORDER BY."""
+    from bugzilla_etl_spark.operators.text import bpe_learn
+
+    # pairs (b,c) and (c,b) each appear twice; (b,c) must win round 1
+    vdf = spark.createDataFrame(
+        [("bcb", 1), ("cbc", 1)], schema="term string, f long"
+    )
+    got = {r.term: r.bpe for r in bpe_learn(vdf, rounds=1).collect()}
+    assert got["bcb"] == "bc b" and got["cbc"] == "c bc"
