@@ -707,3 +707,110 @@ def pq_search_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "adist", "rank")
     )
+
+
+def ivf_pq_search_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    C,
+    k: int = 3,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ combined — the production ANN index shape (FAISS
+    IVFPQ): coarse quantization prunes the scan to the query's
+    ``nprobe`` nearest cells, and scoring inside those cells runs in
+    the COMPRESSED domain (per-query integer LUT, n_sub gathers per
+    candidate — no float math, no raw vectors).
+
+    Composition of the two audited halves: cell assignment is
+    ``ivf_assign``'s rounded-cosine argmax; distances are
+    ``_pq_subdists``'s integer-scaled sub-distances.  Scale shape:
+    ONE map-only corpus pass chained after the (also map-only)
+    assignment pass — the corpus never shuffles, candidates never
+    materialize; each Arrow batch encodes its rows and scores only
+    the (query, probed-cell) matches, pruning to per-batch top-k, so
+    the final exact ranking window sees at most batches x queries x
+    k rows.  The query side is bounded: probed cells via
+    ``ivf_assign_probes`` (nprobe rows per query) and the LUT set
+    (n_sub x n_codes ints per query) both ride the task closure.
+
+    Output: (query_id, cand_id, adist, rank) — adist in 1e-4 squared
+    L2 units (BIGINT), deterministic (adist, cand_id) ranking.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = sorted(
+        queries.select(
+            F.col(id_col).alias("qid"), _dvec(vec_col).alias("qv")
+        ).collect(),
+        key=lambda r: r.qid,
+    )
+    empty_schema = "query_id long, cand_id long, adist long, rank int"
+    if not qrows:
+        return emb.sparkSession.createDataFrame([], schema=empty_schema)
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+    lut = _pq_subdists(Q, C)  # (nq, n_sub, n_codes) int64
+
+    probes = {int(q): set() for q in qids}
+    for r in ivf_assign_probes(
+        queries, centroids, nprobe=nprobe, vec_col=vec_col, id_col=id_col
+    ).collect():  # bounded: nq x nprobe rows
+        if int(r.vid) in probes:
+            probes[int(r.vid)].add(int(r.cell))
+    if not any(probes.values()):
+        return emb.sparkSession.createDataFrame([], schema=empty_schema)
+
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col, id_col=id_col)
+
+    def search(batches):
+        n_sub = lut.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            codes = _pq_subdists(V, C).argmin(axis=2)  # first-min code
+            cand = pdf["vid"].to_numpy(dtype=np.int64)
+            cell = pdf["cell"].to_numpy(dtype=np.int64)
+            out_q, out_c, out_d = [], [], []
+            for qi in range(len(qids)):
+                pcells = probes[int(qids[qi])]
+                if not pcells:
+                    continue
+                mask = np.isin(cell, list(pcells)) & (cand != qids[qi])
+                if not mask.any():
+                    continue
+                ids = cand[mask]
+                B = codes[mask]
+                d = np.zeros(len(ids), dtype=np.int64)
+                for m in range(n_sub):
+                    d += lut[qi, m, B[:, m]]
+                order = np.lexsort((ids, d))[:k]  # (adist, cand_id)
+                out_q.append(np.full(len(order), qids[qi]))
+                out_c.append(ids[order])
+                out_d.append(d[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "adist": np.concatenate(out_d),
+                }
+            )
+
+    pruned = assigned.mapInPandas(
+        search, schema="query_id long, cand_id long, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", "rank")
+    )

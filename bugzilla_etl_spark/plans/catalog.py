@@ -63,6 +63,7 @@ _PRIORITY = (
     # never-driver-tested (new in round 13) lead, per rotation policy
     "dedup_spans",
     "bpe_apply",
+    "ann_ivf_pq",
     "diff_apply",
     "diff_rollback",
     "doc_fingerprint",

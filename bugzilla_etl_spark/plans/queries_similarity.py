@@ -142,3 +142,83 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = SIM.pq_codebook(spark, n_sub=8, n_codes=16, sub_dim=8)
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return SIM.pq_search_topk(emb, queries, C, k=3)
+
+
+_VCOS = (
+    "round(list_dot_product({a}.v, {b}.v) / greatest({a}.nr * {b}.nr,"
+    " 1e-12), 4)"
+)
+
+
+@register(
+    "ann_ivf_pq",
+    oracle=f"""
+    WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nr FROM t),
+    c AS (SELECT vec_id AS cid, v, nr FROM n WHERE vec_id % 25 = 0),
+    scored AS (
+        SELECT n.vec_id, c.cid, {_VCOS.format(a='n', b='c')} AS cos
+        FROM n CROSS JOIN c
+    ), asg AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos DESC, cid ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), qp AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos DESC, cid ASC) AS rn
+            FROM scored WHERE vec_id % 50 = 0
+        ) WHERE rn <= 2
+    ),
+    cb AS (
+        SELECT m, k, {_duck_pq_centroid()} AS c
+        FROM range(0, 8) tm(m) CROSS JOIN range(0, 16) tk(k)
+    ),
+    subd AS (
+        SELECT t.vec_id, cb.m, cb.k,
+               CAST(floor(list_sum(list_transform(range(0, 8), d ->
+                   (v[cb.m*8 + d + 1] - c[d + 1]) ^ 2)) * 10000 + 0.5)
+                   AS BIGINT) AS ds
+        FROM t CROSS JOIN cb
+    ),
+    codes AS (
+        SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY ds ASC, k ASC) AS rn
+            FROM subd) WHERE rn = 1
+    ),
+    adc AS (
+        SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+               CAST(sum(s.ds) AS BIGINT) AS adist
+        FROM qp q
+        JOIN asg a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+        JOIN codes cd ON cd.vec_id = a.vec_id
+        JOIN subd s ON s.vec_id = q.vec_id AND s.m = cd.m
+                   AND s.k = cd.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, adist, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY adist ASC, cand_id ASC) AS INT) AS rank
+        FROM adc) WHERE rank <= 3
+    """,
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ combined (the FAISS-IVFPQ production shape): coarse
+    quantization prunes each query's scan to its 2 nearest cells
+    (ann_ivf_nprobe's assignment), scoring inside the cells runs in
+    the compressed domain (ann_pq's integer LUT / ADC arithmetic).
+    Completes the ANN ladder's top rung: exact -> cell-pruned exact
+    -> bucketed -> compressed -> cell-pruned compressed.  One
+    map-only corpus pass (assignment chained into encode+score), the
+    corpus never shuffles; see operators.similarity.
+    ivf_pq_search_topk.  reference scope: training-data pipeline
+    extension."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = SIM.pq_codebook(spark, n_sub=8, n_codes=16, sub_dim=8)
+    cents = emb.where(F.col("vec_id") % 25 == 0)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return SIM.ivf_pq_search_topk(emb, cents, queries, C, k=3, nprobe=2)

@@ -315,3 +315,85 @@ def test_bpe_apply_tiebreak_is_lexicographic(spark):
     )
     got = {r.term: r.bpe for r in bpe_learn(vdf, rounds=1).collect()}
     assert got["bcb"] == "bc b" and got["cbc"] == "c bc"
+
+
+# ---- ann_ivf_pq (#184): composition semantics --------------------------
+
+def test_ivf_pq_matches_numpy_reference(spark):
+    """IVFPQ on a small synthetic set vs a direct numpy reference
+    built from the SAME audited primitives (pq_codebook subdists +
+    rounded-cosine cell assignment): candidates must come only from
+    the query's probed cells, distances are the integer ADC sums,
+    ranking is (adist, cand_id)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from bugzilla_etl_spark.operators.similarity import (
+        _pq_subdists,
+        ivf_pq_search_topk,
+        pq_codebook,
+    )
+
+    rng = [
+        [((i * 37 + d * 11) % 97) / 97.0 - 0.5 for d in range(64)]
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)],
+        schema="vec_id long, embedding array<double>",
+    )
+    C = pq_codebook(spark, n_sub=8, n_codes=16, sub_dim=8)
+    cents = emb.where(F.col("vec_id") % 10 == 0)  # 4 cells
+    queries = emb.where(F.col("vec_id") % 13 == 0)  # 4 queries
+    got = {
+        (r.query_id, r.rank): (r.cand_id, r.adist)
+        for r in ivf_pq_search_topk(
+            emb, cents, queries, C, k=3, nprobe=2
+        ).collect()
+    }
+
+    V = np.array(rng)
+    nr = np.sqrt((V * V).sum(axis=1))
+    cid = np.array([0, 10, 20, 30])
+    S = np.round(
+        (V @ V[cid].T) / np.maximum(np.outer(nr, nr[cid]), 1e-12), 4
+    )
+    # cell per vector: argmax cos, centroid-id tiebreak (first max)
+    cell = cid[S.argmax(axis=1)]
+    ds = _pq_subdists(V, C)
+    codes = ds.argmin(axis=2)
+    for q in (0, 13, 26, 39):
+        order = np.lexsort((cid, -S[q]))[:2]
+        probed = set(cid[order])
+        cands = [
+            i for i in range(40) if i != q and cell[i] in probed
+        ]
+        adist = {
+            i: int(sum(ds[q, m, codes[i, m]] for m in range(8)))
+            for i in cands
+        }
+        want = sorted(cands, key=lambda i: (adist[i], i))[:3]
+        for rk, i in enumerate(want, start=1):
+            assert got[(q, rk)] == (i, adist[i]), (q, rk)
+
+
+def test_ivf_pq_empty_sides(spark):
+    """Empty queries or empty centroids return an empty, correctly
+    typed frame (the empty-sweep contract)."""
+    from pyspark.sql import functions as F
+    from bugzilla_etl_spark.operators.similarity import (
+        ivf_pq_search_topk,
+        pq_codebook,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 64), (2, [0.2] * 64)],
+        schema="vec_id long, embedding array<double>",
+    )
+    C = pq_codebook(spark)
+    none = emb.where(F.lit(False))
+    assert ivf_pq_search_topk(emb, emb, none, C).count() == 0
+    out = ivf_pq_search_topk(emb, none, emb, C)
+    assert out.count() == 0
+    assert out.schema.simpleString() == (
+        "struct<query_id:bigint,cand_id:bigint,adist:bigint,rank:int>"
+    )
