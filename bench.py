@@ -181,6 +181,12 @@ HEADLINE = [
     # round-12 additions (chunk -> dedup -> pack composed plan; the
     # stream_doc_chunks ingest twin is timed in tools/streambench.py)
     "chunk_dedup_pack",
+    # round-13 additions (ExactSubstr span dedup, BPE merge loop,
+    # IVF+PQ compressed-domain ANN)
+    "dedup_spans",
+    "dedup_spans_apply",
+    "bpe_apply",
+    "ann_ivf_pq",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into

@@ -1055,3 +1055,72 @@ def exact_substring_spans(
             "doc_id", "span_start", "span_end", "span_tokens", "n_dup_grams"
         )
     )
+
+
+def apply_span_removal(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply ExactSubstr span removal: drop every token covered by a
+    duplicated span (exact_substring_spans' removal list — ALL
+    occurrences drop, the Lee et al. 2022 policy) and rebuild the
+    cleaned text.  Docs without duplicated spans pass through
+    unchanged; null text stays null.
+
+    Plan shape: spans aggregate per doc into a (start, end) struct
+    array — tiny (only span-bearing docs), so the join back to the
+    corpus is broadcast-able and AQE picks that; the rebuild is pure
+    codegen column algebra (position-indexed token filter against
+    the doc's own span list — spans per doc are few, the exists()
+    probe is O(spans) per token with no shuffle).
+
+    Output: (doc_id, n_tokens, removed_tokens, kept_text).
+    """
+    spans = (
+        exact_substring_spans(docs, k=k, text_col=text_col, id_col=id_col)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("spans"),
+            F.sum("span_tokens").alias("removed_tokens"),
+        )
+    )
+    tok = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tok.alias("tk")
+    ).join(spans, "doc_id", "left")
+    kept = F.filter(
+        F.zip_with(
+            F.col("tk"),
+            F.sequence(F.lit(0), F.size("tk") - 1),
+            lambda x, i: F.struct(x.alias("x"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.col("spans"),
+            lambda sp: s["i"].between(sp["s"], sp["e"]),
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.coalesce(F.col("removed_tokens"), F.lit(0)).alias(
+            "removed_tokens"
+        ),
+        F.when(
+            F.col("tk").isNull(), F.lit(None).cast("string")
+        ).otherwise(
+            F.when(F.col("spans").isNull(), F.concat_ws(" ", "tk"))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.transform(kept, lambda s: s["x"]),
+                )
+            )
+        ).alias("kept_text"),
+    )

@@ -62,6 +62,7 @@ _loaded = False
 _PRIORITY = (
     # never-driver-tested (new in round 13) lead, per rotation policy
     "dedup_spans",
+    "dedup_spans_apply",
     "bpe_apply",
     "ann_ivf_pq",
     "diff_apply",

@@ -492,3 +492,75 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference scope: training-data pipeline extension."""
     docs = load_table(spark, sf_dir, "documents")
     return D.exact_substring_spans(docs, k=_DUCK_SPAN_K)
+
+
+@register(
+    "dedup_spans_apply",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
+    occ AS (
+        SELECT doc_id, s.pos AS pos, {_H_GRAM} AS gh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(tk) - {_DUCK_SPAN_K} + 2),
+                       i -> {{pos: i - 1,
+                             g: list_aggregate(
+                                 list_slice(tk, i, i + {_DUCK_SPAN_K} - 1),
+                                 'string_agg', ' ')}})) AS s
+            FROM t WHERE len(tk) >= {_DUCK_SPAN_K})
+    ),
+    dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
+    hits AS (
+        SELECT doc_id, pos FROM occ WHERE gh IN (SELECT gh FROM dup)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(CASE WHEN pos - prev <= {_DUCK_SPAN_K}
+                        THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS prev
+              FROM hits)
+    ),
+    sp AS (
+        SELECT doc_id, min(pos) AS s,
+               max(pos) + {_DUCK_SPAN_K} - 1 AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    agg AS (
+        SELECT doc_id, list({{s: s, e: e}}) AS spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS removed_tokens
+        FROM sp GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(tk) AS n_tokens,
+           coalesce(a.removed_tokens, 0) AS removed_tokens,
+           CASE WHEN tk IS NULL THEN NULL
+                WHEN a.spans IS NULL THEN array_to_string(tk, ' ')
+                -- array_to_string([]) is NULL in DuckDB; the fully-
+                -- removed doc must yield '' like Spark's concat_ws
+                ELSE coalesce(array_to_string(
+                    list_filter(
+                        list_transform(range(1, len(tk) + 1),
+                            i -> CASE WHEN len(list_filter(a.spans,
+                                     sp -> i - 1 >= sp.s
+                                       AND i - 1 <= sp.e)) = 0
+                                 THEN tk[i] END),
+                        x -> x IS NOT NULL), ' '), '')
+           END AS kept_text
+    FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """,
+)
+def dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL applied (#182's removal list executed):
+    every token covered by a duplicated span drops — all occurrences,
+    the Lee et al. 2022 policy — and the cleaned text is rebuilt;
+    span-free docs pass through byte-identical, null text stays null.
+    The spans aggregate is tiny (span-bearing docs only) so the
+    join back is AQE-broadcast; the rebuild is codegen column algebra
+    (position-indexed token filter, O(spans) probe per token).  See
+    operators.dedup.apply_span_removal.
+    reference scope: training-data pipeline extension."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.apply_span_removal(docs, k=_DUCK_SPAN_K)

@@ -397,3 +397,38 @@ def test_ivf_pq_empty_sides(spark):
     assert out.schema.simpleString() == (
         "struct<query_id:bigint,cand_id:bigint,adist:bigint,rank:int>"
     )
+
+
+# ---- dedup_spans_apply (#185): removal semantics ------------------------
+
+def test_apply_span_removal_hand_corpus(spark):
+    """Removal drops ALL duplicated occurrences (Lee et al. policy),
+    span-free docs pass through byte-identical, a fully-duplicated
+    doc becomes '' (not null), null text stays null."""
+    from bugzilla_etl_spark.operators.dedup import apply_span_removal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 x y z w b1 c1"),
+            (2, "a2 d2 x y z w e2"),
+            (3, "u3 v3 w3 only here"),
+            (4, "a b c"),
+            (5, "a b c"),
+            (6, None),
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in apply_span_removal(docs, k=3).collect()}
+    # doc 1: grams at pos 1,2 dup -> span 1..4 removed (x y z w)
+    assert got[1].kept_text == "a1 b1 c1"
+    assert got[1].removed_tokens == 4 and got[1].n_tokens == 7
+    # doc 2: span 2..5
+    assert got[2].kept_text == "a2 d2 e2"
+    # doc 3: untouched
+    assert got[3].kept_text == "u3 v3 w3 only here"
+    assert got[3].removed_tokens == 0
+    # docs 4/5: whole doc duplicated -> '' both
+    assert got[4].kept_text == "" and got[4].removed_tokens == 3
+    assert got[5].kept_text == ""
+    # doc 6: null stays null
+    assert got[6].kept_text is None
