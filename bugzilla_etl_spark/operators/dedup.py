@@ -1012,16 +1012,7 @@ def exact_substring_spans(
     — one row per maximal span; documents without duplicated grams
     emit nothing.
     """
-    from pyspark.sql.window import Window
-
-    tok = tokens(F.col(text_col))
-    from bugzilla_etl_spark.operators.text import ngrams
-
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(ngrams(tok, k)).alias("pos", "gram"),
-    )
-    occ = grams.select("doc_id", "pos", hash64(F.col("gram")).alias("gh"))
+    occ = gram_positions(docs, k=k, text_col=text_col, id_col=id_col)
     dup = (
         occ.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1029,6 +1020,37 @@ def exact_substring_spans(
         .select("gh")
     )
     hits = occ.join(dup, "gh").select("doc_id", "pos")
+    return spans_from_hits(hits, k=k)
+
+
+def gram_positions(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional k-gram stream (doc_id, pos, gh): map-only posexplode
+    of adjacent k-grams with the portable 60-bit gram hash — the
+    shared front half of the ExactSubstr family (batch duplicate
+    detection AND the ingest-time probe)."""
+    from bugzilla_etl_spark.operators.text import ngrams
+
+    tok = tokens(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ngrams(tok, k)).alias("pos", "gram"),
+    )
+    return grams.select("doc_id", "pos", hash64(F.col("gram")).alias("gh"))
+
+
+def spans_from_hits(hits: DataFrame, k: int = 8) -> DataFrame:
+    """Gaps-and-islands merge of duplicated gram positions into
+    maximal spans — the shared back half of the ExactSubstr family.
+    ``hits`` = (doc_id, pos) of duplicated k-gram starts; spans merge
+    when the next start is within k of the previous (overlap or
+    exact adjacency).  Doc-bounded windows, one exchange."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)

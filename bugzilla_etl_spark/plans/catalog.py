@@ -63,6 +63,7 @@ _PRIORITY = (
     # never-driver-tested (new in round 13) lead, per rotation policy
     "dedup_spans",
     "dedup_spans_apply",
+    "stream_dedup_spans",
     "bpe_apply",
     "ann_ivf_pq",
     "diff_apply",

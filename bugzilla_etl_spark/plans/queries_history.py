@@ -2182,3 +2182,132 @@ def stream_attribution_outer(
     return _run_attribution(
         spark, out, tag="stream_attribution_outer"
     ).where(F.col("user_id") != -1)
+
+
+from bugzilla_etl_spark.plans.queries_dedup import (  # noqa: E402
+    _DUCK_SPAN_K,
+    _H_GRAM,
+    DUCK_TOKENS as _SPAN_DUCK_TOKENS,
+)
+
+
+@register(
+    "stream_dedup_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SPAN_DUCK_TOKENS} AS tk FROM documents),
+    occ AS (
+        SELECT doc_id, s.pos AS pos, {_H_GRAM} AS gh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(tk) - {_DUCK_SPAN_K} + 2),
+                       i -> {{pos: i - 1,
+                             g: list_aggregate(
+                                 list_slice(tk, i, i + {_DUCK_SPAN_K} - 1),
+                                 'string_agg', ' ')}})) AS s
+            FROM t WHERE len(tk) >= {_DUCK_SPAN_K})
+    ),
+    refg AS (SELECT DISTINCT gh FROM occ WHERE doc_id % 2 = 0),
+    hits AS (
+        SELECT doc_id, pos FROM occ
+        WHERE doc_id % 2 = 1 AND gh IN (SELECT gh FROM refg)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(CASE WHEN pos - prev <= {_DUCK_SPAN_K}
+                        THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS prev
+              FROM hits)
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {_DUCK_SPAN_K} - 1 AS span_end,
+           max(pos) - min(pos) + {_DUCK_SPAN_K} AS span_tokens,
+           count(*) AS n_dup_grams
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span detection at INGEST time — the spans family's
+    ingest twin (stream_neardup_ingest is whole-doc near-dup's,
+    stream_decontam decontamination's): even doc_ids play the
+    existing corpus whose DISTINCT gram-hash index is the static
+    join side, odd doc_ids land as two files → two real
+    micro-batches whose duplicated-vs-corpus spans are computed
+    in-stream.  Semantics vs #182: an incoming gram is duplicated
+    iff it exists in the REFERENCE corpus (within-batch/within-doc
+    repetition alone does not flag — the index is the contract, so
+    streaming == batch by construction and the oracle is the pure
+    batch computation).
+
+    Scale shape: the gram index is corpus-grain but SHUFFLE-FREE to
+    probe per batch (stream-static hash join on the 8-byte hash —
+    at 100 TB a bucketed index table makes each micro-batch join
+    co-located); per-batch work beyond the probe is the same
+    doc-bounded island merge as #182.  Batch-keyed output dirs keep
+    checkpoint replays idempotent."""
+    import shutil
+
+    from bugzilla_etl_spark.operators.dedup import (
+        gram_positions,
+        spans_from_hits,
+    )
+    from bugzilla_etl_spark.streaming.landing import (
+        land_parts,
+        read_store_or_empty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    static = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+
+    landing = tracked_mkdtemp(prefix="bes_sds_")
+    out_dir = tracked_mkdtemp(prefix="bes_sdso_")
+    ckpt = tracked_mkdtemp(prefix="bes_sdsc_")
+    shutil.rmtree(out_dir)
+    land_parts(
+        landing,
+        [
+            ("incoming_a", incoming.where(F.col("doc_id") % 4 == 1)),
+            ("incoming_b", incoming.where(F.col("doc_id") % 4 == 3)),
+        ],
+    )
+
+    ref = gram_positions(static).select("gh").distinct().persist()
+    ref.count()  # materialize once; both micro-batches reuse it
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hits = (
+            gram_positions(batch_df)
+            .join(ref, "gh")
+            .select("doc_id", "pos")
+        )
+        spans_from_hits(hits).write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return read_store_or_empty(
+            spark,
+            out_dir,
+            "doc_id long, span_start int, span_end int,"
+            " span_tokens int, n_dup_grams long",
+        ).select(
+            "doc_id", "span_start", "span_end", "span_tokens", "n_dup_grams"
+        )
+    finally:
+        ref.unpersist()

@@ -432,3 +432,33 @@ def test_apply_span_removal_hand_corpus(spark):
     assert got[5].kept_text == ""
     # doc 6: null stays null
     assert got[6].kept_text is None
+
+
+# ---- stream_dedup_spans (#186): streaming == batch ----------------------
+
+def test_stream_dedup_spans_equals_batch(spark, sf_dir):
+    """The ingest twin must equal the composed batch computation:
+    odd docs' spans of grams that exist in the even-doc reference
+    index (within-batch repetition alone must NOT flag)."""
+    from pyspark.sql import functions as F
+    from bugzilla_etl_spark.operators.dedup import (
+        gram_positions,
+        spans_from_hits,
+    )
+    from bugzilla_etl_spark.plans.catalog import QUERIES, load_all
+    from bugzilla_etl_spark.sources import load_table
+
+    load_all()
+    got = sorted(
+        tuple(r) for r in QUERIES["stream_dedup_spans"](spark, sf_dir).collect()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    occ = gram_positions(docs)
+    ref = occ.where(F.col("doc_id") % 2 == 0).select("gh").distinct()
+    hits = (
+        occ.where(F.col("doc_id") % 2 == 1)
+        .join(ref, "gh")
+        .select("doc_id", "pos")
+    )
+    want = sorted(tuple(r) for r in spans_from_hits(hits).collect())
+    assert got == want and len(got) > 0

@@ -74,6 +74,10 @@ CONVERGE = [
     # round-12: the chunking ingest twin — stateless per-batch map,
     # so ANY arrival order converges
     "stream_doc_chunks",
+    # round-13: the span-probe ingest twin — per-batch stream-static
+    # join against a fixed index, no cross-batch state, so ANY
+    # arrival order converges
+    "stream_dedup_spans",
 ]
 IN_ORDER_CONTRACT = ["stream_previous_values", "stream_sessionize"]
 

@@ -51,6 +51,8 @@ STREAMING = [
     "stream_sessionize_ooo",
     # round-12: the chunking ingest twin
     "stream_doc_chunks",
+    # round-13: the ExactSubstr-span ingest twin
+    "stream_dedup_spans",
 ]
 
 N_RUNS = 2
