@@ -79,6 +79,12 @@ DEDUP_SIM = [
     "decontam_neardup",
     "dedup_containment",
     "dedup_simhash_pairs",
+    # round-13: the ExactSubstr span family — duplicate detection
+    # rides a corpus-grain gram groupBy and the island merge rides
+    # per-doc windows, both shapes whose correctness must hold as
+    # partition counts and gram multiplicity grow a decade
+    "dedup_spans",
+    "dedup_spans_apply",
 ]
 
 FACTOR = 10
