@@ -72,6 +72,14 @@ DEFAULT_QUERIES = [
     # round-11: BM25's broadcast-vocab semi-filter must keep the
     # decade exponent at the token-scan slope, not the shuffle slope
     "bm25_topk",
+    # round-13: the ExactSubstr span family — the gram-hash groupBy
+    # and the never-amplifying semi-join must hold the token-scan
+    # slope; BPE must stay vocab-grain (near-flat) as the corpus
+    # grows a decade with the vocab ~constant
+    "dedup_spans",
+    "dedup_spans_apply",
+    "bpe_apply",
+    "ann_ivf_pq",
 ]
 
 # Knob variants: probe a catalog entry with a non-default parameter
