@@ -1029,18 +1029,35 @@ def gram_positions(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Positional k-gram stream (doc_id, pos, gh): map-only posexplode
-    of adjacent k-grams with the portable 60-bit gram hash — the
-    shared front half of the ExactSubstr family (batch duplicate
-    detection AND the ingest-time probe)."""
-    from bugzilla_etl_spark.operators.text import ngrams
-
+    """Positional k-gram stream (doc_id, pos, gh): map-only explode
+    of adjacent k-gram START POSITIONS, each gram then built with
+    slice + array_join + md5 — ordinary codegen expressions, NO
+    higher-order functions.  The obvious alternative (ngrams()'s
+    zip_with chain, then posexplode) runs k-1 stacked lambda levels
+    on Catalyst's INTERPRETED HOF path — measured 1.1 s vs 0.3 s
+    for the whole sf0.1 gram stream, the same ~x4 the ivf_assign
+    docstring records for expression-path cosine — and this stream
+    is evaluated by TWO consumers (the count and the join-back), so
+    the HOF tax doubles.  Shared front half of the ExactSubstr
+    family (batch duplicate detection AND the ingest-time probe).
+    Null text and docs shorter than k emit nothing (the WHEN guard
+    also keeps Spark's descending-sequence surprise out: sequence(0,
+    size-k) with size < k would count DOWN, not return empty)."""
     tok = tokens(F.col(text_col))
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(ngrams(tok, k)).alias("pos", "gram"),
+    base = docs.select(F.col(id_col).alias("doc_id"), tok.alias("tk"))
+    positions = F.when(
+        F.size("tk") >= k,
+        F.sequence(F.lit(0), F.size("tk") - k),
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        "doc_id", F.explode(positions).alias("pos"), "tk"
+    ).select(
+        "doc_id",
+        "pos",
+        hash64(
+            F.array_join(F.slice("tk", F.col("pos") + 1, k), " ")
+        ).alias("gh"),
     )
-    return grams.select("doc_id", "pos", hash64(F.col("gram")).alias("gh"))
 
 
 def spans_from_hits(hits: DataFrame, k: int = 8) -> DataFrame:
