@@ -53,12 +53,12 @@ _loaded = False
 # regardless of window position, and ROTATION.md ledgers each
 # query's newest driver row.
 #
-# r13-window composition (per the standing rotation policy): the 28
-# r9-stale greens lead (ledger order — the round-12 verdict's
-# rotate-next list, exactly), then the 22 oldest r10 greens (ledger
-# order) fill the 50.  After this round no query's newest driver
-# row is older than r10; the remaining 28 r10 names lead the r14
-# window.
+# r13-window composition (per the standing rotation policy): the
+# FIVE never-driver-tested round-13 entries lead (#182-#186), then
+# the 28 r9-stale greens (ledger order — the round-12 verdict's
+# rotate-next list, exactly), then the oldest r10 greens fill the
+# 50 (the last five r10 names of the original plan shift to lead
+# the r14 window alongside the remaining r10 cohort).
 _PRIORITY = (
     # never-driver-tested (new in round 13) lead, per rotation policy
     "dedup_spans",
