@@ -462,3 +462,69 @@ def test_stream_dedup_spans_equals_batch(spark, sf_dir):
     )
     want = sorted(tuple(r) for r in spans_from_hits(hits).collect())
     assert got == want and len(got) > 0
+
+
+# ---- dedup_spans property test vs a naive reference ---------------------
+
+def _ref_spans(docs, k):
+    """Naive ExactSubstr reference: positional gram census, count>=2
+    duplicate rule, gap<=k island merge."""
+    from collections import Counter
+
+    occ = []
+    for d, text in docs:
+        toks = text.lower().strip().split()
+        for p in range(len(toks) - k + 1):
+            occ.append((d, p, " ".join(toks[p:p + k])))
+    cnt = Counter(g for _, _, g in occ)
+    hits = {}
+    for d, p, g in occ:
+        if cnt[g] >= 2:
+            hits.setdefault(d, []).append(p)
+    out = []
+    for d, ps in sorted(hits.items()):
+        ps.sort()
+        start = prev = ps[0]
+        n = 1
+        for p in ps[1:]:
+            if p - prev <= k:
+                prev, n = p, n + 1
+            else:
+                out.append((d, start, prev + k - 1, prev - start + k, n))
+                start = prev = p
+                n = 1
+        out.append((d, start, prev + k - 1, prev - start + k, n))
+    return sorted(out)
+
+
+def test_exact_substring_spans_property(spark):
+    """exact_substring_spans vs the naive reference on randomized
+    tiny-alphabet corpora (heavy duplication by construction: 3-token
+    vocabulary forces gram collisions, within-doc repeats, and
+    adjacent-island merges) — 12 hypothesis-drawn corpora in one
+    test to amortize the per-job cost."""
+    from hypothesis import given, settings, strategies as st
+    from bugzilla_etl_spark.operators.dedup import exact_substring_spans
+
+    K = 3
+    corpus_st = st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+
+    @given(texts=corpus_st)
+    @settings(max_examples=12, deadline=None)
+    def check(texts):
+        docs = list(enumerate(texts))
+        df = spark.createDataFrame(docs, schema="doc_id long, text string")
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens,
+             r.n_dup_grams)
+            for r in exact_substring_spans(df, k=K).collect()
+        )
+        assert got == _ref_spans(docs, K)
+
+    check()
