@@ -439,11 +439,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_SPAN_K = 8
 _H_GRAM = duckdb_hash64("s.g")
 
-
-@register(
-    "dedup_spans",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
+# Shared oracle fragments for the ExactSubstr span family — the
+# gram census (t/occ), the island merge (isl), and the final span
+# projection are textually ONE definition consumed by all three
+# oracles (#182 detect, #185 apply, #186 ingest twin), so a change
+# to the k handling, the <= k merge rule, or the hash expression
+# cannot drift between the batch, apply, and streaming contracts.
+# Only the hits derivation (what counts as a duplicated gram)
+# differs per entry.
+DUCK_SPAN_OCC = f"""t AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
     occ AS (
         SELECT doc_id, s.pos AS pos, {_H_GRAM} AS gh FROM (
             SELECT doc_id,
@@ -454,12 +458,8 @@ _H_GRAM = duckdb_hash64("s.g")
                                  list_slice(tk, i, i + {_DUCK_SPAN_K} - 1),
                                  'string_agg', ' ')}})) AS s
             FROM t WHERE len(tk) >= {_DUCK_SPAN_K})
-    ),
-    dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
-    hits AS (
-        SELECT doc_id, pos FROM occ WHERE gh IN (SELECT gh FROM dup)
-    ),
-    isl AS (
+    )"""
+DUCK_SPAN_ISL = f"""isl AS (
         SELECT doc_id, pos,
                sum(CASE WHEN pos - prev <= {_DUCK_SPAN_K}
                         THEN 0 ELSE 1 END)
@@ -468,13 +468,25 @@ _H_GRAM = duckdb_hash64("s.g")
                      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
                          AS prev
               FROM hits)
-    )
-    SELECT doc_id,
+    )"""
+DUCK_SPAN_SELECT = f"""SELECT doc_id,
            min(pos) AS span_start,
            max(pos) + {_DUCK_SPAN_K} - 1 AS span_end,
            max(pos) - min(pos) + {_DUCK_SPAN_K} AS span_tokens,
            count(*) AS n_dup_grams
-    FROM isl GROUP BY doc_id, island
+    FROM isl GROUP BY doc_id, island"""
+
+
+@register(
+    "dedup_spans",
+    oracle=f"""
+    WITH {DUCK_SPAN_OCC},
+    dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
+    hits AS (
+        SELECT doc_id, pos FROM occ WHERE gh IN (SELECT gh FROM dup)
+    ),
+    {DUCK_SPAN_ISL}
+    {DUCK_SPAN_SELECT}
     """,
 )
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,32 +509,12 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_spans_apply",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
-    occ AS (
-        SELECT doc_id, s.pos AS pos, {_H_GRAM} AS gh FROM (
-            SELECT doc_id,
-                   unnest(list_transform(
-                       range(1, len(tk) - {_DUCK_SPAN_K} + 2),
-                       i -> {{pos: i - 1,
-                             g: list_aggregate(
-                                 list_slice(tk, i, i + {_DUCK_SPAN_K} - 1),
-                                 'string_agg', ' ')}})) AS s
-            FROM t WHERE len(tk) >= {_DUCK_SPAN_K})
-    ),
+    WITH {DUCK_SPAN_OCC},
     dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
     hits AS (
         SELECT doc_id, pos FROM occ WHERE gh IN (SELECT gh FROM dup)
     ),
-    isl AS (
-        SELECT doc_id, pos,
-               sum(CASE WHEN pos - prev <= {_DUCK_SPAN_K}
-                        THEN 0 ELSE 1 END)
-                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        FROM (SELECT doc_id, pos,
-                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                         AS prev
-              FROM hits)
-    ),
+    {DUCK_SPAN_ISL},
     sp AS (
         SELECT doc_id, min(pos) AS s,
                max(pos) + {_DUCK_SPAN_K} - 1 AS e

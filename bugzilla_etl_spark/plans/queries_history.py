@@ -2185,48 +2185,23 @@ def stream_attribution_outer(
 
 
 from bugzilla_etl_spark.plans.queries_dedup import (  # noqa: E402
-    _DUCK_SPAN_K,
-    _H_GRAM,
-    DUCK_TOKENS as _SPAN_DUCK_TOKENS,
+    DUCK_SPAN_ISL,
+    DUCK_SPAN_OCC,
+    DUCK_SPAN_SELECT,
 )
 
 
 @register(
     "stream_dedup_spans",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_SPAN_DUCK_TOKENS} AS tk FROM documents),
-    occ AS (
-        SELECT doc_id, s.pos AS pos, {_H_GRAM} AS gh FROM (
-            SELECT doc_id,
-                   unnest(list_transform(
-                       range(1, len(tk) - {_DUCK_SPAN_K} + 2),
-                       i -> {{pos: i - 1,
-                             g: list_aggregate(
-                                 list_slice(tk, i, i + {_DUCK_SPAN_K} - 1),
-                                 'string_agg', ' ')}})) AS s
-            FROM t WHERE len(tk) >= {_DUCK_SPAN_K})
-    ),
+    WITH {DUCK_SPAN_OCC},
     refg AS (SELECT DISTINCT gh FROM occ WHERE doc_id % 2 = 0),
     hits AS (
         SELECT doc_id, pos FROM occ
         WHERE doc_id % 2 = 1 AND gh IN (SELECT gh FROM refg)
     ),
-    isl AS (
-        SELECT doc_id, pos,
-               sum(CASE WHEN pos - prev <= {_DUCK_SPAN_K}
-                        THEN 0 ELSE 1 END)
-                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        FROM (SELECT doc_id, pos,
-                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                         AS prev
-              FROM hits)
-    )
-    SELECT doc_id,
-           min(pos) AS span_start,
-           max(pos) + {_DUCK_SPAN_K} - 1 AS span_end,
-           max(pos) - min(pos) + {_DUCK_SPAN_K} AS span_tokens,
-           count(*) AS n_dup_grams
-    FROM isl GROUP BY doc_id, island
+    {DUCK_SPAN_ISL}
+    {DUCK_SPAN_SELECT}
     """,
 )
 def stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

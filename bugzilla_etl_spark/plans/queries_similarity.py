@@ -144,9 +144,11 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_search_topk(emb, queries, C, k=3)
 
 
-_VCOS = (
-    "round(list_dot_product({a}.v, {b}.v) / greatest({a}.nr * {b}.nr,"
-    " 1e-12), 4)"
+# the rounded-cosine portability contract is ONE definition —
+# ann_ivf / ann_ivf_nprobe (queries_pipeline) and ann_ivf_pq all
+# verify the same Spark-side assignment kernel
+from bugzilla_etl_spark.plans.queries_pipeline import (  # noqa: E402
+    _DUCK_VCOS as _VCOS,
 )
 
 

@@ -366,6 +366,17 @@ def heavy_hitters_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_vocab(docs: DataFrame, drop_empty: bool = False) -> DataFrame:
+    """Corpus vocabulary (term, f) — the ONE map-side-combined token
+    count both BPE entries build on (#93 counting scan, #183 merge
+    loop).  ``drop_empty`` excludes the '' term an empty/whitespace
+    document tokenizes to (no symbol sequence exists for it)."""
+    vocab = docs.select(F.explode(T.tokens("text")).alias("term"))
+    if drop_empty:
+        vocab = vocab.where(F.col("term") != "")
+    return vocab.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+
+
 @register(
     "bpe_pair_counts",
     oracle=f"""
@@ -400,11 +411,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream is trillions, so pair generation costs ~nothing.
     Top-50 is a TakeOrderedAndProject (no global sort)."""
     docs = load_table(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(T.tokens("text")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("f"))
-    )
+    vocab = _token_vocab(docs)
     pairs = vocab.where(F.length("term") >= 2).select(
         F.explode(
             F.expr(
@@ -835,10 +842,5 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     with 1-row bounded-model merge selection per round.
     reference scope: training-data pipeline extension."""
     docs = load_table(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(T.tokens("text")).alias("term"))
-        .where(F.col("term") != "")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("f"))
-    )
-    return T.bpe_learn(vocab, rounds=_BPE_ROUNDS)
+    return T.bpe_learn(_token_vocab(docs, drop_empty=True),
+                       rounds=_BPE_ROUNDS)
