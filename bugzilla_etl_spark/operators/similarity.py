@@ -730,8 +730,9 @@ def ivf_pq_search_topk(
     ``_pq_subdists``'s integer-scaled sub-distances.  Scale shape:
     ONE map-only corpus pass chained after the (also map-only)
     assignment pass — the corpus never shuffles, candidates never
-    materialize; each Arrow batch encodes its rows and scores only
-    the (query, probed-cell) matches, pruning to per-batch top-k, so
+    materialize; each Arrow batch PQ-encodes only the rows lying in
+    the union of all queries' probed cells and scores only the
+    (query, probed-cell) matches, pruning to per-batch top-k, so
     the final exact ranking window sees at most batches x queries x
     k rows.  The query side is bounded: probed cells via
     ``ivf_assign_probes`` (nprobe rows per query) and the LUT set
@@ -767,15 +768,31 @@ def ivf_pq_search_topk(
 
     assigned = ivf_assign(emb, centroids, vec_col=vec_col, id_col=id_col)
 
+    probed_union = sorted(set().union(*probes.values()))
+
     def search(batches):
         n_sub = lut.shape[1]
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            codes = _pq_subdists(V, C).argmin(axis=2)  # first-min code
             cand = pdf["vid"].to_numpy(dtype=np.int64)
             cell = pdf["cell"].to_numpy(dtype=np.int64)
+            # Pre-mask to the union of all queries' probed cells
+            # BEFORE PQ-encoding: rows in cells no query probes are
+            # never encoded (at low nprobe/n_cells ratios that is
+            # most of the batch, and encoding is the batch's one
+            # O(rows x n_sub x n_codes) kernel).
+            keep = np.isin(cell, probed_union)
+            if not keep.any():
+                continue
+            cand, cell = cand[keep], cell[keep]
+            V = np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v in pdf["v"][keep]
+                ]
+            )
+            codes = _pq_subdists(V, C).argmin(axis=2)  # first-min code
             out_q, out_c, out_d = [], [], []
             for qi in range(len(qids)):
                 pcells = probes[int(qids[qi])]

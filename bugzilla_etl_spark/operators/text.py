@@ -551,7 +551,16 @@ def bpe_learn(vocab: DataFrame, rounds: int = 4) -> DataFrame:
             " i -> substring(term, i, 1))"
         ).alias("l"),
     )
+    # Each round's top-pair collect() re-evaluates ``rep``; without a
+    # persist that re-runs every PRIOR round's interpreted-HOF merge
+    # fold (O(rounds^2) recompute of the documented slow path).
+    # Persist the round's input before the collect materializes it,
+    # then drop the previous round's handle — exactly one vocab-grain
+    # cache lives at a time (the final one is the returned plan's
+    # parent; Spark's ContextCleaner unpersists it once unreferenced).
+    cached = None
     for _ in range(rounds):
+        rep = rep.persist()
         pairs_arr = F.filter(
             F.zip_with(
                 F.col("l"),
@@ -574,6 +583,9 @@ def bpe_learn(vocab: DataFrame, rounds: int = 4) -> DataFrame:
             .limit(1)
             .collect()  # bounded-model fold: exactly one row
         )
+        if cached is not None:
+            cached.unpersist()
+        cached = rep
         if not top:
             break  # no pairs anywhere (all-single-symbol vocab)
         a, b = top[0]["pa"], top[0]["pb"]
