@@ -13,6 +13,12 @@ Usage:
     python tools/rotation_ledger.py --check  (fail if ROTATION.md is
                                               older than the newest
                                               CORRECTNESS_rN.json)
+    python tools/rotation_ledger.py --ingest (git-add any untracked
+                                              round artifacts, then
+                                              regenerate + stage
+                                              ROTATION.md — the one-
+                                              step round-close ingest,
+                                              round-13 verdict task 8)
 
 The --check mode exists because round 9 committed ROTATION.md
 BEFORE the r9 driver artifacts landed, so the ledger said "newest =
@@ -132,10 +138,55 @@ def check_ledger_fresh() -> None:
     )
 
 
+#: Driver/gate artifact families staged by --ingest.  Only files the
+#: round machinery writes at the repo root; never sources or tests.
+_ARTIFACT_GLOBS = (
+    "CORRECTNESS_r*.json",
+    "BENCH_r*.json",
+    "BENCH_LOCAL_r*.json",
+    "BENCHALERT_r*.json",
+    "LOCAL_GATE*_r*.json",
+    "STREAMBENCH_r*.json",
+    "SCALEPROBE_r*.json",
+    "*_SWEEP_r*.json",
+    "SKEW_CROSSOVER_r*.json",
+    "DETERMINISM_r*.json",
+    "TRI_DECADE_r*.json",
+)
+
+
+def ingest_artifacts() -> None:
+    """One-step round-close ingest: ``git add`` every untracked
+    round artifact at the repo root, then regenerate ROTATION.md
+    over the now-staged CORRECTNESS rows and stage it too.  Retires
+    the standing pending-ingest warning loop — running this at round
+    close leaves --check with nothing pending (round-13 verdict,
+    task 8)."""
+    untracked = []
+    for pat in _ARTIFACT_GLOBS:
+        for path in glob.glob(os.path.join(REPO, pat)):
+            rel = os.path.relpath(path, REPO)
+            tracked = subprocess.run(
+                ["git", "ls-files", "--error-unmatch", rel],
+                cwd=REPO,
+                capture_output=True,
+            ).returncode == 0
+            if not tracked:
+                untracked.append(rel)
+    if untracked:
+        subprocess.run(["git", "add", "--"] + untracked, cwd=REPO, check=True)
+        print(f"staged {len(untracked)} artifact(s): {sorted(untracked)}")
+    else:
+        print("no untracked round artifacts")
+
+
 def main() -> None:
     if "--check" in sys.argv[1:]:
         check_ledger_fresh()
         return
+    ingest = "--ingest" in sys.argv[1:]
+    if ingest:
+        ingest_artifacts()
     rows: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json", path)
@@ -204,6 +255,9 @@ def main() -> None:
     with open(out, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out}: {len(names)} queries, {n_never} never-tested")
+    if ingest:
+        subprocess.run(["git", "add", "--", "ROTATION.md"], cwd=REPO, check=True)
+        print("staged ROTATION.md")
 
 
 if __name__ == "__main__":
