@@ -187,6 +187,8 @@ HEADLINE = [
     "dedup_spans_apply",
     "bpe_apply",
     "ann_ivf_pq",
+    # round-14 additions (data-scaled triangle backbone)
+    "triangle_count_scaled",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into

@@ -1951,6 +1951,197 @@ def triangle_count(
     )
 
 
+def _tri_scaled_oracle(frac_bp: int = 100, min_cap: int = 500) -> str:
+    """Oracle for triangle_count_scaled, parameterized so the test
+    suite can oracle-check a SECOND (frac_bp, min_cap) setting beyond
+    the registered default (round-13 verdict task 2).  The fraction
+    is BASIS POINTS (100 bp = 1%) so the cap is exact integer
+    arithmetic on both engines — a float ``ceil(0.01 * n)`` can tip
+    over an integer boundary where DECIMAL math does not."""
+    return f"""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    ),
+    ok_parts AS (
+        SELECT pk FROM ps GROUP BY pk HAVING count(*) <= 64
+    ),
+    co AS MATERIALIZED (
+        SELECT a.sk AS s1, b.sk AS s2, count(*) AS w
+        FROM ps a
+        JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+        JOIN ok_parts op ON op.pk = a.pk
+        GROUP BY a.sk, b.sk
+    ),
+    cap AS (
+        SELECT greatest({min_cap},
+                        ({frac_bp} * count(*) + 9999) // 10000) AS cap,
+               count(*) AS n_edges
+        FROM co
+    ),
+    ranked AS (
+        SELECT s1, s2,
+               row_number() OVER (ORDER BY w DESC, s1 ASC, s2 ASC) AS rn
+        FROM co
+    ),
+    -- MATERIALIZED for the same three-consumer reason as #112's
+    -- oracle (LOCAL_GATE_sf1_r12's red-row lesson)
+    edges AS MATERIALIZED (
+        SELECT s1, s2 FROM ranked, cap WHERE rn <= cap.cap
+    ),
+    tri AS (
+        SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.s2 = e2.s1
+        WHERE EXISTS (
+            SELECT 1 FROM edges e3
+            WHERE e3.s1 = e1.s1 AND e3.s2 = e2.s2
+        )
+    ),
+    pernode AS (
+        SELECT node, count(*) AS tri_cnt FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT node AS s_suppkey, tri_cnt,
+           round(CAST(least(cap.cap, cap.n_edges) AS DOUBLE)
+                 / cap.n_edges, 6) AS kept_fraction
+    FROM pernode, cap
+    ORDER BY tri_cnt DESC, s_suppkey ASC LIMIT 10
+    """
+
+
+@register("triangle_count_scaled", oracle=_tri_scaled_oracle())
+def triangle_count_scaled(
+    spark: SparkSession,
+    sf_dir: str,
+    frac_bp: int = 100,
+    min_cap: int = 500,
+) -> DataFrame:
+    """#112 with the backbone cap wired as a DATA-SCALED parameter
+    (round-13 verdict task 2): the fixed top-5000 backbone keeps a
+    VANISHING fraction of the co-supply graph as the corpus grows
+    (TRI_DECADE_r13 measured coverage 0.1% -> 0.025% across one
+    decade), so this form keeps ``max(min_cap, ceil(frac_bp *
+    n_edges / 10000))`` strongest edges (``frac_bp`` in basis
+    points; integer ceil, engine-exact) — constant COVERAGE, cost
+    growing ~O((frac·E)^1.5) — and surfaces ``kept_fraction`` on
+    every output row (the no-silent-caps discipline, #166's
+    precedent).
+
+    Oracle-checked at TWO settings: the registered default here and
+    (frac_bp=500, min_cap=100) in tests/test_round14.py, both built
+    from ``_tri_scaled_oracle``.
+
+    Scale strategy — how a data-dependent top-N avoids both a global
+    sort and a driver-sized TakeOrdered heap:
+    1. the co-supply edge aggregate ``co`` is persisted once (the
+       materialize-the-projection-once shape; at 100 TB the edge
+       list is orders of magnitude smaller than the corpus);
+    2. its WEIGHT HISTOGRAM — one row per distinct co-supply count,
+       dozens of rows regardless of corpus size — is the only thing
+       collected (bounded-model fold, the kmeans-centroid
+       precedent).  The driver derives n_edges, the cap, and the
+       boundary weight w* from the histogram alone;
+    3. edges with w > w* pass by a plain pushed-down FILTER (no
+       ordering anywhere); only the TIES at w* — the one weight
+       straddling the cut — pay a row_number, windowed over that
+       single bounded weight class, matching #112's measured
+       ~2.1k-ties-at-the-cut profile.  No global window, no
+       corpus-size-dependent heap on any single node.
+    The wedge/closure enumeration and the oriented-triangle
+    discipline are #112's verbatim; the backbone stays broadcast-
+    able by construction at the default frac (caller-scaled beyond
+    that, documented trade in SCALING.md)."""
+    from bugzilla_etl_spark.tmpdirs import register_cleanup
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    ok = ps.groupBy("pk").agg(F.count(F.lit(1)).alias("ns")).where(
+        F.col("ns") <= 64
+    ).select("pk")
+    a = ps.alias("a")
+    b = ps.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.pk") == F.col("b.pk"))
+            & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .join(ok, on="pk")
+        .groupBy(F.col("a.sk").alias("s1"), F.col("b.sk").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    register_cleanup(co.unpersist)
+    hist = sorted(
+        co.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: -r.w,
+    )  # bounded: one row per distinct co-supply weight
+    n_edges = sum(r.c for r in hist)
+    if n_edges == 0:
+        return spark.createDataFrame(
+            [], "s_suppkey bigint, tri_cnt bigint, kept_fraction double"
+        )
+    cap = max(min_cap, (frac_bp * n_edges + 9999) // 10000)
+    run, wstar, remaining = 0, None, cap
+    for r in hist:
+        if run + r.c >= cap:
+            wstar, remaining = r.w, cap - run
+            break
+        run += r.c
+    if wstar is None:  # cap >= n_edges: whole graph kept
+        edges = co.select("s1", "s2")
+    else:
+        above = co.where(F.col("w") > wstar).select("s1", "s2")
+        bw = Window.partitionBy("w").orderBy(
+            F.col("s1").asc(), F.col("s2").asc()
+        )
+        boundary = (
+            co.where(F.col("w") == wstar)
+            .withColumn("rn", F.row_number().over(bw))
+            .where(F.col("rn") <= remaining)
+            .select("s1", "s2")
+        )
+        edges = above.unionAll(boundary)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedges = e1.join(e2, F.col("e1.s2") == F.col("e2.s1")).select(
+        F.col("e1.s1").alias("ta"),
+        F.col("e1.s2").alias("tb"),
+        F.col("e2.s2").alias("tc"),
+    )
+    tri = wedges.join(
+        edges.select(F.col("s1").alias("ta"), F.col("s2").alias("tc")),
+        on=["ta", "tc"],
+        how="left_semi",
+    )
+    nodes = (
+        tri.select(F.col("ta").alias("node"))
+        .unionAll(tri.select(F.col("tb").alias("node")))
+        .unionAll(tri.select(F.col("tc").alias("node")))
+    )
+    # engine-side HALF_UP round (the repo's established round-parity
+    # path vs DuckDB's round), not Python's banker's round
+    kept_fraction = F.round(
+        F.lit(float(min(cap, n_edges))) / F.lit(float(n_edges)), 6
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_cnt"))
+        .orderBy(F.col("tri_cnt").desc(), F.col("node").asc())
+        .limit(10)
+        .select(
+            F.col("node").alias("s_suppkey"),
+            "tri_cnt",
+            kept_fraction.alias("kept_fraction"),
+        )
+    )
+
+
 _BJ_SEED0 = 200  # key-Bloom seed family (shingle Bloom uses 100..103)
 
 

@@ -57,6 +57,36 @@ def test_rotation_ingest_noop_when_all_tracked(tmp_path, monkeypatch, capsys):
     assert "no untracked round artifacts" in capsys.readouterr().out
 
 
+def test_triangle_count_scaled_second_setting(spark, duck, sf_dir):
+    """Oracle parity at a SECOND (frac_bp, min_cap) setting beyond
+    the registered default — the knob is data-scaled, so both the
+    cap arithmetic (integer basis points) and the histogram-threshold
+    edge selection must track the oracle at any setting (round-13
+    verdict task 2: 'oracle-checked form at two settings')."""
+    from bugzilla_etl_spark.plans.queries_analytics import (
+        _tri_scaled_oracle,
+        triangle_count_scaled,
+    )
+    from tests.util import assert_same
+
+    sdf = triangle_count_scaled(spark, sf_dir, frac_bp=500, min_cap=100)
+    assert_same(sdf, duck, _tri_scaled_oracle(frac_bp=500, min_cap=100))
+
+
+def test_triangle_count_scaled_surfaces_kept_fraction(spark, sf_dir):
+    """kept_fraction rides every output row and reflects the actual
+    cap/n_edges ratio — the no-silent-caps contract."""
+    from bugzilla_etl_spark.plans.queries_analytics import (
+        triangle_count_scaled,
+    )
+
+    rows = triangle_count_scaled(spark, sf_dir).collect()
+    assert rows, "sf0.001 graph should have triangles"
+    fracs = {r.kept_fraction for r in rows}
+    assert len(fracs) == 1
+    assert 0.0 < fracs.pop() <= 1.0
+
+
 def test_bpe_learn_caches_one_round_input(spark):
     """After bpe_learn, exactly one cached vocab-grain frame remains
     (the final round's persisted input — the returned plan's parent);
