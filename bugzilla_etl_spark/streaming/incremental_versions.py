@@ -32,6 +32,7 @@ buckets are never read, written, or listed.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -41,6 +42,27 @@ from bugzilla_etl_spark.streaming.snapshot_stream import (
     restore_orphaned_buckets,
     swap_buckets,
 )
+
+#: Per-phase wall split of the LAST stream_full_rebuild run, summed
+#: across its micro-batches (the operators/backfill.LAST_SPLIT
+#: precedent; round-13 verdict task 3 — stream_bug_versions' 17.5 s
+#: marginal had never received the progress-split diagnosis that
+#: root-caused the attribution pair).  Phases: ``restore`` = orphan
+#: healing, ``discover`` = touched-bucket collect, ``append`` =
+#: archive append write, ``rebuild_write`` = the touched-history
+#: read + build_fn pipeline + prev-store merge + swap-dir write (one
+#: action — splitting it further would need an extra materialization
+#: that changes the measured plan), ``swap`` = bucket renames.
+LAST_SPLIT: dict[str, float] = {}
+
+
+def _reset_split() -> None:
+    LAST_SPLIT.clear()
+    LAST_SPLIT["n_batches"] = 0
+
+
+def _add(key: str, sec: float) -> None:
+    LAST_SPLIT[key] = round(LAST_SPLIT.get(key, 0.0) + sec, 3)
 
 
 def stream_full_rebuild(
@@ -57,19 +79,28 @@ def stream_full_rebuild(
     ``build_fn`` (events subset -> document rows; must include the
     entity column) into a bucketed parquet document store."""
 
+    _reset_split()
+
     def rebuild(batch: DataFrame, batch_id: int) -> None:
         import os
 
+        LAST_SPLIT["n_batches"] += 1
+        t = time.perf_counter()
         restore_orphaned_buckets(docs_dir)
+        _add("restore", time.perf_counter() - t)
         spark = batch.sparkSession
         bucket = F.pmod(F.hash(entity), F.lit(n_buckets))
         b = batch.withColumn("bucket", bucket)
+        t = time.perf_counter()
         touched_b = sorted(
             r.bucket for r in b.select("bucket").distinct().collect()
         )
+        _add("discover", time.perf_counter() - t)
         if not touched_b:
             return
+        t = time.perf_counter()
         b.write.mode("append").partitionBy("bucket").parquet(archive_dir)
+        _add("append", time.perf_counter() - t)
 
         touched = b.select(entity).distinct()
         hist = (
@@ -94,8 +125,12 @@ def stream_full_rebuild(
             )
             docs = docs.unionByName(prev)
         tmp = f"{docs_dir}/.swap_{batch_id}"
+        t = time.perf_counter()
         docs.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        _add("rebuild_write", time.perf_counter() - t)
+        t = time.perf_counter()
         swap_buckets(docs_dir, tmp, touched_b, batch_id)
+        _add("swap", time.perf_counter() - t)
 
     return (
         events_stream.writeStream.foreachBatch(rebuild)

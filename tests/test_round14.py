@@ -87,6 +87,34 @@ def test_triangle_count_scaled_surfaces_kept_fraction(spark, sf_dir):
     assert 0.0 < fracs.pop() <= 1.0
 
 
+def test_stream_bug_versions_split_and_pin_restore(spark, sf_dir):
+    """The r14 diagnosis wiring: the run records a per-phase wall
+    split (restore/discover/append/rebuild_write/swap) in
+    streaming.progress.LAST for the streambench lane, and the
+    lifetime shuffle-partition pin (measured 20.0 -> 14.9 s at
+    sf0.1) is RESTORED after the query — the r13 attribution fix's
+    regression-test discipline applied to this entry."""
+    from bugzilla_etl_spark.plans.queries_history import (
+        stream_bug_versions,
+    )
+    from bugzilla_etl_spark.streaming import progress
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    progress.LAST.pop("stream_bug_versions", None)
+    stream_bug_versions(spark, sf_dir).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    rec = progress.LAST["stream_bug_versions"]
+    split = rec["split"]
+    assert split["n_batches"] == 3
+    assert set(split) >= {
+        "restore", "discover", "append", "rebuild_write", "swap",
+    }
+    # rebuild_write is the designed dominant phase (>=50% of the
+    # in-batch wall) — if that flips, the diagnosis artifact lies
+    phases = [v for k, v in split.items() if k != "n_batches"]
+    assert split["rebuild_write"] >= 0.5 * sum(phases)
+
+
 def test_bpe_learn_caches_one_round_input(spark):
     """After bpe_learn, exactly one cached vocab-grain frame remains
     (the final round's persisted input — the returned plan's parent);
