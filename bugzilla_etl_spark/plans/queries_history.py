@@ -2230,7 +2230,9 @@ from bugzilla_etl_spark.plans.queries_dedup import (  # noqa: E402
     {DUCK_SPAN_SELECT}
     """,
 )
-def stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_spans(
+    spark: SparkSession, sf_dir: str, index_mode: str = "memory"
+) -> DataFrame:
     """ExactSubstr span detection at INGEST time — the spans family's
     ingest twin (stream_neardup_ingest is whole-doc near-dup's,
     stream_decontam decontamination's): even doc_ids play the
@@ -2244,16 +2246,33 @@ def stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch computation).
 
     Scale shape: the gram index is corpus-grain but SHUFFLE-FREE to
-    probe per batch (stream-static hash join on the 8-byte hash —
-    at 100 TB a bucketed index table makes each micro-batch join
-    co-located); per-batch work beyond the probe is the same
+    probe per batch; per-batch work beyond the probe is the same
     doc-bounded island merge as #182.  Batch-keyed output dirs keep
-    checkpoint replays idempotent."""
+    checkpoint replays idempotent.
+
+    ``index_mode`` selects the index's physical form (identical
+    results, oracle-checked at both settings — r13 verdict task 4):
+
+    - ``"memory"`` (default): the distinct gram-hash set persisted
+      in-memory and hash-joined per batch — the local-harness form,
+      rebuilt per run.
+    - ``"bucketed"``: the 100 TB form — the index is WRITTEN ONCE as
+      a real bucketBy(gh) table (operators.dedup.write_gram_index,
+      the #163 pattern) and each micro-batch probes it with a semi
+      SMJ that reads the bucket layout directly: zero exchange on
+      the corpus-grain index side (plan-asserted in
+      tests/test_round14.py), only the micro-batch-sized gram
+      stream shuffles.  Incremental corpus growth appends bucket
+      files (write_gram_index mode="append"; probes stay exact via
+      the semi join)."""
     import shutil
+    import uuid
 
     from bugzilla_etl_spark.operators.dedup import (
         gram_positions,
+        probe_gram_index,
         spans_from_hits,
+        write_gram_index,
     )
     from bugzilla_etl_spark.streaming.landing import (
         land_parts,
@@ -2276,17 +2295,27 @@ def stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    ref = gram_positions(static).select("gh").distinct().persist()
-    ref.count()  # materialize once; both micro-batches reuse it
+    if index_mode == "bucketed":
+        idx_name = f"bes_gramidx_{uuid.uuid4().hex[:8]}"
+        write_gram_index(
+            static, idx_name, tracked_mkdtemp(prefix="bes_sdsi_")
+        )
+        ref = spark.table(idx_name)
+    else:
+        ref = gram_positions(static).select("gh").distinct().persist()
+        ref.count()  # materialize once; both micro-batches reuse it
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        hits = (
-            gram_positions(batch_df)
-            .join(ref, "gh")
-            .select("doc_id", "pos")
-        )
+        if index_mode == "bucketed":
+            hits = probe_gram_index(ref, batch_df)
+        else:
+            hits = (
+                gram_positions(batch_df)
+                .join(ref, "gh")
+                .select("doc_id", "pos")
+            )
         spans_from_hits(hits).write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}"
         )
@@ -2311,4 +2340,10 @@ def stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "span_start", "span_end", "span_tokens", "n_dup_grams"
         )
     finally:
-        ref.unpersist()
+        if index_mode == "bucketed":
+            # result rows are materialized parquet under out_dir, so
+            # the catalog entry can drop now (data dir is GC'd with
+            # the tempdir registry)
+            spark.sql(f"DROP TABLE IF EXISTS {idx_name}")
+        else:
+            ref.unpersist()
