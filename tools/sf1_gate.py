@@ -61,6 +61,10 @@ STATE_HEAVY = [
     # bounds memory + temp so any future plan regression fails fast
     # instead of exhausting the host disk.
     "triangle_count",
+    # r14: the data-scaled backbone form — the cap derivation (weight
+    # histogram -> boundary ties) is exactly the kind of logic that
+    # only misbehaves when the weight distribution thickens a decade
+    "triangle_count_scaled",
     "dedup_components",
     "kmeans_embeddings",
     "heavy_hitters_ngrams",
@@ -85,6 +89,24 @@ DEDUP_SIM = [
     # partition counts and gram multiplicity grow a decade
     "dedup_spans",
     "dedup_spans_apply",
+]
+
+# The text/gram token-explode family (round-13 verdict task 5): the
+# plans whose correctness is most row-group/partition-sensitive
+# after the dedup slice — BM25's corpus stats, the BPE merge loop's
+# exact pair counts, PMI/co-occurrence and pair-support counting,
+# n-gram novelty's first-seen semantics, TF-IDF's df — all ride
+# corpus-grain token explodes whose groupBy boundaries move as
+# partition counts and gram multiplicity grow a decade.
+# (heavy_hitters_ngrams, the sixth member, already sits in
+# STATE_HEAVY.)
+TEXT_GRAM = [
+    "bm25_topk",
+    "bpe_apply",
+    "cooccurrence_pmi",
+    "frequent_pairs",
+    "ngram_novelty",
+    "tfidf_top_terms",
 ]
 
 FACTOR = 10
@@ -127,7 +149,7 @@ def main() -> None:
         json_out = args[1]
         args = args[2:]
     base = args[0] if args else "/root/testdata/sf0.1"
-    queries = args[1:] or (STATE_HEAVY + DEDUP_SIM)
+    queries = args[1:] or (STATE_HEAVY + DEDUP_SIM + TEXT_GRAM)
 
     from bugzilla_etl_spark.session import get_spark
     from tools.scaleprobe import replicate
