@@ -53,171 +53,175 @@ _loaded = False
 # regardless of window position, and ROTATION.md ledgers each
 # query's newest driver row.
 #
-# r13-window composition (per the standing rotation policy): the
-# FIVE never-driver-tested round-13 entries lead (#182-#186), then
-# the 28 r9-stale greens (ledger order — the round-12 verdict's
-# rotate-next list, exactly), then the oldest r10 greens fill the
-# 50 (the last five r10 names of the original plan shift to lead
-# the r14 window alongside the remaining r10 cohort).
+# r14-window composition (per the standing rotation policy):
+# the round's ONE never-driver-tested entry leads
+# (triangle_count_scaled, #187), then stream_bug_versions (behavior
+# touched this round: the lifetime shuffle-partition pin), then the
+# full 33-row r10-stale cohort (the round-13 verdict's rotate-next
+# list, exactly), topped up to 50 with the 15 oldest r11 greens in
+# ledger order.
 _PRIORITY = (
-    # never-driver-tested (new in round 13) lead, per rotation policy
-    "dedup_spans",
-    "dedup_spans_apply",
-    "stream_dedup_spans",
-    "bpe_apply",
-    "ann_ivf_pq",
-    "diff_apply",
-    "diff_rollback",
-    "doc_fingerprint",
-    "docs_json_roundtrip",
-    "dual_pipeline_cutover",
-    "embedding_neardup",
-    "es_docs",
-    "events_sessionize",
-    "events_sessionize_native",
-    "flag_parse",
-    "flag_state_versions",
-    "incremental_touched",
-    "interval_asof_join",
-    "json_props_extract",
-    "kmv_source_overlap",
-    "kmv_source_overlap_sketch",
-    "mix_weights",
-    "mm_features",
-    "mm_resize",
-    "orders_fulfillment",
-    "pii_scrub",
-    "quality_repetition",
-    "quota_sample",
-    "rolling_distinct_users",
-    "seq_packing",
-    "shuffle_shards",
-    "stream_heavy_hitters",
-    "stream_heavy_hitters_capped",
-    "bpe_pair_counts",
-    "canonical_fields",
-    "cc_fuzzy_match",
-    "char_lm_perplexity",
-    "compaction_plan",
-    "cooccurrence_pmi",
-    "count_min_freq",
-    "date_normalize",
-    "decontam_neardup",
-    "dedup_containment",
-    "dsir_weights",
-    "embedding_outliers",
-    "embedding_pca",
-    "filter_funnel",
-    "flag_fuzzy_match",
-    "frequent_pairs",
-    "full_backfill_clustered",
+    "triangle_count_scaled",
+    "stream_bug_versions",
     "full_backfill_resume",
     "heavy_hitters_ngrams",
     "hist_quantile",
     "html_strip",
     "key_skew_stats",
-)
-# Rotated past position 50: every entry here has a GREEN r10, r11
-# or r12 driver row (the freshest in the ledger), is re-verified by
-# the local gate (tools/verify_local.py, driver-strict
-# canonicalizer) every round, and rotates back in r14+.
-_DEPRIORITY = (
-    "activity_invert",
-    "alias_analysis",
-    "alias_compact",
-    "alias_minimize",
-    "alias_resolve",
-    "ann_ivf",
-    "ann_ivf_nprobe",
-    "ann_lsh_buckets",
-    "ann_pq",
-    "ann_topk",
-    "anomaly_mad",
-    "anomaly_mad_hist",
-    "attachment_versions",
-    "bloom_decontam",
-    "bloom_join_prune",
-    "bm25_topk",
-    "bucketed_join_zero_shuffle",
-    "bug_version_docs",
-    "bug_version_full",
-    "chunk_dedup_pack",
-    "comments_etl",
-    "compact_store",
-    "cube_order_stats",
-    "curate_corpus",
-    "decontam_overlap",
-    "dedup_chunk",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_jaccard_invindex",
-    "dedup_latest",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dependency_edges",
-    "doc_chunks",
-    "es_alias_cutover",
-    "es_file_extract",
-    "events_funnel",
-    "events_sessionize_paned",
-    "hll_distinct",
-    "kmeans_embeddings",
     "lang_id",
     "merge_order_union",
     "mm_frame_sample",
-    "moving_average",
-    "moving_average_ranged",
-    "nested_docs",
     "ngram_novelty",
     "normalize_scrub",
-    "pagerank_trade",
     "partition_prune_stats",
-    "pivot_event_counts",
     "previous_values",
-    "previous_values_paned",
     "private_retract",
     "private_screen",
-    "private_subentity",
-    "profile_table",
-    "profile_table_hll",
-    "range_window_load",
     "replicate_cycle",
     "replicate_pending",
-    "rollup_returns",
     "sample_stratified",
     "screen_mask",
-    "semdedup",
     "set_accumulate",
-    "set_final",
-    "set_final_salted",
-    "skyline_orders",
     "snapshot_asof",
     "snapshot_versions",
     "state_rollforward",
-    "state_rollforward_paned",
-    "stratified_split",
-    "stream_attribution",
-    "stream_attribution_outer",
-    "stream_bug_versions",
-    "stream_decontam",
-    "stream_dedup",
-    "stream_doc_chunks",
-    "stream_hll",
-    "stream_neardup_ingest",
     "stream_previous_values",
-    "stream_previous_values_ooo",
-    "stream_rollup",
     "stream_sessionize",
-    "stream_sessionize_ooo",
-    "stream_snapshot",
     "text_quality",
     "tfidf_top_terms",
     "time_rollup",
     "token_count",
     "topk_per_group",
     "tpch_q1",
+    "tpch_q6",
+    "winnow_fingerprints",
+    "winnow_pairs",
+    "alias_compact",
+    "anomaly_mad",
+    "anomaly_mad_hist",
+    "bloom_decontam",
+    "bloom_join_prune",
+    "bucketed_join_zero_shuffle",
+    "bug_version_docs",
+    "bug_version_full",
+    "compact_store",
+    "cube_order_stats",
+    "dedup_jaccard_invindex",
+    "dedup_ngram_jaccard",
+    "doc_chunks",
+    "es_alias_cutover",
+    "es_file_extract",
+)
+# Rotated past position 50: every entry here has a GREEN r11, r12
+# or r13 driver row (the freshest in the ledger), is re-verified by
+# the local gate (tools/verify_local.py, driver-strict
+# canonicalizer) every round, and rotates back in r15+.
+_DEPRIORITY = (
+    "activity_invert",
+    "alias_analysis",
+    "alias_minimize",
+    "alias_resolve",
+    "ann_ivf",
+    "ann_ivf_nprobe",
+    "ann_ivf_pq",
+    "ann_lsh_buckets",
+    "ann_pq",
+    "ann_topk",
+    "attachment_versions",
+    "bm25_topk",
+    "bpe_apply",
+    "bpe_pair_counts",
+    "canonical_fields",
+    "cc_fuzzy_match",
+    "char_lm_perplexity",
+    "chunk_dedup_pack",
+    "comments_etl",
+    "compaction_plan",
+    "cooccurrence_pmi",
+    "count_min_freq",
+    "curate_corpus",
+    "date_normalize",
+    "decontam_neardup",
+    "decontam_overlap",
+    "dedup_chunk",
+    "dedup_components",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_latest",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_spans",
+    "dedup_spans_apply",
+    "dependency_edges",
+    "diff_apply",
+    "diff_rollback",
+    "doc_fingerprint",
+    "docs_json_roundtrip",
+    "dsir_weights",
+    "dual_pipeline_cutover",
+    "embedding_neardup",
+    "embedding_outliers",
+    "embedding_pca",
+    "es_docs",
+    "events_funnel",
+    "events_sessionize",
+    "events_sessionize_native",
+    "events_sessionize_paned",
+    "filter_funnel",
+    "flag_fuzzy_match",
+    "flag_parse",
+    "flag_state_versions",
+    "frequent_pairs",
+    "full_backfill_clustered",
+    "hll_distinct",
+    "incremental_touched",
+    "interval_asof_join",
+    "json_props_extract",
+    "kmeans_embeddings",
+    "kmv_source_overlap",
+    "kmv_source_overlap_sketch",
+    "mix_weights",
+    "mm_features",
+    "mm_resize",
+    "moving_average",
+    "moving_average_ranged",
+    "nested_docs",
+    "orders_fulfillment",
+    "pagerank_trade",
+    "pii_scrub",
+    "pivot_event_counts",
+    "previous_values_paned",
+    "private_subentity",
+    "profile_table",
+    "profile_table_hll",
+    "quality_repetition",
+    "quota_sample",
+    "range_window_load",
+    "rolling_distinct_users",
+    "rollup_returns",
+    "semdedup",
+    "seq_packing",
+    "set_final",
+    "set_final_salted",
+    "shuffle_shards",
+    "skyline_orders",
+    "state_rollforward_paned",
+    "stratified_split",
+    "stream_attribution",
+    "stream_attribution_outer",
+    "stream_decontam",
+    "stream_dedup",
+    "stream_dedup_spans",
+    "stream_doc_chunks",
+    "stream_heavy_hitters",
+    "stream_heavy_hitters_capped",
+    "stream_hll",
+    "stream_neardup_ingest",
+    "stream_previous_values_ooo",
+    "stream_rollup",
+    "stream_sessionize_ooo",
+    "stream_snapshot",
     "tpch_q10",
     "tpch_q11",
     "tpch_q12",
@@ -235,7 +239,6 @@ _DEPRIORITY = (
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
-    "tpch_q6",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
@@ -243,8 +246,6 @@ _DEPRIORITY = (
     "trunc_uncertain",
     "unpivot_measures",
     "value_percentiles",
-    "winnow_fingerprints",
-    "winnow_pairs",
     "zorder_layout",
 )
 
