@@ -556,11 +556,20 @@ def bpe_learn(vocab: DataFrame, rounds: int = 4) -> DataFrame:
     # fold (O(rounds^2) recompute of the documented slow path).
     # Persist the round's input before the collect materializes it,
     # then drop the previous round's handle — exactly one vocab-grain
-    # cache lives at a time (the final one is the returned plan's
-    # parent; Spark's ContextCleaner unpersists it once unreferenced).
+    # cache lives at a time; the final handle is released via the
+    # tmpdirs cleanup registry.  The nonce literal defeats Spark's
+    # STRUCTURAL CacheManager plan-matching across invocations, so a
+    # repeated bench pass measures a cold run, not the previous
+    # invocation's cached rounds (see triangle_count_scaled).
+    import uuid
+
+    from bugzilla_etl_spark.tmpdirs import register_cleanup
+
+    nonce = F.lit(uuid.uuid4().hex)
     cached = None
     for _ in range(rounds):
-        rep = rep.persist()
+        persisted = rep.withColumn("_nonce", nonce).persist()
+        rep = persisted.drop("_nonce")
         pairs_arr = F.filter(
             F.zip_with(
                 F.col("l"),
@@ -585,7 +594,7 @@ def bpe_learn(vocab: DataFrame, rounds: int = 4) -> DataFrame:
         )
         if cached is not None:
             cached.unpersist()
-        cached = rep
+        cached = persisted
         if not top:
             break  # no pairs anywhere (all-single-symbol vocab)
         a, b = top[0]["pa"], top[0]["pb"]
@@ -594,6 +603,10 @@ def bpe_learn(vocab: DataFrame, rounds: int = 4) -> DataFrame:
             "f",
             F.split(bpe_merge_fold(F.col("l"), a, b), " ").alias("l"),
         )
+    if cached is not None:
+        # the final round's cache backs the returned plan; release it
+        # with the registry (plan-keyed entries are never GC'd)
+        register_cleanup(cached.unpersist)
     return rep.select(
         "term",
         "f",

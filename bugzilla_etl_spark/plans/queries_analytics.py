@@ -1749,13 +1749,21 @@ def pagerank_trade(
         )
     )
     if persist_edges:
+        import uuid
+
         from bugzilla_etl_spark.tmpdirs import register_cleanup
 
-        edges = edges.persist()
+        # nonce: defeat cross-invocation CacheManager plan-matching
+        # so repeated bench/probe passes measure a cold build, not
+        # the previous invocation's cache (see triangle_count_scaled)
+        edges = edges.withColumn(
+            "_pe_nonce", F.lit(uuid.uuid4().hex)
+        ).persist()
         # CacheManager entries are plan-keyed, never GC'd: release
         # with the same registry that collects scratch dirs, or
         # repeated knob invocations accumulate cached edge lists
         register_cleanup(edges.unpersist)
+        edges = edges.drop("_pe_nonce")
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = edges.select("src").distinct().withColumnRenamed(
         "src", "node"
@@ -2065,6 +2073,8 @@ def triangle_count_scaled(
     ).select("pk")
     a = ps.alias("a")
     b = ps.alias("b")
+    import uuid
+
     co = (
         a.join(
             b,
@@ -2074,9 +2084,19 @@ def triangle_count_scaled(
         .join(ok, on="pk")
         .groupBy(F.col("a.sk").alias("s1"), F.col("b.sk").alias("s2"))
         .agg(F.count(F.lit(1)).alias("w"))
+        # per-invocation nonce literal: Spark's CacheManager matches
+        # persisted plans STRUCTURALLY, so without it a second
+        # invocation's identical plan silently reads the first's
+        # cache — bench/probe passes then measure a warm cache, not
+        # the query (the r14 tri_decade first cut read a 0.03
+        # exponent that way).  The nonce keeps reuse within ONE
+        # invocation (pay the edge aggregate once) and makes every
+        # cross-invocation pass honestly cold.
+        .withColumn("_nonce", F.lit(uuid.uuid4().hex))
         .persist()
     )
     register_cleanup(co.unpersist)
+    co = co.drop("_nonce")
     hist = sorted(
         co.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect(),
         key=lambda r: -r.w,
