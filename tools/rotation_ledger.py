@@ -152,6 +152,7 @@ _ARTIFACT_GLOBS = (
     "SKEW_CROSSOVER_r*.json",
     "DETERMINISM_r*.json",
     "TRI_DECADE_r*.json",
+    "PAGERANK_DECADE_r*.json",
 )
 
 
