@@ -80,6 +80,10 @@ DEFAULT_QUERIES = [
     "dedup_spans_apply",
     "bpe_apply",
     "ann_ivf_pq",
+    # round-14: the data-scaled triangle backbone (tools/tri_decade.py
+    # is its dedicated two-decade lane; this keeps the standing x10
+    # exponent row alongside the fixed form's)
+    "triangle_count_scaled",
 ]
 
 # Knob variants: probe a catalog entry with a non-default parameter
