@@ -1046,6 +1046,10 @@ def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (round-11 advice) — under the knob the newest time slice must
     # be WRITTEN first to actually arrive first; dir names follow
     # write order so mtime- and name-ordered listings agree
+    import os as _os
+    import time as _time
+
+    mt_base = _time.time()
     for pos in range(n_slices):
         lo, hi = bounds[arrival.index(pos)]
         sl = ev
@@ -1056,6 +1060,14 @@ def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sl.coalesce(1).write.mode("overwrite").parquet(
             f"{src}/slice={pos}"
         )
+        # explicit strictly-increasing mtimes in write order: the
+        # file source dispatches by mtime, and two slices written
+        # inside one mtime granule can invert arrival (the
+        # landing._stamp_arrival_order rationale)
+        for f in _os.listdir(f"{src}/slice={pos}"):
+            p = f"{src}/slice={pos}/{f}"
+            t = mt_base + 2 * (pos + 1)
+            _os.utime(p, (t, t))
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)

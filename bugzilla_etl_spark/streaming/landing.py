@@ -18,12 +18,20 @@ from pyspark.sql import DataFrame
 
 def land_parts(landing: str, parts: list[tuple[str, DataFrame]]) -> None:
     """Write each (name, frame) as exactly one parquet file named
-    ``<name>.parquet`` inside ``landing``.  File-source streams list
-    files in name order, so callers control micro-batch ARRIVAL
-    ORDER by part name — event-time-ordered names keep watermark
-    advancement consistent with arrival, the contract a watermarked
-    stream assumes of its ingest."""
-    for name, part in parts:
+    ``<name>.parquet`` inside ``landing``, with STRICTLY INCREASING
+    mtimes in list order.  Spark's file source dispatches new files
+    by modification time (path is only a tiebreak), and two parts
+    written back-to-back can land inside one mtime granule — the
+    arrival order the caller encoded in names then silently inverts
+    (observed: one ORDER_SWEEP_r14 flake where a watermark
+    heartbeat overtook the last real part).  The explicit utime
+    makes arrival order a written fact, not a write-speed accident;
+    callers control micro-batch ARRIVAL ORDER by list position, and
+    event-time-ordered parts keep watermark advancement consistent
+    with arrival, the contract a watermarked stream assumes of its
+    ingest."""
+    base = _mtime_base(landing)
+    for i, (name, part) in enumerate(parts):
         tmp = os.path.join(landing, f"_stage_{name}")
         # repartition(1), NOT coalesce(1): several callers land
         # DRIVER-CREATED frames (the watermark-heartbeat sentinels),
@@ -37,11 +45,36 @@ def land_parts(landing: str, parts: list[tuple[str, DataFrame]]) -> None:
         src = next(
             f for f in os.listdir(tmp) if f.endswith(".parquet")
         )
-        os.rename(
-            os.path.join(tmp, src),
-            os.path.join(landing, f"{name}.parquet"),
-        )
+        dst = os.path.join(landing, f"{name}.parquet")
+        os.rename(os.path.join(tmp, src), dst)
+        t = base + 2 * (i + 1)
+        os.utime(dst, (t, t))
         shutil.rmtree(tmp)
+
+
+def _mtime_base(srcdir: str) -> float:
+    """Base epoch for a dir's explicit arrival-order mtimes: 2 s past
+    the newest file already inside (so appended files always arrive
+    after existing ones), else the current time."""
+    import time
+
+    newest = 0.0
+    for f in os.listdir(srcdir):
+        p = os.path.join(srcdir, f)
+        if os.path.isfile(p):
+            newest = max(newest, os.path.getmtime(p))
+    return max(newest + 2.0, time.time())
+
+
+def _stamp_arrival_order(srcdir: str, names: list[str]) -> None:
+    """Assign strictly increasing mtimes (2 s apart) to ``names`` in
+    list order — the written form of 'these files arrive in this
+    order' for Spark's mtime-dispatched file source."""
+    base = _mtime_base(srcdir)
+    for i, name in enumerate(names):
+        t = base + 2 * (i + 1)
+        p = os.path.join(srcdir, name)
+        os.utime(p, (t, t))
 
 
 def read_store_or_empty(spark, path: str, schema: str):
@@ -145,11 +178,14 @@ def stage_stream_source(
         # by id into n_files — arbitrary arrival order, which an
         # un-watermarked commutative consumer must tolerate outright
         pos = ids % np.int64(n_files)
+        written = []
         for p in range(n_files):
             part = table.filter(pos == p)
             for c in range(copies):
                 name = f"part_{p:04d}_{'abcdef'[c]}.parquet"
                 pq.write_table(part, os.path.join(srcdir, name))
+                written.append(name)
+        _stamp_arrival_order(srcdir, written)
         return
     ts = table.column(ts_col).to_numpy()
     # timestamp[ns] -> epoch seconds; integer division, never float
@@ -161,12 +197,19 @@ def stage_stream_source(
     in_margin = (upper[base] - tsl) <= margin_s
     delayed = in_margin & (ids % 2 == 1)
     pos = np.where(delayed & (base < n_files - 1), base + 1, base)
+    written = []
     for p in range(n_files):
         part = table.filter(pos == p)
         for c in range(copies):
             # copy c of part p arrives c micro-batches later
             name = f"part_{p:04d}_{'abcdef'[c]}.parquet"
             pq.write_table(part, os.path.join(srcdir, name))
+            written.append(name)
+    # explicit strictly-increasing mtimes in write order: the file
+    # source dispatches by mtime, and back-to-back writes can share
+    # an mtime granule, silently inverting arrival (the
+    # ORDER_SWEEP_r14 stream_previous_values_ooo flake)
+    _stamp_arrival_order(srcdir, written)
 
 
 def stream_reader(spark, schema, srcdir: str):
@@ -186,8 +229,10 @@ def write_heartbeats(path: str, srcdir: str, user_col: str = "user_id",
     punctuation pattern of stream_attribution's sentinels: the first
     pushes the watermark past every real row, the second gives the
     engine a batch in which to fire the event-time timeouts that
-    flush buffered state.  Names sort (and mtimes land) after every
-    staged part, so they arrive last.  Consumers filter
+    flush buffered state.  Arrival AFTER every staged part is made
+    explicit with ``_stamp_arrival_order`` (mtimes strictly past the
+    newest existing file — name order alone is only a tiebreak for
+    the mtime-dispatched file source).  Consumers filter
     ``user_col >= 0``."""
     import datetime
     import os
@@ -220,3 +265,4 @@ def write_heartbeats(path: str, srcdir: str, user_col: str = "user_id",
             pa.table(cols, schema=schema),
             os.path.join(srcdir, f"zz_hb{i}.parquet"),
         )
+    _stamp_arrival_order(srcdir, ["zz_hb1.parquet", "zz_hb2.parquet"])
