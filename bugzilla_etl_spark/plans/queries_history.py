@@ -1008,7 +1008,14 @@ def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt docs into a bucketed store.  The oracle is the full batch
     rebuild over all events — the incremental==full equivalence that
     defines the reference's incremental mode (bz_etl.py:172; any bug
-    touched since the watermark is fully re-built and overwritten)."""
+    touched since the watermark is fully re-built and overwritten).
+
+    Session-scope constraint: the shuffle-partition pin below mutates
+    SESSION-GLOBAL conf for the query's lifetime; a query running
+    concurrently on the same SparkSession during awaitTermination
+    would silently inherit partitions=16.  Fine for the single-query
+    harness; concurrent use needs a cloned session
+    (``spark.newSession()``) so the pin scopes to this query."""
 
     from bugzilla_etl_spark.streaming.incremental_versions import (
         stream_full_rebuild,

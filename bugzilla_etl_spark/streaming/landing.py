@@ -55,7 +55,19 @@ def land_parts(landing: str, parts: list[tuple[str, DataFrame]]) -> None:
 def _mtime_base(srcdir: str) -> float:
     """Base epoch for a dir's explicit arrival-order mtimes: 2 s past
     the newest file already inside (so appended files always arrive
-    after existing ones), else the current time."""
+    after existing ones), else the current time.
+
+    Known drift (accepted): because each call bases off the previous
+    call's stamps, repeated landings on one dir push mtimes
+    monotonically AHEAD of wall-clock by ~2 s per file.  The 2 s
+    spacing is deliberate — sub-second stamps would reintroduce the
+    second-granule tie this module exists to kill on filesystems
+    that truncate mtimes — and the drift only matters if a source
+    dir were long-lived enough for FileStreamSource's ``maxFileAge``
+    (default 7 days) bookkeeping to interact with future stamps.
+    Harness landings are hundreds of files at most (~minutes of
+    drift); a production long-lived ingest should land files with
+    real arrival times and rely on event-time watermarks instead."""
     import time
 
     newest = 0.0

@@ -187,10 +187,15 @@ def test_stream_bug_versions_split_and_pin_restore(spark, sf_dir):
     assert set(split) >= {
         "restore", "discover", "append", "rebuild_write", "swap",
     }
-    # rebuild_write is the designed dominant phase (>=50% of the
-    # in-batch wall) — if that flips, the diagnosis artifact lies
-    phases = [v for k, v in split.items() if k != "n_batches"]
-    assert split["rebuild_write"] >= 0.5 * sum(phases)
+    # rebuild_write is the designed dominant phase; but a wall-clock
+    # RATIO can flake on a loaded host (r14 ADVICE), so the default
+    # check is presence + positivity and the dominance assertion is
+    # gated to the bench lane (which runs on a quiet host and records
+    # the split as an artifact).
+    assert split["rebuild_write"] > 0
+    if os.environ.get("SPARK_GRAFT_STRICT_SPLIT"):
+        phases = [v for k, v in split.items() if k != "n_batches"]
+        assert split["rebuild_write"] >= 0.5 * sum(phases)
 
 
 def test_bpe_learn_caches_one_round_input(spark):

@@ -152,9 +152,18 @@ def main() -> None:
     lo, hi = str(min(factors)), str(max(factors))
     if lo != hi:
         for form in ("fixed", "scaled"):
-            r = out[hi][form]["wall_s"] / out[lo][form]["wall_s"]
-            out[f"{form}_exponent_x{lo}_x{hi}"] = round(
-                math.log(r) / math.log(int(hi) / int(lo)), 2
+            # wall_s is round(min_wall, 3): guard the 0.0 a tiny/fast
+            # corpus can produce so the expensive replication work
+            # isn't thrown away on a ZeroDivisionError (r14 ADVICE)
+            lo_wall = out[lo][form]["wall_s"]
+            out[f"{form}_exponent_x{lo}_x{hi}"] = (
+                round(
+                    math.log(out[hi][form]["wall_s"] / lo_wall)
+                    / math.log(int(hi) / int(lo)),
+                    2,
+                )
+                if lo_wall > 0
+                else None
             )
     print(json.dumps(out))
 
