@@ -61,6 +61,7 @@ _loaded = False
 # list, exactly), topped up to 50 with the 15 oldest r11 greens in
 # ledger order.
 _PRIORITY = (
+    "bpe_encode",
     "triangle_count_scaled",
     "stream_bug_versions",
     "full_backfill_resume",

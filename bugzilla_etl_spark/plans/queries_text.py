@@ -844,3 +844,140 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.bpe_learn(_token_vocab(docs, drop_empty=True),
                        rounds=_BPE_ROUNDS)
+
+
+@register(
+    "bpe_encode",
+    oracle=f"""
+    WITH v AS (
+        SELECT term, count(*) AS f
+        FROM (SELECT unnest({DUCK_TOKENS}) AS term FROM documents)
+        WHERE term <> '' GROUP BY term
+    ),
+    rep0 AS (
+        SELECT term, f,
+               list_transform(range(1, len(term) + 1),
+                              i -> term[i]) AS l
+        FROM v
+    ){"".join(_bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))},
+    sym_ids AS (
+        SELECT sym, row_number() OVER (ORDER BY sym) AS tok_id
+        FROM (SELECT DISTINCT unnest(l) AS sym FROM rep{_BPE_ROUNDS})
+    ),
+    term_ids AS (
+        SELECT tp.term, list(si.tok_id ORDER BY tp.pos) AS ids
+        FROM (SELECT term, unnest(l) AS sym,
+                     unnest(range(1, len(l) + 1)) AS pos
+              FROM rep{_BPE_ROUNDS}) tp
+        JOIN sym_ids si ON si.sym = tp.sym
+        GROUP BY tp.term
+    ),
+    dt AS (
+        SELECT doc_id,
+               coalesce(list_filter({DUCK_TOKENS}, t -> t <> ''),
+                        []) AS tk
+        FROM documents
+    ),
+    enc AS (
+        SELECT dp.doc_id,
+               CAST(sum(len(ti.ids)) AS BIGINT) AS n_tokens,
+               string_agg(array_to_string(ti.ids, ' '), ' '
+                          ORDER BY dp.pos) AS token_ids
+        FROM (SELECT doc_id, unnest(tk) AS term,
+                     unnest(range(1, len(tk) + 1)) AS pos
+              FROM dt) dp
+        JOIN term_ids ti ON ti.term = dp.term
+        GROUP BY dp.doc_id
+    )
+    SELECT dt.doc_id,
+           CAST(len(dt.tk) AS BIGINT) AS n_terms,
+           CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(e.token_ids, '') AS token_ids
+    FROM dt LEFT JOIN enc e USING (doc_id)
+    """,
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-grain tokenization with the learned BPE merges — the
+    production step a training pipeline actually runs after #183's
+    training loop: every document encoded to token IDS with the
+    learned tokenizer (token_count/seq_packing-style consumers then
+    operate on real ids, not whitespace counts).  Output per doc:
+    term count, total token count, and the id sequence
+    (space-joined; deterministic ids = rank of the symbol string).
+
+    Scale shape — the word-cache trick every production tokenizer
+    uses, expressed relationally: per-TERM encode cost is paid once
+    at VOCAB grain (bpe_learn's output already carries each term's
+    final symbol sequence; symbol->id is a vocab-grain broadcast
+    join), then the whole term->ids mapping folds into a ONE-ROW map
+    literal that broadcasts to the corpus pass.  The corpus itself is
+    ENCODED MAP-ONLY: one crossJoin with the 1-row map (the
+    documented bounded-broadcast exception) + element_at lookups
+    inside whole-stage codegen — zero corpus shuffles, no Python.
+    At 100 TB with a vocab too large to broadcast (rare: even a
+    billion-token web corpus has ~1e7-1e8 distinct lowercased terms,
+    a few GB of map), drop the fold and broadcast hint and the same
+    plan becomes a token-grain shuffle hash join on term — still one
+    corpus shuffle, documented fallback.
+    reference scope: training-data pipeline extension (pairs with
+    #93/#183; r14 verdict task 8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    learned = T.bpe_learn(_token_vocab(docs, drop_empty=True),
+                          rounds=_BPE_ROUNDS)
+    syms = (
+        learned.select(F.explode(F.split("bpe", " ")).alias("sym"))
+        .distinct()
+    )
+    # vocab-grain global rank: the symbol table is far smaller than
+    # the vocab (merges only add ``rounds`` multi-char symbols), so
+    # the single-partition window is a bounded-model sort
+    sym_ids = syms.withColumn(
+        "tok_id", F.row_number().over(Window.orderBy("sym"))
+    )
+    term_ids = (
+        learned.select(
+            "term",
+            F.posexplode(F.split("bpe", " ")).alias("pos", "sym"),
+        )
+        .join(F.broadcast(sym_ids), "sym")
+        .groupBy("term")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tok_id"))
+            ).alias("ps")
+        )
+        .select(
+            "term",
+            F.expr("transform(ps, s -> s.tok_id)").alias("ids"),
+        )
+    )
+    # fold the whole tokenizer into ONE row (term -> ids map); on an
+    # empty corpus collect_list yields [] and the map is {} — every
+    # doc then encodes to the empty sequence, matching the oracle
+    tok_map = term_ids.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "ids"))
+        ).alias("_m")
+    )
+    toks = F.coalesce(
+        F.filter(T.tokens("text"), lambda t: t != F.lit("")),
+        F.array().cast("array<string>"),
+    )
+    enc = F.flatten(F.expr("transform(_tk, t -> element_at(_m, t))"))
+    return (
+        docs.select("doc_id", toks.alias("_tk"))
+        .crossJoin(F.broadcast(tok_map))
+        .select(
+            "doc_id",
+            F.size("_tk").cast("long").alias("n_terms"),
+            F.size(enc).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.expr(
+                    "transform(flatten(transform(_tk,"
+                    " t -> element_at(_m, t))),"
+                    " x -> cast(x AS string))"
+                ),
+                " ",
+            ).alias("token_ids"),
+        )
+    )
