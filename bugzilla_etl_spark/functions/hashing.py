@@ -35,6 +35,18 @@ def hash64_seeded(col: Column | str, seed: int) -> Column:
     return hash64(F.concat(F.lit(f"{seed}:"), c.cast("string")))
 
 
+def hash128(col: Column | str) -> Column:
+    """FULL 128-bit portable hash: the complete md5 hex digest (32
+    lowercase hex chars — fixed-width, engine-identical).  The
+    escape hatch for key spaces past ~1e9 distinct values where the
+    60-bit truncation's birthday collisions start fabricating false
+    duplicates (the spans-family boundary documented at
+    exact_substring_spans); still JVM codegen, still 32 bytes on the
+    wire regardless of input length."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("string"))
+
+
 # DuckDB SQL template mirroring hash64(); .format(x="<expr>")
 DUCKDB_HASH64 = "(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15))::UBIGINT::BIGINT)"
 
@@ -44,3 +56,8 @@ def duckdb_hash64(expr: str, seed: int | None = None) -> str:
     if seed is not None:
         expr = f"('{seed}:' || CAST({expr} AS VARCHAR))"
     return DUCKDB_HASH64.format(x=expr)
+
+
+def duckdb_hash128(expr: str) -> str:
+    """Render the DuckDB-side equivalent of hash128()."""
+    return f"md5(CAST({expr} AS VARCHAR))"

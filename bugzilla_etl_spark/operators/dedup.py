@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from bugzilla_etl_spark.functions.hashing import hash64
+from bugzilla_etl_spark.functions.hashing import hash64, hash128
 from bugzilla_etl_spark.operators.text import shingles, tokens
 
 N_MINHASH = 16
@@ -971,6 +971,7 @@ def exact_substring_spans(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_bits: int = 60,
 ) -> DataFrame:
     """Exact duplicated-substring span detection (the ExactSubstr
     dedup of Lee et al. 2022, "Deduplicating Training Data Makes
@@ -992,10 +993,11 @@ def exact_substring_spans(
          shuffle, positions ride along for free;
       2. duplicate detection: groupBy on the 60-bit gram hash with a
          count >= 2 HAVING — map-side combinable, the ONLY
-         corpus-grain shuffle, carrying 8-byte keys (the hash, not
-         the k*word-length gram text; hash collisions make identical
-         false "duplicates" on both engines — at >= 1e9 distinct
-         grams switch to the full md5 as dedup_exact documents);
+         corpus-grain shuffle, carrying fixed-width keys (the hash,
+         not the k*word-length gram text; hash collisions make
+         identical false "duplicates" on both engines — at >= 1e9
+         distinct grams pass ``hash_bits=128`` for the full md5,
+         32 bytes on the wire instead of 8, collisions gone);
       3. occurrence recovery: shuffle hash join of positions against
          the duplicated-hash set on gh — an inverted-index semi-join
          (bloom-prunable at 100 TB; Spark's runtime bloom join
@@ -1012,7 +1014,9 @@ def exact_substring_spans(
     — one row per maximal span; documents without duplicated grams
     emit nothing.
     """
-    occ = gram_positions(docs, k=k, text_col=text_col, id_col=id_col)
+    occ = gram_positions(
+        docs, k=k, text_col=text_col, id_col=id_col, hash_bits=hash_bits
+    )
     dup = (
         occ.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1028,11 +1032,18 @@ def gram_positions(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_bits: int = 60,
 ) -> DataFrame:
     """Positional k-gram stream (doc_id, pos, gh): map-only explode
     of adjacent k-gram START POSITIONS, each gram then built with
     slice + array_join + md5 — ordinary codegen expressions, NO
-    higher-order functions.  The obvious alternative (ngrams()'s
+    higher-order functions.  ``hash_bits`` picks the gram-hash
+    width: 60 (default — 8-byte BIGINT shuffle keys, birthday
+    collisions negligible below ~1e9 distinct grams) or 128 (the
+    full md5 hex — fixed 32-byte keys, collision-free; the setting
+    for >= 1e9 distinct grams).  Either way the shuffle carries the
+    HASH, never the k*word-length gram text, and the schema is the
+    same (doc_id, pos, gh) three columns.  The obvious alternative (ngrams()'s
     zip_with chain, then posexplode) runs k-1 stacked lambda levels
     on Catalyst's INTERPRETED HOF path — measured 1.1 s vs 0.3 s
     for the whole sf0.1 gram stream, the same ~x4 the ivf_assign
@@ -1043,6 +1054,9 @@ def gram_positions(
     Null text and docs shorter than k emit nothing (the WHEN guard
     also keeps Spark's descending-sequence surprise out: sequence(0,
     size-k) with size < k would count DOWN, not return empty)."""
+    if hash_bits not in (60, 128):
+        raise ValueError(f"hash_bits must be 60 or 128, got {hash_bits}")
+    h = hash64 if hash_bits == 60 else hash128
     tok = tokens(F.col(text_col))
     base = docs.select(F.col(id_col).alias("doc_id"), tok.alias("tk"))
     positions = F.when(
@@ -1054,7 +1068,7 @@ def gram_positions(
     ).select(
         "doc_id",
         "pos",
-        hash64(
+        h(
             F.array_join(F.slice("tk", F.col("pos") + 1, k), " ")
         ).alias("gh"),
     )
@@ -1105,6 +1119,7 @@ def write_gram_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "overwrite",
+    hash_bits: int = 60,
 ) -> str:
     """Persist the corpus's DISTINCT k-gram hash index as a REAL
     bucketed table (the #163 bucketBy pattern) — the 100 TB form of
@@ -1125,7 +1140,7 @@ def write_gram_index(
     (per-invocation unique; the in-memory catalog entry dies with
     the session, the dir with the tempdir registry)."""
     idx = gram_positions(
-        docs, k=k, text_col=text_col, id_col=id_col
+        docs, k=k, text_col=text_col, id_col=id_col, hash_bits=hash_bits
     ).select("gh").distinct()
     (
         idx.repartition(buckets, F.col("gh"))  # one file per bucket
@@ -1144,6 +1159,7 @@ def probe_gram_index(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_bits: int = 60,
 ) -> DataFrame:
     """Per-batch ExactSubstr probe against a persisted gram index:
     the incoming batch's positional grams LEFT SEMI join the index
@@ -1157,7 +1173,9 @@ def probe_gram_index(
     Semi join ⇒ exact under appended-duplicate hashes in the index.
     Returns (doc_id, pos) duplicated-gram hits for
     ``spans_from_hits``."""
-    grams = gram_positions(batch, k=k, text_col=text_col, id_col=id_col)
+    grams = gram_positions(
+        batch, k=k, text_col=text_col, id_col=id_col, hash_bits=hash_bits
+    )
     return grams.join(
         index.hint("merge"), "gh", "left_semi"
     ).select("doc_id", "pos")
@@ -1168,6 +1186,7 @@ def apply_span_removal(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_bits: int = 60,
 ) -> DataFrame:
     """Apply ExactSubstr span removal: drop every token covered by a
     duplicated span (exact_substring_spans' removal list — ALL
@@ -1185,7 +1204,10 @@ def apply_span_removal(
     Output: (doc_id, n_tokens, removed_tokens, kept_text).
     """
     spans = (
-        exact_substring_spans(docs, k=k, text_col=text_col, id_col=id_col)
+        exact_substring_spans(
+            docs, k=k, text_col=text_col, id_col=id_col,
+            hash_bits=hash_bits,
+        )
         .groupBy("doc_id")
         .agg(
             F.collect_list(

@@ -13,7 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bugzilla_etl_spark.functions.hashing import duckdb_hash64
+from bugzilla_etl_spark.functions.hashing import (
+    duckdb_hash64,
+    duckdb_hash128,
+)
 from bugzilla_etl_spark.operators import dedup as D
 from bugzilla_etl_spark.operators import similarity as SIM
 from bugzilla_etl_spark.operators import text as T
@@ -437,7 +440,6 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUCK_SPAN_K = 8
-_H_GRAM = duckdb_hash64("s.g")
 
 # Shared oracle fragments for the ExactSubstr span family — the
 # gram census (t/occ), the island merge (isl), and the final span
@@ -447,9 +449,20 @@ _H_GRAM = duckdb_hash64("s.g")
 # cannot drift between the batch, apply, and streaming contracts.
 # Only the hits derivation (what counts as a duplicated gram)
 # differs per entry.
-DUCK_SPAN_OCC = f"""t AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
+
+
+def duck_span_occ(hash_bits: int = 60) -> str:
+    """The gram-census fragment at either gram-hash width — the
+    oracle-side mirror of operators.dedup.gram_positions'
+    ``hash_bits`` (60 = 8-byte truncated md5, 128 = full md5 hex;
+    r14 verdict task 5).  Registered entries use 60; the 128-bit
+    form is oracle-checked by tests at both widths."""
+    h_gram = (
+        duckdb_hash64("s.g") if hash_bits == 60 else duckdb_hash128("s.g")
+    )
+    return f"""t AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
     occ AS (
-        SELECT doc_id, s.pos AS pos, {_H_GRAM} AS gh FROM (
+        SELECT doc_id, s.pos AS pos, {h_gram} AS gh FROM (
             SELECT doc_id,
                    unnest(list_transform(
                        range(1, len(tk) - {_DUCK_SPAN_K} + 2),
@@ -459,6 +472,9 @@ DUCK_SPAN_OCC = f"""t AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
                                  'string_agg', ' ')}})) AS s
             FROM t WHERE len(tk) >= {_DUCK_SPAN_K})
     )"""
+
+
+DUCK_SPAN_OCC = duck_span_occ(60)
 DUCK_SPAN_ISL = f"""isl AS (
         SELECT doc_id, pos,
                sum(CASE WHEN pos - prev <= {_DUCK_SPAN_K}
@@ -477,19 +493,23 @@ DUCK_SPAN_SELECT = f"""SELECT doc_id,
     FROM isl GROUP BY doc_id, island"""
 
 
-@register(
-    "dedup_spans",
-    oracle=f"""
-    WITH {DUCK_SPAN_OCC},
+def dedup_spans_oracle(hash_bits: int = 60) -> str:
+    """#182's oracle at either gram-hash width (r14 verdict task 5)."""
+    return f"""
+    WITH {duck_span_occ(hash_bits)},
     dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
     hits AS (
         SELECT doc_id, pos FROM occ WHERE gh IN (SELECT gh FROM dup)
     ),
     {DUCK_SPAN_ISL}
     {DUCK_SPAN_SELECT}
-    """,
-)
-def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+@register("dedup_spans", oracle=dedup_spans_oracle())
+def dedup_spans(
+    spark: SparkSession, sf_dir: str, hash_bits: int = 60
+) -> DataFrame:
     """Exact duplicated-substring spans (ExactSubstr dedup, Lee et
     al. 2022): every maximal token range whose 8-gram windows all
     occur >= 2 times in the corpus — the removal list of
@@ -500,16 +520,21 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands merge; see operators.dedup.
     exact_substring_spans for the corpus-scale plan shape (one
     map-side-combinable gram-hash shuffle, one bloom-prunable
-    semi-join, doc-bounded windows).
+    semi-join, doc-bounded windows).  ``hash_bits``: 60 (registered
+    default — 8-byte shuffle keys) or 128 (full md5 — the >= 1e9
+    distinct-grams setting; oracle-checked at both widths via
+    dedup_spans_oracle, the #186 index_mode precedent).
     reference scope: training-data pipeline extension."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.exact_substring_spans(docs, k=_DUCK_SPAN_K)
+    return D.exact_substring_spans(
+        docs, k=_DUCK_SPAN_K, hash_bits=hash_bits
+    )
 
 
-@register(
-    "dedup_spans_apply",
-    oracle=f"""
-    WITH {DUCK_SPAN_OCC},
+def dedup_spans_apply_oracle(hash_bits: int = 60) -> str:
+    """#185's oracle at either gram-hash width (r14 verdict task 5)."""
+    return f"""
+    WITH {duck_span_occ(hash_bits)},
     dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
     hits AS (
         SELECT doc_id, pos FROM occ WHERE gh IN (SELECT gh FROM dup)
@@ -542,9 +567,13 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                         x -> x IS NOT NULL), ' '), '')
            END AS kept_text
     FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
-    """,
-)
-def dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+@register("dedup_spans_apply", oracle=dedup_spans_apply_oracle())
+def dedup_spans_apply(
+    spark: SparkSession, sf_dir: str, hash_bits: int = 60
+) -> DataFrame:
     """ExactSubstr span REMOVAL applied (#182's removal list executed):
     every token covered by a duplicated span drops — all occurrences,
     the Lee et al. 2022 policy — and the cleaned text is rebuilt;
@@ -552,7 +581,10 @@ def dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     The spans aggregate is tiny (span-bearing docs only) so the
     join back is AQE-broadcast; the rebuild is codegen column algebra
     (position-indexed token filter, O(spans) probe per token).  See
-    operators.dedup.apply_span_removal.
+    operators.dedup.apply_span_removal.  ``hash_bits``: 60 or 128,
+    as #182 (oracle-checked at both via dedup_spans_apply_oracle).
     reference scope: training-data pipeline extension."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.apply_span_removal(docs, k=_DUCK_SPAN_K)
+    return D.apply_span_removal(
+        docs, k=_DUCK_SPAN_K, hash_bits=hash_bits
+    )

@@ -2231,15 +2231,15 @@ def stream_attribution_outer(
 
 from bugzilla_etl_spark.plans.queries_dedup import (  # noqa: E402
     DUCK_SPAN_ISL,
-    DUCK_SPAN_OCC,
     DUCK_SPAN_SELECT,
+    duck_span_occ,
 )
 
 
-@register(
-    "stream_dedup_spans",
-    oracle=f"""
-    WITH {DUCK_SPAN_OCC},
+def stream_dedup_spans_oracle(hash_bits: int = 60) -> str:
+    """#186's oracle at either gram-hash width (r14 verdict task 5)."""
+    return f"""
+    WITH {duck_span_occ(hash_bits)},
     refg AS (SELECT DISTINCT gh FROM occ WHERE doc_id % 2 = 0),
     hits AS (
         SELECT doc_id, pos FROM occ
@@ -2247,10 +2247,15 @@ from bugzilla_etl_spark.plans.queries_dedup import (  # noqa: E402
     ),
     {DUCK_SPAN_ISL}
     {DUCK_SPAN_SELECT}
-    """,
-)
+    """
+
+
+@register("stream_dedup_spans", oracle=stream_dedup_spans_oracle())
 def stream_dedup_spans(
-    spark: SparkSession, sf_dir: str, index_mode: str = "memory"
+    spark: SparkSession,
+    sf_dir: str,
+    index_mode: str = "memory",
+    hash_bits: int = 60,
 ) -> DataFrame:
     """ExactSubstr span detection at INGEST time — the spans family's
     ingest twin (stream_neardup_ingest is whole-doc near-dup's,
@@ -2283,7 +2288,12 @@ def stream_dedup_spans(
       tests/test_round14.py), only the micro-batch-sized gram
       stream shuffles.  Incremental corpus growth appends bucket
       files (write_gram_index mode="append"; probes stay exact via
-      the semi join)."""
+      the semi join).
+
+    ``hash_bits``: 60 (registered default) or 128 (full md5, the
+    >= 1e9 distinct-grams setting) — threaded through index build
+    AND probe; oracle-checked at both widths via
+    stream_dedup_spans_oracle (r14 verdict task 5)."""
     import shutil
     import uuid
 
@@ -2317,21 +2327,25 @@ def stream_dedup_spans(
     if index_mode == "bucketed":
         idx_name = f"bes_gramidx_{uuid.uuid4().hex[:8]}"
         write_gram_index(
-            static, idx_name, tracked_mkdtemp(prefix="bes_sdsi_")
+            static, idx_name, tracked_mkdtemp(prefix="bes_sdsi_"),
+            hash_bits=hash_bits,
         )
         ref = spark.table(idx_name)
     else:
-        ref = gram_positions(static).select("gh").distinct().persist()
+        ref = (
+            gram_positions(static, hash_bits=hash_bits)
+            .select("gh").distinct().persist()
+        )
         ref.count()  # materialize once; both micro-batches reuse it
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if index_mode == "bucketed":
-            hits = probe_gram_index(ref, batch_df)
+            hits = probe_gram_index(ref, batch_df, hash_bits=hash_bits)
         else:
             hits = (
-                gram_positions(batch_df)
+                gram_positions(batch_df, hash_bits=hash_bits)
                 .join(ref, "gh")
                 .select("doc_id", "pos")
             )

@@ -91,3 +91,96 @@ def test_bpe_encode_corpus_pass_is_broadcast_map(spark, sf_dir):
         if "documents.parquet" in seg and "ReadSchema" in seg
     )
     assert "lang" not in scan, scan
+
+
+# --- spans-family hash_bits={60,128} (r14 verdict task 5) ---------
+
+
+@pytest.mark.parametrize("hash_bits", [60, 128])
+def test_dedup_spans_both_hash_widths(spark, duck, sf_dir, hash_bits):
+    """#182 oracle-green at BOTH gram-hash widths: 60-bit truncated
+    md5 (8-byte shuffle keys; collisions fabricate identical dups on
+    both engines) and the full 128-bit md5 (collision-free past 1e9
+    distinct grams)."""
+    from bugzilla_etl_spark.plans.queries_dedup import (
+        dedup_spans,
+        dedup_spans_oracle,
+    )
+
+    sdf = dedup_spans(spark, sf_dir, hash_bits=hash_bits)
+    assert_same(sdf, duck, dedup_spans_oracle(hash_bits))
+
+
+@pytest.mark.parametrize("hash_bits", [60, 128])
+def test_dedup_spans_apply_both_hash_widths(spark, duck, sf_dir, hash_bits):
+    from bugzilla_etl_spark.plans.queries_dedup import (
+        dedup_spans_apply,
+        dedup_spans_apply_oracle,
+    )
+
+    sdf = dedup_spans_apply(spark, sf_dir, hash_bits=hash_bits)
+    assert_same(sdf, duck, dedup_spans_apply_oracle(hash_bits))
+
+
+@pytest.mark.parametrize("hash_bits", [60, 128])
+def test_stream_dedup_spans_both_hash_widths(
+    spark, duck, sf_dir, hash_bits
+):
+    """#186 at both widths, through the bucketed-index path so the
+    128-bit setting exercises index build AND co-located probe."""
+    from bugzilla_etl_spark.plans.queries_history import (
+        stream_dedup_spans,
+        stream_dedup_spans_oracle,
+    )
+
+    sdf = stream_dedup_spans(
+        spark, sf_dir, index_mode="bucketed", hash_bits=hash_bits
+    )
+    assert_same(sdf, duck, stream_dedup_spans_oracle(hash_bits))
+
+
+def test_gram_stream_128_shuffles_fixed_width_hash_not_gram_text(
+    spark, sf_dir
+):
+    """Plan check (r14 verdict task 5's 'still shuffles fixed-width
+    keys'): at hash_bits=128 the gram stream's schema is still
+    exactly (doc_id, pos, gh) with gh the FIXED 32-hex md5 — the
+    duplicate-detection exchange hash-partitions on gh and the plan
+    references no gram-text column; the k*word-length gram never
+    crosses the wire at either width."""
+    import re
+
+    from bugzilla_etl_spark.operators.dedup import (
+        exact_substring_spans,
+        gram_positions,
+    )
+    from bugzilla_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = gram_positions(docs, hash_bits=128)
+    assert occ.columns == ["doc_id", "pos", "gh"]
+    assert dict(occ.dtypes)["gh"] == "string"
+    lens = occ.select(F.length("gh").alias("n")).agg(
+        F.min("n"), F.max("n")
+    ).first()
+    assert (lens[0], lens[1]) == (32, 32)  # fixed-width md5 hex
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        exact_substring_spans(docs, hash_bits=128).explain("formatted")
+    plan = buf.getvalue()
+    # every corpus-grain exchange partitions on the hash (gh) or the
+    # doc-bounded window key (doc_id) — never a gram-text expression
+    parts = re.findall(r"hashpartitioning\(([a-zA-Z_]+)", plan)
+    assert parts, plan
+    assert set(parts) <= {"gh", "doc_id"}, plan
+
+
+def test_gram_positions_rejects_unknown_width():
+    from bugzilla_etl_spark.operators.dedup import gram_positions
+
+    with pytest.raises(ValueError, match="hash_bits"):
+        gram_positions(None, hash_bits=64)
