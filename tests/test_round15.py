@@ -184,3 +184,83 @@ def test_gram_positions_rejects_unknown_width():
 
     with pytest.raises(ValueError, match="hash_bits"):
         gram_positions(None, hash_bits=64)
+
+
+# --- bench-alert host-noise calibration (r14 verdict task 2) ------
+
+
+def _ba():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import bench_alert as BA
+
+    return BA
+
+
+def test_host_factor_median_and_clamps():
+    BA = _ba()
+    # quiet host: ratios ~1.0 -> factor clamps at the 1.0 floor
+    quiet = {q: ref for q, ref in BA.CALIBRATION.items()}
+    hf, detail = BA.host_factor(quiet)
+    assert hf == 1.0 and detail["median_raw"] == 1.0
+    # fast host must NOT tighten (floor 1.0: can't hide regressions)
+    fast = {q: ref * 0.5 for q, ref in BA.CALIBRATION.items()}
+    assert BA.host_factor(fast)[0] == 1.0
+    # 1.5x ambient tax -> factor 1.5
+    slow = {q: ref * 1.5 for q, ref in BA.CALIBRATION.items()}
+    hf, detail = BA.host_factor(slow)
+    assert hf == pytest.approx(1.5) and detail["median_raw"] == 1.5
+    # pathological: ceiling at 3.0
+    dead = {q: ref * 10 for q, ref in BA.CALIBRATION.items()}
+    assert BA.host_factor(dead)[0] == 3.0
+    # fewer than 3 members -> uncalibrated, labeled
+    hf, detail = BA.host_factor({"quality_repetition": 0.83})
+    assert hf == 1.0 and "note" in detail
+
+
+def test_calibrated_gate_forgives_ambient_tax_not_regressions(tmp_path):
+    """A 1.5x-slow host pushing a pinned query past 2x raw must NOT
+    alert once calibrated (the r14 driver-lane scenario); the same
+    measurement on a quiet host (calibration queries at reference)
+    MUST still alert — ambient tax forgiven, real regressions not."""
+    import json
+
+    BA = _ba()
+    pin = BA.parse_pins()["tpch_q1"]
+    taxed = {q: ref * 1.5 for q, ref in BA.CALIBRATION.items()}
+    taxed["tpch_q1"] = pin * 2.2  # >2x raw, ~1.47x calibrated
+    p = tmp_path / "BENCH_r98.json"
+    p.write_text(json.dumps({"queries": taxed}))
+    report = BA.check(str(p), None)
+    assert report["host_factor"] == pytest.approx(1.5)
+    assert not any(
+        a["query"] == "tpch_q1" for a in report["alerts"]
+    ), report["alerts"]
+
+    quiet = {q: ref for q, ref in BA.CALIBRATION.items()}
+    quiet["tpch_q1"] = pin * 2.2  # same raw wall, quiet host
+    p2 = tmp_path / "BENCH_r99.json"
+    p2.write_text(json.dumps({"queries": quiet}))
+    report2 = BA.check(str(p2), None)
+    assert report2["host_factor"] == 1.0
+    assert any(a["query"] == "tpch_q1" for a in report2["alerts"])
+
+
+def test_calibration_members_are_pinned_and_benchmarked():
+    """Every calibration query must be in BASELINE.md's pin table AND
+    in the newest committed bench lane — a renamed/dropped member
+    would silently shrink the median's sample."""
+    import json
+    from pathlib import Path
+
+    BA = _ba()
+    pins = BA.parse_pins()
+    repo = Path(__file__).resolve().parent.parent
+    bench = json.loads(
+        max(repo.glob("BENCH_LOCAL_r*.json")).read_text()
+    )["queries"]
+    for q in BA.CALIBRATION:
+        assert q in pins, q
+        assert q in bench, q
