@@ -999,7 +999,12 @@ def stream_sessionize_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("stream_bug_versions", oracle=_FULL_ORACLE)
-def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_bug_versions(
+    spark: SparkSession,
+    sf_dir: str,
+    fine_split: bool = False,
+    n_buckets: int = 4,
+) -> DataFrame:
     """The reference's incremental ETL loop as a REAL streaming run:
     events arrive in three micro-batches; each batch re-builds every
     touched entity's COMPLETE document set from the accumulated
@@ -1081,18 +1086,30 @@ def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src + "/*")
     )
     # Pin shuffle partitions to the store's bucket count for the
-    # query's lifetime (the r13 stream_attribution method, applied
-    # here after the r14 progress-split localized the cost):
-    # rebuild_write is >80% of the marginal wall and each micro-
-    # batch's rebuild runs ~6 shuffle stages over a batch-sized
-    # slice — at 32 session partitions those stages pay 32 tasks of
-    # scheduling for partitions AQE then mostly coalesces anyway.
-    # Measured min-of-2 at sf0.1: 20.0 s -> 14.9 s (rebuild_write
-    # 12.7 -> 9.2 s); pin 8 and n_buckets=8 were within noise of
-    # pin 16, so the bucket count (the store contract) stays 16 and
-    # the pin ties to it.
+    # query's lifetime (the r13 stream_attribution method): each
+    # micro-batch's rebuild runs ~6 shuffle stages over a batch-
+    # sized slice — at 32 session partitions those stages pay 32
+    # tasks of scheduling for partitions AQE then mostly coalesces.
+    #
+    # r15 fine-split decomposition of rebuild_write (summed over the
+    # 3 batches, sf0.1): build_fn pipeline 12.1 s (65%), final write
+    # 2.9 s (16%), touched-archive read 2.3 s (12%), prev-store read
+    # 1.3 s (7%) — the r14 hypothesis that untouched entities riding
+    # the prev-union rewrite were the lever is REFUTED (that path is
+    # 7%); the marginal wall is the DESIGNED incremental==full
+    # rebuild compute (every touched bug's complete history through
+    # the identical batch pipeline), the documented floor.  Bucket
+    # sweep, de-biased min-of-2 each: n_buckets 4/8/16/64 -> wall
+    # 14.3/16.1/17.4/25.3 s (rebuild_write 8.1/9.0/10.5/16.4).  The
+    # harness's batches touch ~ALL 10k entities, so bucket pruning
+    # buys nothing here and per-task overhead scales with the count
+    # — the default moves to the measured optimum (4).  At 100 TB
+    # the knob inverts: billions of entities with batch-touched
+    # fraction << 1 want thousands of buckets so untouched buckets
+    # are never read, written, or listed; size n_buckets so a
+    # batch's touched-bucket histories fit the executor fleet.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_buckets))
     try:
         q = stream_full_rebuild(
             stream,
@@ -1100,6 +1117,8 @@ def stream_bug_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs_dir=f"{work}/docs",
             checkpoint_dir=f"{work}/ckpt",
             build_fn=build_full_docs,
+            fine_split=fine_split,
+            n_buckets=n_buckets,
         ).start()
         q.awaitTermination()
     finally:

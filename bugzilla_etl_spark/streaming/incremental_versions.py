@@ -74,10 +74,21 @@ def stream_full_rebuild(
     entity: str = "user_id",
     event_id: str = "event_id",
     n_buckets: int = 16,
+    fine_split: bool = False,
 ):
     """foreachBatch writer: touched-entity full rebuild through
     ``build_fn`` (events subset -> document rows; must include the
-    entity column) into a bucketed parquet document store."""
+    entity column) into a bucketed parquet document store.
+
+    ``fine_split=True`` is the diagnosis mode (r14 verdict task 3):
+    it persists and counts each rebuild_write sub-stage (touched
+    archive read, build_fn pipeline, prev-store read, final write)
+    so the phase wall decomposes into ``fs_hist_read`` /
+    ``fs_build`` / ``fs_prev_read`` / ``fs_write`` entries in
+    LAST_SPLIT.  The extra materializations CHANGE the measured plan
+    (each stage loses pipelining into the next), so the sub-walls
+    are attribution evidence, not a performance mode — never enable
+    it in a bench lane's timed path."""
 
     _reset_split()
 
@@ -110,7 +121,21 @@ def stream_full_rebuild(
             .join(F.broadcast(touched), on=entity, how="left_semi")
             .drop("bucket")
         )
+        pinned = []
+        t = time.perf_counter()
+        if fine_split:
+            hist = hist.persist()
+            hist.count()
+            pinned.append(hist)
+            _add("fs_hist_read", time.perf_counter() - t)
+            t = time.perf_counter()
         docs = build_fn(hist).withColumn("bucket", bucket)
+        if fine_split:
+            docs = docs.persist()
+            docs.count()
+            pinned.append(docs)
+            _add("fs_build", time.perf_counter() - t)
+            t = time.perf_counter()
 
         existing = [
             k
@@ -123,11 +148,22 @@ def stream_full_rebuild(
                 .parquet(*[f"{docs_dir}/bucket={k}" for k in existing])
                 .join(F.broadcast(touched), on=entity, how="left_anti")
             )
+            if fine_split:
+                prev = prev.persist()
+                prev.count()
+                pinned.append(prev)
+                _add("fs_prev_read", time.perf_counter() - t)
+                t = time.perf_counter()
             docs = docs.unionByName(prev)
         tmp = f"{docs_dir}/.swap_{batch_id}"
         t = time.perf_counter()
         docs.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-        _add("rebuild_write", time.perf_counter() - t)
+        w = time.perf_counter() - t
+        _add("rebuild_write", w)
+        if fine_split:
+            _add("fs_write", w)
+            for frame in pinned:
+                frame.unpersist()
         t = time.perf_counter()
         swap_buckets(docs_dir, tmp, touched_b, batch_id)
         _add("swap", time.perf_counter() - t)
