@@ -53,94 +53,91 @@ _loaded = False
 # regardless of window position, and ROTATION.md ledgers each
 # query's newest driver row.
 #
-# r14-window composition (per the standing rotation policy):
-# the round's ONE never-driver-tested entry leads
-# (triangle_count_scaled, #187), then stream_bug_versions (behavior
-# touched this round: the lifetime shuffle-partition pin), then the
-# full 33-row r10-stale cohort (the round-13 verdict's rotate-next
-# list, exactly), topped up to 50 with the 15 oldest r11 greens in
-# ledger order.
+# r15-window composition (per the standing rotation policy):
+# the round's ONE never-driver-tested entry leads (bpe_encode,
+# #188), then the four behavior-touched entries (stream_bug_versions:
+# bucket-count default + pin moved to the measured optimum;
+# dedup_spans / dedup_spans_apply / stream_dedup_spans: the
+# hash_bits={60,128} gram-hash parameter threaded through), then the
+# full 31-row r11-stale cohort (the r14 verdict's rotate-next list,
+# exactly), topped up to 50 with the 14 oldest r12 greens in ledger
+# order.
 _PRIORITY = (
     "bpe_encode",
-    "triangle_count_scaled",
     "stream_bug_versions",
-    "full_backfill_resume",
-    "heavy_hitters_ngrams",
-    "hist_quantile",
-    "html_strip",
-    "key_skew_stats",
-    "lang_id",
-    "merge_order_union",
-    "mm_frame_sample",
-    "ngram_novelty",
-    "normalize_scrub",
-    "partition_prune_stats",
-    "previous_values",
-    "private_retract",
-    "private_screen",
-    "replicate_cycle",
-    "replicate_pending",
-    "sample_stratified",
-    "screen_mask",
-    "set_accumulate",
-    "snapshot_asof",
-    "snapshot_versions",
-    "state_rollforward",
-    "stream_previous_values",
-    "stream_sessionize",
-    "text_quality",
-    "tfidf_top_terms",
-    "time_rollup",
-    "token_count",
-    "topk_per_group",
-    "tpch_q1",
-    "tpch_q6",
-    "winnow_fingerprints",
-    "winnow_pairs",
-    "alias_compact",
-    "anomaly_mad",
-    "anomaly_mad_hist",
-    "bloom_decontam",
-    "bloom_join_prune",
-    "bucketed_join_zero_shuffle",
-    "bug_version_docs",
-    "bug_version_full",
-    "compact_store",
-    "cube_order_stats",
-    "dedup_jaccard_invindex",
-    "dedup_ngram_jaccard",
-    "doc_chunks",
-    "es_alias_cutover",
-    "es_file_extract",
-)
-# Rotated past position 50: every entry here has a GREEN r11, r12
-# or r13 driver row (the freshest in the ledger), is re-verified by
-# the local gate (tools/verify_local.py, driver-strict
-# canonicalizer) every round, and rotates back in r15+.
-_DEPRIORITY = (
+    "dedup_spans",
+    "dedup_spans_apply",
+    "stream_dedup_spans",
+    "events_funnel",
+    "events_sessionize_paned",
+    "hll_distinct",
+    "kmeans_embeddings",
+    "moving_average",
+    "moving_average_ranged",
+    "nested_docs",
+    "pagerank_trade",
+    "pivot_event_counts",
+    "private_subentity",
+    "profile_table",
+    "profile_table_hll",
+    "range_window_load",
+    "rollup_returns",
+    "semdedup",
+    "set_final",
+    "state_rollforward_paned",
+    "stratified_split",
+    "stream_neardup_ingest",
+    "tpch_q11",
+    "tpch_q14",
+    "tpch_q17",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "triangle_count",
+    "trunc_uncertain",
+    "zorder_layout",
     "activity_invert",
     "alias_analysis",
     "alias_minimize",
     "alias_resolve",
     "ann_ivf",
     "ann_ivf_nprobe",
-    "ann_ivf_pq",
     "ann_lsh_buckets",
     "ann_pq",
     "ann_topk",
     "attachment_versions",
     "bm25_topk",
+    "chunk_dedup_pack",
+    "comments_etl",
+    "curate_corpus",
+)
+# Rotated past position 50: every entry here has a GREEN r12, r13
+# or r14 driver row (the freshest in the ledger), is re-verified by
+# the local gate (tools/verify_local.py, driver-strict
+# canonicalizer) every round, and rotates back in r16+.
+_DEPRIORITY = (
+    "alias_compact",
+    "ann_ivf_pq",
+    "anomaly_mad",
+    "anomaly_mad_hist",
+    "bloom_decontam",
+    "bloom_join_prune",
     "bpe_apply",
     "bpe_pair_counts",
+    "bucketed_join_zero_shuffle",
+    "bug_version_docs",
+    "bug_version_full",
     "canonical_fields",
     "cc_fuzzy_match",
     "char_lm_perplexity",
-    "chunk_dedup_pack",
-    "comments_etl",
+    "compact_store",
     "compaction_plan",
     "cooccurrence_pmi",
     "count_min_freq",
-    "curate_corpus",
+    "cube_order_stats",
     "date_normalize",
     "decontam_neardup",
     "decontam_overlap",
@@ -148,15 +145,16 @@ _DEPRIORITY = (
     "dedup_components",
     "dedup_containment",
     "dedup_exact",
+    "dedup_jaccard_invindex",
     "dedup_latest",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "dedup_spans",
-    "dedup_spans_apply",
     "dependency_edges",
     "diff_apply",
     "diff_rollback",
+    "doc_chunks",
     "doc_fingerprint",
     "docs_json_roundtrip",
     "dsir_weights",
@@ -164,90 +162,94 @@ _DEPRIORITY = (
     "embedding_neardup",
     "embedding_outliers",
     "embedding_pca",
+    "es_alias_cutover",
     "es_docs",
-    "events_funnel",
+    "es_file_extract",
     "events_sessionize",
     "events_sessionize_native",
-    "events_sessionize_paned",
     "filter_funnel",
     "flag_fuzzy_match",
     "flag_parse",
     "flag_state_versions",
     "frequent_pairs",
     "full_backfill_clustered",
-    "hll_distinct",
+    "full_backfill_resume",
+    "heavy_hitters_ngrams",
+    "hist_quantile",
+    "html_strip",
     "incremental_touched",
     "interval_asof_join",
     "json_props_extract",
-    "kmeans_embeddings",
+    "key_skew_stats",
     "kmv_source_overlap",
     "kmv_source_overlap_sketch",
+    "lang_id",
+    "merge_order_union",
     "mix_weights",
     "mm_features",
+    "mm_frame_sample",
     "mm_resize",
-    "moving_average",
-    "moving_average_ranged",
-    "nested_docs",
+    "ngram_novelty",
+    "normalize_scrub",
     "orders_fulfillment",
-    "pagerank_trade",
+    "partition_prune_stats",
     "pii_scrub",
-    "pivot_event_counts",
+    "previous_values",
     "previous_values_paned",
-    "private_subentity",
-    "profile_table",
-    "profile_table_hll",
+    "private_retract",
+    "private_screen",
     "quality_repetition",
     "quota_sample",
-    "range_window_load",
+    "replicate_cycle",
+    "replicate_pending",
     "rolling_distinct_users",
-    "rollup_returns",
-    "semdedup",
+    "sample_stratified",
+    "screen_mask",
     "seq_packing",
-    "set_final",
+    "set_accumulate",
     "set_final_salted",
     "shuffle_shards",
     "skyline_orders",
-    "state_rollforward_paned",
-    "stratified_split",
+    "snapshot_asof",
+    "snapshot_versions",
+    "state_rollforward",
     "stream_attribution",
     "stream_attribution_outer",
     "stream_decontam",
     "stream_dedup",
-    "stream_dedup_spans",
     "stream_doc_chunks",
     "stream_heavy_hitters",
     "stream_heavy_hitters_capped",
     "stream_hll",
-    "stream_neardup_ingest",
+    "stream_previous_values",
     "stream_previous_values_ooo",
     "stream_rollup",
+    "stream_sessionize",
     "stream_sessionize_ooo",
     "stream_snapshot",
+    "text_quality",
+    "tfidf_top_terms",
+    "time_rollup",
+    "token_count",
+    "topk_per_group",
+    "tpch_q1",
     "tpch_q10",
-    "tpch_q11",
     "tpch_q12",
     "tpch_q13",
-    "tpch_q14",
     "tpch_q15",
     "tpch_q16",
-    "tpch_q17",
     "tpch_q18",
     "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
     "tpch_q21",
     "tpch_q22",
     "tpch_q3",
-    "tpch_q4",
     "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "triangle_count",
-    "trunc_uncertain",
+    "tpch_q6",
+    "triangle_count_scaled",
     "unpivot_measures",
     "value_percentiles",
-    "zorder_layout",
+    "winnow_fingerprints",
+    "winnow_pairs",
 )
 
 
