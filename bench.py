@@ -189,6 +189,8 @@ HEADLINE = [
     "ann_ivf_pq",
     # round-14 additions (data-scaled triangle backbone)
     "triangle_count_scaled",
+    # round-15 additions (corpus tokenization with learned merges)
+    "bpe_encode",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into

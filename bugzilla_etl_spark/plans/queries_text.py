@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bugzilla_etl_spark.functions import hashing as H
 from bugzilla_etl_spark.functions.hashing import duckdb_hash64
 from bugzilla_etl_spark.operators import text as T
 from bugzilla_etl_spark.plans.catalog import register
@@ -861,7 +862,9 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v
     ){"".join(_bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))},
     sym_ids AS (
-        SELECT sym, row_number() OVER (ORDER BY sym) AS tok_id
+        SELECT sym, row_number()
+                   OVER (ORDER BY {duckdb_hash64("sym")} % 256, sym)
+                   AS tok_id
         FROM (SELECT DISTINCT unnest(l) AS sym FROM rep{_BPE_ROUNDS})
     ),
     term_ids AS (
@@ -903,7 +906,11 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned tokenizer (token_count/seq_packing-style consumers then
     operate on real ids, not whitespace counts).  Output per doc:
     term count, total token count, and the id sequence
-    (space-joined; deterministic ids = rank of the symbol string).
+    (space-joined; deterministic dense ids = the symbol's rank in
+    (portable-hash-bucket, symbol) order — a two-level rank so NO
+    global unpartitioned window exists even at a 1e8-symbol vocab:
+    within-bucket row_number is a partitioned window, bucket
+    offsets come from a 256-row bounded-model fold).
 
     Scale shape — the word-cache trick every production tokenizer
     uses, expressed relationally: per-TERM encode cost is paid once
@@ -928,11 +935,40 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         learned.select(F.explode(F.split("bpe", " ")).alias("sym"))
         .distinct()
     )
-    # vocab-grain global rank: the symbol table is far smaller than
-    # the vocab (merges only add ``rounds`` multi-char symbols), so
-    # the single-partition window is a bounded-model sort
-    sym_ids = syms.withColumn(
-        "tok_id", F.row_number().over(Window.orderBy("sym"))
+    # Deterministic dense ids WITHOUT a global unpartitioned window
+    # (the fleet ban: at 100 TB the symbol table is vocab-sized —
+    # 1e7-1e8 rows — and a global row_number funnels it through ONE
+    # task's sort).  Two-level rank, the paned-family decomposition:
+    # ids order by (hash-bucket, sym) — within-bucket row_number
+    # over a PARTITIONED window + per-bucket offsets from a <=256-row
+    # count table (a bounded-model fold, the kmeans-centroid
+    # precedent; exactly 256 buckets by construction, not
+    # data-dependent).  Both engines compute the identical order.
+    part = F.pmod(H.hash64(F.col("sym")), F.lit(256))
+    syms2 = syms.select("sym", part.alias("part"))
+    in_rank = F.row_number().over(
+        Window.partitionBy("part").orderBy("sym")
+    )
+    counts = {
+        r.part: r.c
+        for r in syms2.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for p in sorted(counts):
+        offsets.append((p, acc))
+        acc += counts[p]
+    off_df = spark.createDataFrame(
+        offsets or [], "part int, off long"
+    )
+    sym_ids = (
+        syms2.withColumn("in_rank", in_rank)
+        .join(F.broadcast(off_df), "part")
+        .select(
+            "sym",
+            (F.col("off") + F.col("in_rank")).cast("long").alias("tok_id"),
+        )
     )
     term_ids = (
         learned.select(
