@@ -107,6 +107,30 @@ TEXT_GRAM = [
     "frequent_pairs",
     "ngram_novelty",
     "tfidf_top_terms",
+    # r15: the corpus encode pass — vocab-grain symbol-id ranks and
+    # the one-row tokenizer map must stay exact as the vocab and the
+    # token stream grow a decade (the map fold is a collect_list
+    # whose order must not leak into the map lookup)
+    "bpe_encode",
+]
+
+# The remaining RANGE-frame / rolling-window / as-of entries (r14
+# verdict task 4): the hot-key-splittable and range-frame forms
+# exist FOR scale, so their correctness is witnessed at the 100x
+# point like the dedup and gram families — pane boundaries, RANGE
+# frames, and rolling-distinct state are exactly where 32-real-
+# partition data can diverge.  (previous_values_paned,
+# state_rollforward_paned, events_sessionize_paned,
+# moving_average_ranged, value_percentiles already sit in
+# STATE_HEAVY.)
+PANED_WINDOW = [
+    "range_window_load",
+    "rolling_distinct_users",
+    "moving_average",
+    "interval_asof_join",
+    "trunc_uncertain",
+    "events_sessionize_native",
+    "topk_per_group",
 ]
 
 FACTOR = 10
@@ -149,7 +173,9 @@ def main() -> None:
         json_out = args[1]
         args = args[2:]
     base = args[0] if args else "/root/testdata/sf0.1"
-    queries = args[1:] or (STATE_HEAVY + DEDUP_SIM + TEXT_GRAM)
+    queries = args[1:] or (
+        STATE_HEAVY + DEDUP_SIM + TEXT_GRAM + PANED_WINDOW
+    )
 
     from bugzilla_etl_spark.session import get_spark
     from tools.scaleprobe import replicate
