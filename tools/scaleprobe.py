@@ -84,6 +84,10 @@ DEFAULT_QUERIES = [
     # is its dedicated two-decade lane; this keeps the standing x10
     # exponent row alongside the fixed form's)
     "triangle_count_scaled",
+    # round-15: the corpus encode pass — its decade exponent must
+    # track the token-scan slope (the corpus side is map-only), with
+    # the vocab-grain id work near-flat like bpe_apply's merge loop
+    "bpe_encode",
 ]
 
 # Knob variants: probe a catalog entry with a non-default parameter
