@@ -54,16 +54,17 @@ _loaded = False
 # query's newest driver row.
 #
 # r15-window composition (per the standing rotation policy):
-# the round's ONE never-driver-tested entry leads (bpe_encode,
-# #188), then the four behavior-touched entries (stream_bug_versions:
-# bucket-count default + pin moved to the measured optimum;
-# dedup_spans / dedup_spans_apply / stream_dedup_spans: the
-# hash_bits={60,128} gram-hash parameter threaded through), then the
-# full 31-row r11-stale cohort (the r14 verdict's rotate-next list,
-# exactly), topped up to 50 with the 14 oldest r12 greens in ledger
-# order.
+# the round's TWO never-driver-tested entries lead (bpe_encode #188
+# and its ingest twin stream_bpe_encode #189), then the four
+# behavior-touched entries (stream_bug_versions: bucket-count
+# default + pin moved to the measured optimum; dedup_spans /
+# dedup_spans_apply / stream_dedup_spans: the hash_bits={60,128}
+# gram-hash parameter threaded through), then the full 31-row
+# r11-stale cohort (the r14 verdict's rotate-next list, exactly),
+# topped up to 50 with the 13 oldest r12 greens in ledger order.
 _PRIORITY = (
     "bpe_encode",
+    "stream_bpe_encode",
     "stream_bug_versions",
     "dedup_spans",
     "dedup_spans_apply",
@@ -112,7 +113,6 @@ _PRIORITY = (
     "bm25_topk",
     "chunk_dedup_pack",
     "comments_etl",
-    "curate_corpus",
 )
 # Rotated past position 50: every entry here has a GREEN r12, r13
 # or r14 driver row (the freshest in the ledger), is re-verified by
@@ -138,6 +138,7 @@ _DEPRIORITY = (
     "cooccurrence_pmi",
     "count_min_freq",
     "cube_order_stats",
+    "curate_corpus",
     "date_normalize",
     "decontam_neardup",
     "decontam_overlap",

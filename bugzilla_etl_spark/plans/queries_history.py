@@ -2399,3 +2399,109 @@ def stream_dedup_spans(
             spark.sql(f"DROP TABLE IF EXISTS {idx_name}")
         else:
             ref.unpersist()
+
+
+from bugzilla_etl_spark.plans.queries_text import (  # noqa: E402
+    bpe_encode_docs,
+    bpe_tokenizer_map,
+    duck_bpe_encode,
+)
+
+
+@register(
+    "stream_bpe_encode",
+    oracle=duck_bpe_encode(
+        train_where=" WHERE doc_id % 2 = 0",
+        encode_where=" WHERE doc_id % 2 = 1",
+        unk=True,
+    ),
+)
+def stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time tokenization — the tokenize family's ingest
+    twin (stream_doc_chunks is chunking's, stream_dedup_spans the
+    span family's): the tokenizer is trained ONCE on the reference
+    corpus (even doc_ids) and FROZEN — the production reality, where
+    a tokenizer trained before the run encodes everything that
+    arrives after — then odd doc_ids land as two files → two real
+    micro-batches, each encoded through the IDENTICAL
+    bpe_encode_docs projection as #188 with the broadcast one-row
+    map riding every batch.
+
+    The frozen tokenizer forces the policy #188 structurally cannot
+    exercise: an incoming term the reference vocab never saw is
+    OUT-OF-VOCABULARY and contributes the single id 0 (the classic
+    <unk>), expressed as coalesce(element_at(map, t), [0]) — a LEFT
+    lookup on both engines, so streaming == batch by construction
+    and the oracle is the pure batch SQL over the same halves.
+
+    Scale shape: train-side cost is the #183 loop (vocab grain, paid
+    once before the stream starts); per-batch cost is the map-only
+    encode projection — zero shuffles, zero stream state beyond
+    source offsets, no watermark because there is no state, so ANY
+    arrival order converges (order-sweep CONVERGE set).  Batch-keyed
+    output dirs keep checkpoint replays idempotent.
+    reference scope: training-data pipeline extension (ingest-twin
+    pattern; pairs with #188)."""
+    import shutil
+
+    from bugzilla_etl_spark.streaming.landing import (
+        arrival_mode,
+        land_parts,
+        read_store_or_empty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    reference = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+
+    # train once, freeze: materialize the one-row map so each
+    # micro-batch broadcasts the SAME frozen artifact instead of
+    # re-running the merge loop (persist + count, released in the
+    # finally — the learn loop's own caches are nonce-guarded)
+    tok_map = bpe_tokenizer_map(spark, reference).persist()
+    tok_map.count()
+
+    landing = tracked_mkdtemp(prefix="bes_sbe_")
+    out_dir = tracked_mkdtemp(prefix="bes_sbeo_")
+    ckpt = tracked_mkdtemp(prefix="bes_sbec_")
+    shutil.rmtree(out_dir)
+    order = [0, 1]
+    if arrival_mode() is not None:
+        order.reverse()
+    land_parts(
+        landing,
+        [
+            (
+                f"incoming_{pos}",
+                incoming.where(F.col("doc_id") % 4 == 2 * order[pos] + 1),
+            )
+            for pos in range(2)
+        ],
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bpe_encode_docs(batch_df, tok_map, unk=True).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch={batch_id}")
+
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return read_store_or_empty(
+            spark,
+            out_dir,
+            "doc_id long, n_terms long, n_tokens long,"
+            " token_ids string",
+        ).select("doc_id", "n_terms", "n_tokens", "token_ids")
+    finally:
+        tok_map.unpersist()

@@ -847,12 +847,15 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                        rounds=_BPE_ROUNDS)
 
 
-@register(
-    "bpe_encode",
-    oracle=f"""
-    WITH v AS (
+def duck_bpe_term_ids(train_where: str = "") -> str:
+    """Oracle CTE chain v → rep0..repN → sym_ids → term_ids: the
+    learned tokenizer's term→ids table over ``documents``
+    [``train_where``] — shared by #188 (trained on the whole
+    corpus) and the ingest twin (trained on the reference half)."""
+    return f"""v AS (
         SELECT term, count(*) AS f
-        FROM (SELECT unnest({DUCK_TOKENS}) AS term FROM documents)
+        FROM (SELECT unnest({DUCK_TOKENS}) AS term
+              FROM documents{train_where})
         WHERE term <> '' GROUP BY term
     ),
     rep0 AS (
@@ -874,22 +877,36 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM rep{_BPE_ROUNDS}) tp
         JOIN sym_ids si ON si.sym = tp.sym
         GROUP BY tp.term
-    ),
+    )"""
+
+
+def duck_bpe_encode(
+    train_where: str = "", encode_where: str = "", unk: bool = False
+) -> str:
+    """Full oracle: encode ``documents`` [``encode_where``] with the
+    tokenizer learned over ``documents`` [``train_where``].  With
+    ``unk`` an out-of-vocabulary term contributes the single id 0
+    (LEFT join + coalesce — the ingest twin's policy; without it the
+    join is inner, exact for vocab==corpus)."""
+    join = "LEFT JOIN" if unk else "JOIN"
+    ids = "coalesce(ti.ids, [0])" if unk else "ti.ids"
+    return f"""
+    WITH {duck_bpe_term_ids(train_where)},
     dt AS (
         SELECT doc_id,
                coalesce(list_filter({DUCK_TOKENS}, t -> t <> ''),
                         []) AS tk
-        FROM documents
+        FROM documents{encode_where}
     ),
     enc AS (
         SELECT dp.doc_id,
-               CAST(sum(len(ti.ids)) AS BIGINT) AS n_tokens,
-               string_agg(array_to_string(ti.ids, ' '), ' '
+               CAST(sum(len({ids})) AS BIGINT) AS n_tokens,
+               string_agg(array_to_string({ids}, ' '), ' '
                           ORDER BY dp.pos) AS token_ids
         FROM (SELECT doc_id, unnest(tk) AS term,
                      unnest(range(1, len(tk) + 1)) AS pos
               FROM dt) dp
-        JOIN term_ids ti ON ti.term = dp.term
+        {join} term_ids ti ON ti.term = dp.term
         GROUP BY dp.doc_id
     )
     SELECT dt.doc_id,
@@ -897,8 +914,10 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
            coalesce(e.token_ids, '') AS token_ids
     FROM dt LEFT JOIN enc e USING (doc_id)
-    """,
-)
+    """
+
+
+@register("bpe_encode", oracle=duck_bpe_encode())
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORPUS-grain tokenization with the learned BPE merges — the
     production step a training pipeline actually runs after #183's
@@ -929,21 +948,32 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference scope: training-data pipeline extension (pairs with
     #93/#183; r14 verdict task 8)."""
     docs = load_table(spark, sf_dir, "documents")
-    learned = T.bpe_learn(_token_vocab(docs, drop_empty=True),
-                          rounds=_BPE_ROUNDS)
+    return bpe_encode_docs(docs, bpe_tokenizer_map(spark, docs))
+
+
+def bpe_tokenizer_map(spark: SparkSession, train_docs: DataFrame) -> DataFrame:
+    """Learn the BPE tokenizer over ``train_docs`` and fold it to a
+    ONE-ROW (term → id-sequence) map frame — the broadcastable
+    artifact the encode pass (and its ingest twin) consumes.
+
+    Ids are deterministic dense ranks WITHOUT a global unpartitioned
+    window (the fleet ban: at 100 TB the symbol table is vocab-sized
+    — 1e7-1e8 rows — and a global row_number funnels it through ONE
+    task's sort).  Two-level rank, the paned-family decomposition:
+    ids order by (portable-hash-bucket % 256, sym) — within-bucket
+    row_number over a PARTITIONED window + per-bucket offsets from a
+    <=256-row count table (a bounded-model fold, the kmeans-centroid
+    precedent; exactly 256 buckets by construction, not
+    data-dependent).  Both engines compute the identical order.  On
+    an empty corpus collect_list yields [] and the map is {} — every
+    doc then encodes to the empty sequence, matching the oracle."""
+    learned = T.bpe_learn(
+        _token_vocab(train_docs, drop_empty=True), rounds=_BPE_ROUNDS
+    )
     syms = (
         learned.select(F.explode(F.split("bpe", " ")).alias("sym"))
         .distinct()
     )
-    # Deterministic dense ids WITHOUT a global unpartitioned window
-    # (the fleet ban: at 100 TB the symbol table is vocab-sized —
-    # 1e7-1e8 rows — and a global row_number funnels it through ONE
-    # task's sort).  Two-level rank, the paned-family decomposition:
-    # ids order by (hash-bucket, sym) — within-bucket row_number
-    # over a PARTITIONED window + per-bucket offsets from a <=256-row
-    # count table (a bounded-model fold, the kmeans-centroid
-    # precedent; exactly 256 buckets by construction, not
-    # data-dependent).  Both engines compute the identical order.
     part = F.pmod(H.hash64(F.col("sym")), F.lit(256))
     syms2 = syms.select("sym", part.alias("part"))
     in_rank = F.row_number().over(
@@ -987,32 +1017,40 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(ps, s -> s.tok_id)").alias("ids"),
         )
     )
-    # fold the whole tokenizer into ONE row (term -> ids map); on an
-    # empty corpus collect_list yields [] and the map is {} — every
-    # doc then encodes to the empty sequence, matching the oracle
-    tok_map = term_ids.agg(
+    return term_ids.agg(
         F.map_from_entries(
             F.collect_list(F.struct("term", "ids"))
         ).alias("_m")
     )
+
+
+def bpe_encode_docs(
+    docs: DataFrame, tok_map: DataFrame, unk: bool = False
+) -> DataFrame:
+    """Encode ``docs`` (doc_id, text) with a broadcast 1-row
+    tokenizer map: one map-only corpus pass (element_at lookups in
+    codegen, zero corpus shuffles).  With ``unk`` an out-of-
+    vocabulary term contributes the single id 0 — the ingest twin's
+    policy, where incoming docs carry terms the frozen reference
+    tokenizer never saw; without it the lookup is exact by
+    construction (vocab == corpus)."""
+    lookup = "element_at(_m, t)"
+    if unk:
+        lookup = f"coalesce({lookup}, array(cast(0 AS bigint)))"
     toks = F.coalesce(
         F.filter(T.tokens("text"), lambda t: t != F.lit("")),
         F.array().cast("array<string>"),
     )
-    enc = F.flatten(F.expr("transform(_tk, t -> element_at(_m, t))"))
+    enc = f"flatten(transform(_tk, t -> {lookup}))"
     return (
         docs.select("doc_id", toks.alias("_tk"))
         .crossJoin(F.broadcast(tok_map))
         .select(
             "doc_id",
             F.size("_tk").cast("long").alias("n_terms"),
-            F.size(enc).cast("long").alias("n_tokens"),
+            F.size(F.expr(enc)).cast("long").alias("n_tokens"),
             F.array_join(
-                F.expr(
-                    "transform(flatten(transform(_tk,"
-                    " t -> element_at(_m, t))),"
-                    " x -> cast(x AS string))"
-                ),
+                F.expr(f"transform({enc}, x -> cast(x AS string))"),
                 " ",
             ).alias("token_ids"),
         )

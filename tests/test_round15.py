@@ -186,6 +186,57 @@ def test_gram_positions_rejects_unknown_width():
         gram_positions(None, hash_bits=64)
 
 
+# --- stream_bpe_encode (#189): the tokenize family's ingest twin --
+
+
+def test_stream_bpe_encode_matches_batch_oracle(spark, duck, sf_dir):
+    """Streaming == batch: two real micro-batches encoded with the
+    FROZEN reference-corpus tokenizer must hash-match the pure batch
+    SQL over the same halves."""
+    from tests.util import assert_same as same
+
+    sdf = catalog.QUERIES["stream_bpe_encode"](spark, sf_dir)
+    same(sdf, duck, catalog.ORACLES["stream_bpe_encode"])
+
+
+def test_stream_bpe_encode_unk_policy_fires(spark, tmp_path):
+    """The OOV policy EXERCISED, not just written (the sf corpora
+    share one vocabulary across halves, so they never produce OOV):
+    a purpose-built corpus plants terms in the odd (incoming) half
+    that the even (reference) half never saw — those terms must
+    encode to the unk id 0, and the oracle must agree.  bpe_encode's
+    dense ranks start at 1, so any 0 proves the LEFT-lookup ran."""
+    rows = [
+        (0, "lowest newest lowest widest", "en"),
+        (2, "newest widest lowest", "en"),
+        (1, "lowest zebrafish newest", "en"),     # zebrafish: OOV
+        (3, None, "en"),                          # null text batch row
+        (5, "quux zebrafish", "en"),              # fully OOV doc
+        (7, "widest lowest", "en"),               # fully in-vocab
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.coalesce(1).write.parquet(str(tmp_path / "docs"))
+    src = next(
+        str(p) for p in (tmp_path / "docs").iterdir()
+        if p.suffix == ".parquet"
+    )
+    os.rename(src, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" '{tmp_path}/documents.parquet'"
+    )
+    out = catalog.QUERIES["stream_bpe_encode"](spark, str(tmp_path))
+    assert_same(out, con, catalog.ORACLES["stream_bpe_encode"])
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 3, 5, 7}  # incoming half only
+    assert "0" in got[1].token_ids.split(" ")
+    assert set(got[5].token_ids.split(" ")) == {"0"}
+    assert "0" not in got[7].token_ids.split(" ")
+    assert got[3].n_terms == 0 and got[3].token_ids == ""
+    con.close()
+
+
 # --- bench-alert host-noise calibration (r14 verdict task 2) ------
 
 

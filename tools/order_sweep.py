@@ -78,6 +78,10 @@ CONVERGE = [
     # join against a fixed index, no cross-batch state, so ANY
     # arrival order converges
     "stream_dedup_spans",
+    # round-15: the tokenize ingest twin — per-batch map-only encode
+    # against a FROZEN broadcast tokenizer, no cross-batch state, so
+    # ANY arrival order converges
+    "stream_bpe_encode",
 ]
 IN_ORDER_CONTRACT = ["stream_previous_values", "stream_sessionize"]
 

@@ -53,6 +53,9 @@ STREAMING = [
     "stream_doc_chunks",
     # round-13: the ExactSubstr-span ingest twin
     "stream_dedup_spans",
+    # round-15: the tokenize ingest twin (frozen reference
+    # tokenizer + unk policy)
+    "stream_bpe_encode",
 ]
 
 N_RUNS = 2
