@@ -237,6 +237,37 @@ def test_stream_bpe_encode_unk_policy_fires(spark, tmp_path):
     con.close()
 
 
+def test_bpe_encode_docs_per_batch_plan_is_exchange_free(spark):
+    """The ingest twin's per-batch contract, plan-asserted: given a
+    prebuilt tokenizer map (what each micro-batch receives — the
+    frozen persisted artifact), bpe_encode_docs plans ZERO exchanges
+    — a pure broadcast + codegen projection, so per-batch cost can
+    never grow a shuffle as batches scale."""
+    import contextlib
+    import io
+
+    from bugzilla_etl_spark.plans.queries_text import bpe_encode_docs
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, None)], "doc_id long, text string"
+    )
+    tok_map = spark.createDataFrame(
+        [({"low": [1], "lower": [2, 3]},)],
+        "_m map<string, array<bigint>>",
+    )
+    out = bpe_encode_docs(docs, tok_map, unk=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    assert not re.findall(r"\(\d+\) Exchange", plan), plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].token_ids == "1 2 3"
+    assert rows[2].n_terms == 0 and rows[2].token_ids == ""
+
+
 # --- bench-alert host-noise calibration (r14 verdict task 2) ------
 
 
