@@ -474,7 +474,6 @@ def duck_span_occ(hash_bits: int = 60) -> str:
     )"""
 
 
-DUCK_SPAN_OCC = duck_span_occ(60)
 DUCK_SPAN_ISL = f"""isl AS (
         SELECT doc_id, pos,
                sum(CASE WHEN pos - prev <= {_DUCK_SPAN_K}

@@ -53,6 +53,13 @@ from bugzilla_etl_spark.streaming.snapshot_stream import (
 #: read + build_fn pipeline + prev-store merge + swap-dir write (one
 #: action — splitting it further would need an extra materialization
 #: that changes the measured plan), ``swap`` = bucket renames.
+#:
+#: Under ``fine_split`` additional ``fs_*`` keys appear
+#: (fs_hist_read/fs_build/fs_prev_read/fs_write): they are a
+#: DECOMPOSITION of the rebuild path, not extra phases — fs_write
+#: equals that run's rebuild_write by construction — so consumers
+#: summing "the phases" must exclude the ``fs_`` prefix or the
+#: write wall double-counts (r15 review).
 LAST_SPLIT: dict[str, float] = {}
 
 

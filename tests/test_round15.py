@@ -237,6 +237,35 @@ def test_stream_bpe_encode_unk_policy_fires(spark, tmp_path):
     con.close()
 
 
+def test_stream_bug_versions_fine_split_decomposition(spark, sf_dir):
+    """The fine_split diagnosis mode (r14 verdict task 3) must stay
+    exercised, not just shipped: fs_hist_read/fs_build/fs_write are
+    present and positive, fs_write equals rebuild_write by
+    construction (the decomposition convention LAST_SPLIT documents
+    — consumers summing phases exclude fs_*), and no cached frames
+    leak after the run."""
+    from bugzilla_etl_spark.plans.queries_history import (
+        stream_bug_versions,
+    )
+    from bugzilla_etl_spark.streaming.incremental_versions import (
+        LAST_SPLIT,
+    )
+
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    stream_bug_versions(spark, sf_dir, fine_split=True).collect()
+    split = dict(LAST_SPLIT)
+    assert {"fs_hist_read", "fs_build", "fs_write"} <= set(split)
+    assert split["fs_hist_read"] > 0 and split["fs_build"] > 0
+    assert split["fs_write"] == split["rebuild_write"]
+    # fs_prev_read appears only for batches with an existing store
+    # (batch 1 has none); with 3 batches it must have shown up
+    assert split["n_batches"] == 3 and "fs_prev_read" in split
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    leaked = after - before
+    assert not leaked, f"fine_split leaked caches: {leaked}"
+
+
 def test_bpe_encode_docs_per_batch_plan_is_exchange_free(spark):
     """The ingest twin's per-batch contract, plan-asserted: given a
     prebuilt tokenizer map (what each micro-batch receives — the
@@ -304,7 +333,8 @@ def test_host_factor_median_and_clamps():
 
 def test_calibrated_gate_forgives_ambient_tax_not_regressions(tmp_path):
     """A 1.5x-slow host pushing a pinned query past 2x raw must NOT
-    alert once calibrated (the r14 driver-lane scenario); the same
+    alert once calibrated (the r14 driver-lane scenario, with the
+    synthetic probe CORROBORATING the slowdown); the same
     measurement on a quiet host (calibration queries at reference)
     MUST still alert — ambient tax forgiven, real regressions not."""
     import json
@@ -315,7 +345,7 @@ def test_calibrated_gate_forgives_ambient_tax_not_regressions(tmp_path):
     taxed["tpch_q1"] = pin * 2.2  # >2x raw, ~1.47x calibrated
     p = tmp_path / "BENCH_r98.json"
     p.write_text(json.dumps({"queries": taxed}))
-    report = BA.check(str(p), None)
+    report = BA.check(str(p), None, synth=1.5)  # probe agrees: host
     assert report["host_factor"] == pytest.approx(1.5)
     assert not any(
         a["query"] == "tpch_q1" for a in report["alerts"]
@@ -328,6 +358,31 @@ def test_calibrated_gate_forgives_ambient_tax_not_regressions(tmp_path):
     report2 = BA.check(str(p2), None)
     assert report2["host_factor"] == 1.0
     assert any(a["query"] == "tpch_q1" for a in report2["alerts"])
+
+
+def test_uncorroborated_host_factor_is_capped(tmp_path):
+    """The r15 review's blind spot, closed: calibration members are
+    PRODUCT queries, so a uniform 2x code regression reads as a 2.0
+    median — but the repo-independent synthetic probe still reads
+    ~1.0, the factor caps at probe x headroom, and the 2.2x-pin
+    query ALERTS instead of being divided back under its pin."""
+    import json
+
+    BA = _ba()
+    pin = BA.parse_pins()["tpch_q1"]
+    slid = {q: ref * 2.0 for q, ref in BA.CALIBRATION.items()}
+    # 2.7x pin: divided by the UNCAPPED 2.0 median it would read
+    # 1.35x (silently forgiven); at the capped 1.3 it reads 2.08x
+    # and crosses
+    slid["tpch_q1"] = pin * 2.7
+    p = tmp_path / "BENCH_r97.json"
+    p.write_text(json.dumps({"queries": slid}))
+    report = BA.check(str(p), None, synth=1.0)  # probe: host is fine
+    assert report["synthetic_factor"] == 1.0
+    assert report["host_factor"] == pytest.approx(BA.SYNTH_HEADROOM)
+    assert "UNCORROBORATED" in report["calibration"]["note"]
+    assert any(a["query"] == "tpch_q1" for a in report["alerts"])
+    assert not report["ok"]
 
 
 def test_calibration_members_are_pinned_and_benchmarked():

@@ -77,6 +77,47 @@ CALIBRATION = {
 HOST_FACTOR_MIN = 1.0  # never tighten: a fast host can't hide a regression
 HOST_FACTOR_MAX = 3.0  # never forgive a >3x global slide silently
 
+# Corroboration guard (r15 review): the calibration members are
+# PRODUCT queries, so a uniform code regression (a session default,
+# a JVM flag) is indistinguishable from ambient host tax by the
+# median alone — the gate would divide the regression away.  When
+# the median exceeds this threshold, a SYNTHETIC probe (pure-JVM
+# md5-over-range, independent of every repo plan) measures the host
+# directly; the effective factor is capped at synthetic_factor x
+# SYNTH_HEADROOM, so an uncorroborated "host tax" stops being
+# forgiven and real crossings alert again.
+CORROBORATE_ABOVE = 1.25
+SYNTH_REF = 2.49       # quiet-host wall of the probe (warm min-of-3)
+SYNTH_HEADROOM = 1.3   # product queries feel host state (IO, paging)
+#                        somewhat more than the pure-CPU probe
+
+
+def synthetic_factor() -> float:
+    """Measure the host with a fixed pure-JVM probe: 150M codegen
+    md5s folded to one max — no repo code, no data, no shuffle.  A
+    warmup run then min-of-3, ratioed to the embedded quiet-host
+    reference."""
+    import time
+
+    from bugzilla_etl_spark.session import get_spark
+
+    spark = get_spark("bench-alert-synth")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        from pyspark.sql import functions as F
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            spark.range(150_000_000).select(
+                F.max(F.md5(F.col("id").cast("string"))).alias("m")
+            ).collect()
+            return time.perf_counter() - t0
+
+        run()  # warmup (JVM/codegen)
+        return round(min(run() for _ in range(3)) / SYNTH_REF, 3)
+    finally:
+        spark.stop()
+
 
 def host_factor(queries: dict[str, float]) -> tuple[float, dict]:
     """Median measured/reference ratio over the calibration set,
@@ -219,7 +260,14 @@ def previous(current: str) -> str | None:
     return paths[-1] if paths else None
 
 
-def check(bench_path: str, stream_path: str | None) -> dict:
+def check(
+    bench_path: str,
+    stream_path: str | None,
+    synth: float | None = None,
+) -> dict:
+    """``synth``: injected synthetic factor for tests; None = run
+    the real probe (only when the calibration median is elevated
+    enough to need corroboration)."""
     pins = parse_pins()
     report: dict = {
         "bench": os.path.basename(bench_path),
@@ -235,6 +283,28 @@ def check(bench_path: str, stream_path: str | None) -> dict:
 
     # host calibration: evaluate every rule on measured/host_factor
     hf, hf_detail = host_factor(queries)
+    if hf > CORROBORATE_ABOVE:
+        # product-query calibration alone can't tell ambient host
+        # tax from a uniform code regression — corroborate with the
+        # repo-independent probe and cap the forgiveness at what the
+        # host itself can justify
+        sf_probe = synthetic_factor() if synth is None else synth
+        report["synthetic_factor"] = sf_probe
+        capped = round(
+            min(hf, max(sf_probe, 1.0) * SYNTH_HEADROOM), 3
+        )
+        if capped < hf:
+            hf_detail = {
+                **hf_detail,
+                "note": (
+                    f"calibration median {hf} UNCORROBORATED by the"
+                    f" synthetic probe ({sf_probe}) — factor capped"
+                    f" at {capped}; a uniform product slowdown this"
+                    " large without matching host slowdown is a code"
+                    " regression, not ambient tax"
+                ),
+            }
+        hf = capped
     report["host_factor"] = hf
     report["calibration"] = hf_detail
 
@@ -279,8 +349,12 @@ def check(bench_path: str, stream_path: str | None) -> dict:
     prev_path = previous(bench_path)
     if prev_path:
         prev = load_bench(prev_path).get("queries", {})
+        # prev lane: median-only (its host is gone — no synthetic
+        # corroboration is possible retroactively); its ratios ride
+        # the report so a reader can see why the factor took its value
         prev_hf, prev_detail = host_factor(prev)
         report["prev_host_factor"] = prev_hf
+        report["prev_calibration"] = prev_detail
         raw_moves = 0
         for name, t in sorted(queries.items()):
             p = prev.get(name)

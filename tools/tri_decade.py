@@ -153,16 +153,18 @@ def main() -> None:
     if lo != hi:
         for form in ("fixed", "scaled"):
             # wall_s is round(min_wall, 3): guard the 0.0 a tiny/fast
-            # corpus can produce so the expensive replication work
-            # isn't thrown away on a ZeroDivisionError (r14 ADVICE)
+            # corpus can produce AT EITHER END (log(0) raises just
+            # like /0) so the expensive replication work isn't thrown
+            # away after it completed (r14 ADVICE + r15 review)
             lo_wall = out[lo][form]["wall_s"]
+            hi_wall = out[hi][form]["wall_s"]
             out[f"{form}_exponent_x{lo}_x{hi}"] = (
                 round(
-                    math.log(out[hi][form]["wall_s"] / lo_wall)
+                    math.log(hi_wall / lo_wall)
                     / math.log(int(hi) / int(lo)),
                     2,
                 )
-                if lo_wall > 0
+                if lo_wall > 0 and hi_wall > 0
                 else None
             )
     print(json.dumps(out))
