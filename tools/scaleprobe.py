@@ -96,6 +96,10 @@ DEFAULT_QUERIES = [
 VARIANTS = {
     "pagerank_trade@persist": ("pagerank_trade", {"persist_edges": True}),
     "triangle_count@backbone2x": ("triangle_count", {"backbone": 10000}),
+    # r15: the full-md5 gram hash — 32-byte shuffle keys instead of
+    # 8; the decade exponent must stay at the 60-bit form's slope
+    # (the shuffle carries the hash either way, only wider)
+    "dedup_spans@md5": ("dedup_spans", {"hash_bits": 128}),
 }
 
 
