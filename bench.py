@@ -189,8 +189,10 @@ HEADLINE = [
     "ann_ivf_pq",
     # round-14 additions (data-scaled triangle backbone)
     "triangle_count_scaled",
-    # round-15 additions (corpus tokenization with learned merges)
+    # round-15 additions (corpus tokenization with learned merges;
+    # the training-sequence materializer consuming it)
     "bpe_encode",
+    "seq_packing_ids",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into

@@ -54,17 +54,19 @@ _loaded = False
 # query's newest driver row.
 #
 # r15-window composition (per the standing rotation policy):
-# the round's TWO never-driver-tested entries lead (bpe_encode #188
-# and its ingest twin stream_bpe_encode #189), then the four
-# behavior-touched entries (stream_bug_versions: bucket-count
-# default + pin moved to the measured optimum; dedup_spans /
-# dedup_spans_apply / stream_dedup_spans: the hash_bits={60,128}
-# gram-hash parameter threaded through), then the full 31-row
-# r11-stale cohort (the r14 verdict's rotate-next list, exactly),
-# topped up to 50 with the 13 oldest r12 greens in ledger order.
+# the round's THREE never-driver-tested entries lead (bpe_encode
+# #188, its ingest twin stream_bpe_encode #189, and the sequence
+# materializer seq_packing_ids #190), then the four behavior-touched
+# entries (stream_bug_versions: bucket-count default + pin moved to
+# the measured optimum; dedup_spans / dedup_spans_apply /
+# stream_dedup_spans: the hash_bits={60,128} gram-hash parameter
+# threaded through), then the full 31-row r11-stale cohort (the r14
+# verdict's rotate-next list, exactly), topped up to 50 with the 12
+# oldest r12 greens in ledger order.
 _PRIORITY = (
     "bpe_encode",
     "stream_bpe_encode",
+    "seq_packing_ids",
     "stream_bug_versions",
     "dedup_spans",
     "dedup_spans_apply",
@@ -112,7 +114,6 @@ _PRIORITY = (
     "attachment_versions",
     "bm25_topk",
     "chunk_dedup_pack",
-    "comments_etl",
 )
 # Rotated past position 50: every entry here has a GREEN r12, r13
 # or r14 driver row (the freshest in the ledger), is re-verified by
@@ -133,6 +134,7 @@ _DEPRIORITY = (
     "canonical_fields",
     "cc_fuzzy_match",
     "char_lm_perplexity",
+    "comments_etl",
     "compact_store",
     "compaction_plan",
     "cooccurrence_pmi",

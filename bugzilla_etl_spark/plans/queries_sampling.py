@@ -258,3 +258,122 @@ def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.stratified_split(
         docs, strata="source", key="doc_id"
     ).select("doc_id", "source", "split")
+
+
+from bugzilla_etl_spark.plans.queries_text import (  # noqa: E402
+    bpe_encode_docs,
+    bpe_tokenizer_map,
+    duck_bpe_term_ids,
+)
+
+
+@register(
+    "seq_packing_ids",
+    oracle=f"""
+    WITH {duck_bpe_term_ids()},
+    dt AS (
+        SELECT doc_id, source,
+               coalesce(list_filter({DUCK_TOKENS}, t -> t <> ''),
+                        []) AS tk
+        FROM documents
+    ),
+    di AS (
+        SELECT dp.doc_id,
+               flatten(list(ti.ids ORDER BY dp.pos)) AS ids
+        FROM (SELECT doc_id, unnest(tk) AS term,
+                     unnest(range(1, len(tk) + 1)) AS pos
+              FROM dt) dp
+        JOIN term_ids ti ON ti.term = dp.term
+        GROUP BY dp.doc_id
+    ),
+    base AS (
+        SELECT dt.doc_id, dt.source,
+               coalesce(di.ids, []) AS ids,
+               len(coalesce(di.ids, [])) AS n_tokens
+        FROM dt LEFT JOIN di ON di.doc_id = dt.doc_id
+    ),
+    laid AS (
+        SELECT *,
+               sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY {_H_PACK} ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start
+        FROM base
+    ),
+    tok AS (
+        SELECT source, doc_id, unnest(ids) AS id,
+               start + unnest(range(0, len(ids))) AS gpos
+        FROM laid WHERE n_tokens > 0
+    )
+    SELECT source,
+           CAST(gpos // 256 AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS seq_len,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS ids
+    FROM tok GROUP BY source, seq_id
+    """,
+)
+def seq_packing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-sequence MATERIALIZER — the step #44 plans and
+    #188 feeds: documents are encoded to real BPE token ids
+    (bpe_tokenizer_map/bpe_encode_docs, the #188 machinery), laid
+    end-to-end per source stream in the IDENTICAL hash order as
+    seq_packing (shared pack_sequences — the two entries' layouts
+    agree by construction), and the actual 256-token training
+    sequences are EMITTED: one row per (source, seq_id) carrying the
+    packed id payload, its length (256 except each stream's tail),
+    and how many docs it spans.  This is the write job of a
+    pretraining data pipeline — tokenize → pack → (shuffle_shards
+    #45 then shards it).
+
+    Scale shape: encode is #188's map-only pass (zero corpus
+    shuffles); the layout is one window cumsum per stream; the
+    materialization explodes to TOKEN grain and regroups on
+    (source, seq_id) — one token-grain shuffle, the honest and
+    irreducible cost of physically writing training sequences, and
+    it is keyed on exactly the layout the sequence writer needs
+    (partitionBy(source) write).  Per-sequence state is bounded by
+    the 256-token budget (collect_list of <= 256 (pos, id) structs —
+    never a whole stream).
+    reference scope: training-data pipeline extension (completes the
+    tokenize→pack chain; pairs with #44/#45/#188)."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode_docs(
+        docs.select("doc_id", "source", "text"),
+        bpe_tokenizer_map(spark, docs),
+        carry=("source",),
+    )
+    laid = S.pack_sequences(
+        enc, stream="source", key="doc_id", n_tokens="n_tokens",
+        budget=256,
+    )
+    tok = (
+        laid.where(F.col("n_tokens") > 0)
+        .select(
+            "source",
+            "doc_id",
+            (F.col("seq_id") * 256 + F.col("offset_in_seq")).alias(
+                "_start"
+            ),
+            F.posexplode(F.split("token_ids", " ")).alias("_i", "_id"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.expr("(_start + _i) div 256").alias("seq_id"),
+            F.expr("(_start + _i) % 256").alias("_pos"),
+            "_id",
+        )
+    )
+    return tok.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("seq_len"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_pos, _id))),"
+                " s -> s._id)"
+            ),
+            " ",
+        ).alias("ids"),
+    )

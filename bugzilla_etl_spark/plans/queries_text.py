@@ -1025,7 +1025,10 @@ def bpe_tokenizer_map(spark: SparkSession, train_docs: DataFrame) -> DataFrame:
 
 
 def bpe_encode_docs(
-    docs: DataFrame, tok_map: DataFrame, unk: bool = False
+    docs: DataFrame,
+    tok_map: DataFrame,
+    unk: bool = False,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode ``docs`` (doc_id, text) with a broadcast 1-row
     tokenizer map: one map-only corpus pass (element_at lookups in
@@ -1033,7 +1036,9 @@ def bpe_encode_docs(
     vocabulary term contributes the single id 0 — the ingest twin's
     policy, where incoming docs carry terms the frozen reference
     tokenizer never saw; without it the lookup is exact by
-    construction (vocab == corpus)."""
+    construction (vocab == corpus).  ``carry`` lists extra input
+    columns to pass through unchanged (e.g. the source stream a
+    downstream packer partitions by)."""
     lookup = "element_at(_m, t)"
     if unk:
         lookup = f"coalesce({lookup}, array(cast(0 AS bigint)))"
@@ -1043,10 +1048,11 @@ def bpe_encode_docs(
     )
     enc = f"flatten(transform(_tk, t -> {lookup}))"
     return (
-        docs.select("doc_id", toks.alias("_tk"))
+        docs.select("doc_id", *carry, toks.alias("_tk"))
         .crossJoin(F.broadcast(tok_map))
         .select(
             "doc_id",
+            *carry,
             F.size("_tk").cast("long").alias("n_terms"),
             F.size(F.expr(enc)).cast("long").alias("n_tokens"),
             F.array_join(

@@ -237,6 +237,38 @@ def test_stream_bpe_encode_unk_policy_fires(spark, tmp_path):
     con.close()
 
 
+def test_seq_packing_ids_invariants(spark, sf_dir):
+    """The materializer agrees with its two parents: (1) total packed
+    tokens == bpe_encode's corpus token total (nothing dropped or
+    duplicated by the explode/regroup); (2) every sequence is exactly
+    256 tokens except at most ONE tail per source; (3) each ids
+    payload length equals its seq_len."""
+    spi = catalog.QUERIES["seq_packing_ids"](spark, sf_dir)
+    spi = spi.persist()
+    try:
+        total_packed = spi.agg(F.sum("seq_len")).first()[0]
+        total_enc = (
+            catalog.QUERIES["bpe_encode"](spark, sf_dir)
+            .agg(F.sum("n_tokens"))
+            .first()[0]
+        )
+        assert total_packed == total_enc
+        shorts = spi.where(F.col("seq_len") != 256)
+        per_src = {
+            r.source: r.n
+            for r in shorts.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert all(n == 1 for n in per_src.values()), per_src
+        bad = spi.where(
+            F.size(F.split("ids", " ")) != F.col("seq_len")
+        ).count()
+        assert bad == 0
+    finally:
+        spi.unpersist()
+
+
 def test_stream_bug_versions_fine_split_decomposition(spark, sf_dir):
     """The fine_split diagnosis mode (r14 verdict task 3) must stay
     exercised, not just shipped: fs_hist_read/fs_build/fs_write are
