@@ -112,6 +112,10 @@ TEXT_GRAM = [
     # token stream grow a decade (the map fold is a collect_list
     # whose order must not leak into the map lookup)
     "bpe_encode",
+    # r15: the sequence materializer — its token-grain explode/
+    # regroup and per-stream cumsum layout are exactly where 32-
+    # real-partition data can diverge a decade up
+    "seq_packing_ids",
 ]
 
 # The remaining RANGE-frame / rolling-window / as-of entries (r14
