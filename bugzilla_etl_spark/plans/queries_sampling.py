@@ -343,6 +343,7 @@ def seq_packing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", "text"),
         bpe_tokenizer_map(spark, docs),
         carry=("source",),
+        ids_array=True,  # token-grain consumer: no string round-trip
     )
     laid = S.pack_sequences(
         enc, stream="source", key="doc_id", n_tokens="n_tokens",
@@ -356,7 +357,7 @@ def seq_packing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("seq_id") * 256 + F.col("offset_in_seq")).alias(
                 "_start"
             ),
-            F.posexplode(F.split("token_ids", " ")).alias("_i", "_id"),
+            F.posexplode("ids").alias("_i", "_id"),
         )
         .select(
             "source",
@@ -372,7 +373,7 @@ def seq_packing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.expr(
                 "transform(array_sort(collect_list(struct(_pos, _id))),"
-                " s -> s._id)"
+                " s -> cast(s._id AS string))"
             ),
             " ",
         ).alias("ids"),

@@ -1029,6 +1029,7 @@ def bpe_encode_docs(
     tok_map: DataFrame,
     unk: bool = False,
     carry: tuple[str, ...] = (),
+    ids_array: bool = False,
 ) -> DataFrame:
     """Encode ``docs`` (doc_id, text) with a broadcast 1-row
     tokenizer map: one map-only corpus pass (element_at lookups in
@@ -1038,7 +1039,12 @@ def bpe_encode_docs(
     tokenizer never saw; without it the lookup is exact by
     construction (vocab == corpus).  ``carry`` lists extra input
     columns to pass through unchanged (e.g. the source stream a
-    downstream packer partitions by)."""
+    downstream packer partitions by).  ``ids_array`` swaps the
+    space-joined ``token_ids`` string for the raw ``ids``
+    array<bigint> — the form a downstream TOKEN-grain consumer
+    (seq_packing_ids) wants; serializing the whole token stream to
+    a string only to regex-split it back would be pure waste on
+    that path (r15 review)."""
     lookup = "element_at(_m, t)"
     if unk:
         lookup = f"coalesce({lookup}, array(cast(0 AS bigint)))"
@@ -1047,6 +1053,14 @@ def bpe_encode_docs(
         F.array().cast("array<string>"),
     )
     enc = f"flatten(transform(_tk, t -> {lookup}))"
+    payload = (
+        F.expr(enc).alias("ids")
+        if ids_array
+        else F.array_join(
+            F.expr(f"transform({enc}, x -> cast(x AS string))"),
+            " ",
+        ).alias("token_ids")
+    )
     return (
         docs.select("doc_id", *carry, toks.alias("_tk"))
         .crossJoin(F.broadcast(tok_map))
@@ -1055,9 +1069,6 @@ def bpe_encode_docs(
             *carry,
             F.size("_tk").cast("long").alias("n_terms"),
             F.size(F.expr(enc)).cast("long").alias("n_tokens"),
-            F.array_join(
-                F.expr(f"transform({enc}, x -> cast(x AS string))"),
-                " ",
-            ).alias("token_ids"),
+            payload,
         )
     )

@@ -417,6 +417,29 @@ def test_uncorroborated_host_factor_is_capped(tmp_path):
     assert not report["ok"]
 
 
+def test_stale_artifact_keeps_median_without_probe(tmp_path):
+    """Corroboration requires a FRESH artifact: host state is
+    transient, so probing the current host says nothing about a lane
+    measured hours ago — a stale taxed artifact keeps its median
+    (no false alerts from capping) and the report says why.  synth
+    stays None: the stale path must return WITHOUT running a probe
+    (this test would hang on a Spark session otherwise)."""
+    import json
+    import os
+    import time
+
+    BA = _ba()
+    taxed = {q: ref * 2.0 for q, ref in BA.CALIBRATION.items()}
+    p = tmp_path / "BENCH_r96.json"
+    p.write_text(json.dumps({"queries": taxed}))
+    old = time.time() - BA.CORROBORATE_MAX_AGE_S - 60
+    os.utime(p, (old, old))
+    report = BA.check(str(p), None)
+    assert report["host_factor"] == pytest.approx(2.0)
+    assert "synthetic_factor" not in report
+    assert "NOT corroborated" in report["calibration"]["note"]
+
+
 def test_calibration_members_are_pinned_and_benchmarked():
     """Every calibration query must be in BASELINE.md's pin table AND
     in the newest committed bench lane — a renamed/dropped member

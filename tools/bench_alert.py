@@ -92,17 +92,35 @@ SYNTH_HEADROOM = 1.3   # product queries feel host state (IO, paging)
 #                        somewhat more than the pure-CPU probe
 
 
+#: Corroboration is only meaningful when the probe runs under the
+#: SAME conditions the artifact was measured under — the host state
+#: is transient.  An artifact older than this is not corroborable
+#: (the load that taxed it may have subsided, and capping then would
+#: fire FALSE alerts); the check keeps the median and says so.
+CORROBORATE_MAX_AGE_S = 2 * 3600
+
+
 def synthetic_factor() -> float:
     """Measure the host with a fixed pure-JVM probe: 150M codegen
     md5s folded to one max — no repo code, no data, no shuffle.  A
     warmup run then min-of-3, ratioed to the embedded quiet-host
-    reference."""
+    reference.  Reuses the process's ACTIVE SparkSession when one
+    exists (the probe only needs the shared context; stopping a
+    session the caller owns — e.g. pytest's session fixture — would
+    kill every later test, r15 review) and only stops a session it
+    created itself."""
     import time
 
-    from bugzilla_etl_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("bench-alert-synth")
-    spark.sparkContext.setLogLevel("ERROR")
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark, own = active, False
+    else:
+        from bugzilla_etl_spark.session import get_spark
+
+        spark, own = get_spark("bench-alert-synth"), True
+        spark.sparkContext.setLogLevel("ERROR")
     try:
         from pyspark.sql import functions as F
 
@@ -116,7 +134,8 @@ def synthetic_factor() -> float:
         run()  # warmup (JVM/codegen)
         return round(min(run() for _ in range(3)) / SYNTH_REF, 3)
     finally:
-        spark.stop()
+        if own:
+            spark.stop()
 
 
 def host_factor(queries: dict[str, float]) -> tuple[float, dict]:
@@ -287,24 +306,44 @@ def check(
         # product-query calibration alone can't tell ambient host
         # tax from a uniform code regression — corroborate with the
         # repo-independent probe and cap the forgiveness at what the
-        # host itself can justify
-        sf_probe = synthetic_factor() if synth is None else synth
-        report["synthetic_factor"] = sf_probe
-        capped = round(
-            min(hf, max(sf_probe, 1.0) * SYNTH_HEADROOM), 3
-        )
-        if capped < hf:
+        # host itself can justify.  Only a FRESH artifact is
+        # corroborable: host state is transient, so probing now says
+        # nothing about a lane measured hours ago or elsewhere —
+        # capping a genuinely-taxed old lane would fire false alerts
+        # (r15 review).
+        import time
+
+        age = time.time() - os.path.getmtime(bench_path)
+        if age > CORROBORATE_MAX_AGE_S and synth is None:
             hf_detail = {
                 **hf_detail,
                 "note": (
-                    f"calibration median {hf} UNCORROBORATED by the"
-                    f" synthetic probe ({sf_probe}) — factor capped"
-                    f" at {capped}; a uniform product slowdown this"
-                    " large without matching host slowdown is a code"
-                    " regression, not ambient tax"
+                    f"calibration median {hf} NOT corroborated: the"
+                    f" artifact is {age / 3600:.1f} h old, beyond the"
+                    f" {CORROBORATE_MAX_AGE_S // 3600} h window where"
+                    " a probe of the current host says anything"
+                    " about the lane's conditions — median kept"
                 ),
             }
-        hf = capped
+        else:
+            sf_probe = synthetic_factor() if synth is None else synth
+            report["synthetic_factor"] = sf_probe
+            capped = round(
+                min(hf, max(sf_probe, 1.0) * SYNTH_HEADROOM), 3
+            )
+            if capped < hf:
+                hf_detail = {
+                    **hf_detail,
+                    "note": (
+                        f"calibration median {hf} UNCORROBORATED by"
+                        f" the synthetic probe ({sf_probe}) — factor"
+                        f" capped at {capped}; a uniform product"
+                        " slowdown this large without matching host"
+                        " slowdown is a code regression, not ambient"
+                        " tax"
+                    ),
+                }
+            hf = capped
     report["host_factor"] = hf
     report["calibration"] = hf_detail
 
@@ -443,6 +482,11 @@ def main() -> None:
             else f" ({cal.get('note', 'no calibration data')})"
         )
     )
+    if cal.get("median_raw") is not None and cal.get("note"):
+        # the corroboration verdict (uncorroborated cap / stale
+        # artifact) must reach the console, not just the JSON —
+        # it is the one diagnostic the guard exists to surface
+        print(f"note  {cal['note']}")
     for a in report["alerts"]:
         print(
             f"ALERT {a['query']}: {a.get('calibrated_sec', a['sec'])} s"
