@@ -53,57 +53,76 @@ _loaded = False
 # regardless of window position, and ROTATION.md ledgers each
 # query's newest driver row.
 #
-# r15-window composition (per the standing rotation policy):
-# the round's THREE never-driver-tested entries lead (bpe_encode
-# #188, its ingest twin stream_bpe_encode #189, and the sequence
-# materializer seq_packing_ids #190), then the four behavior-touched
-# entries (stream_bug_versions: bucket-count default + pin moved to
-# the measured optimum; dedup_spans / dedup_spans_apply /
-# stream_dedup_spans: the hash_bits={60,128} gram-hash parameter
-# threaded through), then the full 31-row r11-stale cohort (the r14
-# verdict's rotate-next list, exactly), topped up to 50 with the 12
-# oldest r12 greens in ledger order.
+# r16-window composition (per the standing rotation policy): the
+# round's ONE never-driver-tested entry leads (mix_apply #191, the
+# mixing materializer), then the two behavior-touched entries
+# (bpe_encode: map_mode={broadcast,join} large-vocab fallback wired;
+# stream_bpe_encode: frozen tokenizer now a persisted store artifact
+# loaded at stream start), then the full 37-row r12-stale cohort
+# (the r15 verdict's rotate-next list, exactly), topped up to 50
+# with the 10 oldest r13 greens in ledger order (the verdict said
+# 13, assuming no new/touched entries; never-tested and
+# behavior-touched take precedence per the standing policy).
 _PRIORITY = (
+    "mix_apply",
     "bpe_encode",
     "stream_bpe_encode",
-    "seq_packing_ids",
-    "stream_bug_versions",
-    "dedup_spans",
-    "dedup_spans_apply",
-    "stream_dedup_spans",
-    "events_funnel",
-    "events_sessionize_paned",
-    "hll_distinct",
-    "kmeans_embeddings",
-    "moving_average",
-    "moving_average_ranged",
-    "nested_docs",
-    "pagerank_trade",
-    "pivot_event_counts",
-    "private_subentity",
-    "profile_table",
-    "profile_table_hll",
-    "range_window_load",
-    "rollup_returns",
-    "semdedup",
-    "set_final",
-    "state_rollforward_paned",
-    "stratified_split",
-    "stream_neardup_ingest",
-    "tpch_q11",
-    "tpch_q14",
-    "tpch_q17",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "triangle_count",
-    "trunc_uncertain",
-    "zorder_layout",
+    "comments_etl",
+    "curate_corpus",
+    "decontam_overlap",
+    "dedup_chunk",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_latest",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dependency_edges",
+    "previous_values_paned",
+    "set_final_salted",
+    "skyline_orders",
+    "stream_attribution",
+    "stream_attribution_outer",
+    "stream_decontam",
+    "stream_dedup",
+    "stream_doc_chunks",
+    "stream_hll",
+    "stream_previous_values_ooo",
+    "stream_rollup",
+    "stream_sessionize_ooo",
+    "stream_snapshot",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q5",
+    "unpivot_measures",
+    "value_percentiles",
+    "ann_ivf_pq",
+    "bpe_apply",
+    "bpe_pair_counts",
+    "canonical_fields",
+    "cc_fuzzy_match",
+    "char_lm_perplexity",
+    "compaction_plan",
+    "cooccurrence_pmi",
+    "count_min_freq",
+    "date_normalize",
+)
+# Rotated past position 50: every entry here has a GREEN r12, r13
+# or r14 driver row (the freshest in the ledger), is re-verified by
+# the local gate (tools/verify_local.py, driver-strict
+# canonicalizer) every round, and rotates back in r16+.
+_DEPRIORITY = (
     "activity_invert",
     "alias_analysis",
+    "alias_compact",
     "alias_minimize",
     "alias_resolve",
     "ann_ivf",
@@ -111,50 +130,24 @@ _PRIORITY = (
     "ann_lsh_buckets",
     "ann_pq",
     "ann_topk",
-    "attachment_versions",
-    "bm25_topk",
-    "chunk_dedup_pack",
-)
-# Rotated past position 50: every entry here has a GREEN r12, r13
-# or r14 driver row (the freshest in the ledger), is re-verified by
-# the local gate (tools/verify_local.py, driver-strict
-# canonicalizer) every round, and rotates back in r16+.
-_DEPRIORITY = (
-    "alias_compact",
-    "ann_ivf_pq",
     "anomaly_mad",
     "anomaly_mad_hist",
+    "attachment_versions",
     "bloom_decontam",
     "bloom_join_prune",
-    "bpe_apply",
-    "bpe_pair_counts",
+    "bm25_topk",
     "bucketed_join_zero_shuffle",
     "bug_version_docs",
     "bug_version_full",
-    "canonical_fields",
-    "cc_fuzzy_match",
-    "char_lm_perplexity",
-    "comments_etl",
+    "chunk_dedup_pack",
     "compact_store",
-    "compaction_plan",
-    "cooccurrence_pmi",
-    "count_min_freq",
     "cube_order_stats",
-    "curate_corpus",
-    "date_normalize",
     "decontam_neardup",
-    "decontam_overlap",
-    "dedup_chunk",
-    "dedup_components",
     "dedup_containment",
-    "dedup_exact",
     "dedup_jaccard_invindex",
-    "dedup_latest",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dependency_edges",
+    "dedup_spans",
+    "dedup_spans_apply",
     "diff_apply",
     "diff_rollback",
     "doc_chunks",
@@ -168,8 +161,10 @@ _DEPRIORITY = (
     "es_alias_cutover",
     "es_docs",
     "es_file_extract",
+    "events_funnel",
     "events_sessionize",
     "events_sessionize_native",
+    "events_sessionize_paned",
     "filter_funnel",
     "flag_fuzzy_match",
     "flag_parse",
@@ -179,11 +174,13 @@ _DEPRIORITY = (
     "full_backfill_resume",
     "heavy_hitters_ngrams",
     "hist_quantile",
+    "hll_distinct",
     "html_strip",
     "incremental_touched",
     "interval_asof_join",
     "json_props_extract",
     "key_skew_stats",
+    "kmeans_embeddings",
     "kmv_source_overlap",
     "kmv_source_overlap_sketch",
     "lang_id",
@@ -192,67 +189,71 @@ _DEPRIORITY = (
     "mm_features",
     "mm_frame_sample",
     "mm_resize",
+    "moving_average",
+    "moving_average_ranged",
+    "nested_docs",
     "ngram_novelty",
     "normalize_scrub",
     "orders_fulfillment",
+    "pagerank_trade",
     "partition_prune_stats",
     "pii_scrub",
+    "pivot_event_counts",
     "previous_values",
-    "previous_values_paned",
     "private_retract",
     "private_screen",
+    "private_subentity",
+    "profile_table",
+    "profile_table_hll",
     "quality_repetition",
     "quota_sample",
+    "range_window_load",
     "replicate_cycle",
     "replicate_pending",
     "rolling_distinct_users",
+    "rollup_returns",
     "sample_stratified",
     "screen_mask",
+    "semdedup",
     "seq_packing",
+    "seq_packing_ids",
     "set_accumulate",
-    "set_final_salted",
+    "set_final",
     "shuffle_shards",
-    "skyline_orders",
     "snapshot_asof",
     "snapshot_versions",
     "state_rollforward",
-    "stream_attribution",
-    "stream_attribution_outer",
-    "stream_decontam",
-    "stream_dedup",
-    "stream_doc_chunks",
+    "state_rollforward_paned",
+    "stratified_split",
+    "stream_bug_versions",
+    "stream_dedup_spans",
     "stream_heavy_hitters",
     "stream_heavy_hitters_capped",
-    "stream_hll",
+    "stream_neardup_ingest",
     "stream_previous_values",
-    "stream_previous_values_ooo",
-    "stream_rollup",
     "stream_sessionize",
-    "stream_sessionize_ooo",
-    "stream_snapshot",
     "text_quality",
     "tfidf_top_terms",
     "time_rollup",
     "token_count",
     "topk_per_group",
     "tpch_q1",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q5",
+    "tpch_q11",
+    "tpch_q14",
+    "tpch_q17",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q4",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "triangle_count",
     "triangle_count_scaled",
-    "unpivot_measures",
-    "value_percentiles",
+    "trunc_uncertain",
     "winnow_fingerprints",
     "winnow_pairs",
+    "zorder_layout",
 )
 
 
