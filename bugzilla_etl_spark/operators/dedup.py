@@ -1172,7 +1172,26 @@ def probe_gram_index(
     being demonstrated; a merge hint has no build side to OOM).
     Semi join ⇒ exact under appended-duplicate hashes in the index.
     Returns (doc_id, pos) duplicated-gram hits for
-    ``spans_from_hits``."""
+    ``spans_from_hits``.
+
+    ``hash_bits`` must match the width the persisted index was
+    built at: gh is BIGINT at 60 and STRING (md5 hex) at 128, so a
+    mismatched probe would let the join key coerce, null every
+    comparison, and return ZERO hits instead of failing — validated
+    against the index's gh dtype up front (r15 advice)."""
+    from pyspark.sql.types import LongType, StringType
+
+    expected = LongType() if hash_bits == 60 else StringType()
+    actual = index.schema["gh"].dataType
+    if actual != expected:
+        built_at = 60 if isinstance(actual, LongType) else 128
+        raise ValueError(
+            f"probe_gram_index(hash_bits={hash_bits}) against an index"
+            f" whose gh is {actual.simpleString()} (built at"
+            f" hash_bits={built_at}): the coerced join would silently"
+            " return zero hits — probe with the width the index was"
+            " written at, or rewrite the index"
+        )
     grams = gram_positions(
         batch, k=k, text_col=text_col, id_col=id_col, hash_bits=hash_bits
     )

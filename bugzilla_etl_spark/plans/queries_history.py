@@ -1018,7 +1018,8 @@ def stream_bug_versions(
     Session-scope constraint: the shuffle-partition pin below mutates
     SESSION-GLOBAL conf for the query's lifetime; a query running
     concurrently on the same SparkSession during awaitTermination
-    would silently inherit partitions=16.  Fine for the single-query
+    would silently inherit partitions=n_buckets (default 4).  Fine
+    for the single-query
     harness; concurrent use needs a cloned session
     (``spark.newSession()``) so the pin scopes to this query."""
 

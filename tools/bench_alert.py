@@ -169,7 +169,7 @@ NON_QUERY = {
     "comparable23", "comparable23_total", "engine_etl", "dedup_sim",
     "llm_text", "tpch", "n_queries", "runs_per_query", "sf", "value",
     "n", "rc", "cpus", "noop_1batch", "noop_3batch",
-    "per_batch_overhead",
+    "per_batch_overhead", "measured_at",
     # r13 bench diagnostics: the `splits` sub-dict's timing keys and
     # the io probe's start/end — recovered by the same tail regex,
     # never query timings
@@ -226,7 +226,7 @@ def load_bench(path: str) -> dict:
             "tail-partial" if '"queries":' in tail else "tail-median-only"
         ),
     }
-    for key in ("comparable23_total", "value", "sf"):
+    for key in ("comparable23_total", "value", "sf", "measured_at"):
         m = re.search(rf'"{key}": ([0-9.]+)', tail)
         if m:
             out[key] = float(m.group(1))
@@ -313,13 +313,28 @@ def check(
         # (r15 review).
         import time
 
-        age = time.time() - os.path.getmtime(bench_path)
+        # Age from the embedded measured_at when the lane recorded
+        # one — a committed artifact's mtime is reset by any git
+        # checkout/clone, so a lane measured days ago under genuine
+        # host tax could look "fresh" via mtime and trigger the
+        # synthetic cap, firing exactly the false alerts this window
+        # exists to prevent (r15 advice, medium).  mtime is the
+        # fallback for pre-r16 artifacts, flagged as such.
+        measured_at = cur.get("measured_at")
+        if measured_at is not None:
+            age = time.time() - float(measured_at)
+            age_src = "measured_at"
+        else:
+            age = time.time() - os.path.getmtime(bench_path)
+            age_src = "mtime (no measured_at field; pre-r16 artifact)"
+        hf_detail = {**hf_detail, "age_source": age_src}
         if age > CORROBORATE_MAX_AGE_S and synth is None:
             hf_detail = {
                 **hf_detail,
                 "note": (
                     f"calibration median {hf} NOT corroborated: the"
-                    f" artifact is {age / 3600:.1f} h old, beyond the"
+                    f" artifact is {age / 3600:.1f} h old (per"
+                    f" {age_src}), beyond the"
                     f" {CORROBORATE_MAX_AGE_S // 3600} h window where"
                     " a probe of the current host says anything"
                     " about the lane's conditions — median kept"
@@ -414,27 +429,65 @@ def check(
                 )
         report["moved_1p3x_raw_count"] = raw_moves
 
-    # streaming lane: same 2x rule over the streaming pins; the
-    # streambench runs on the same host in the same round, so the
-    # batch lane's host factor applies (the streaming set has no
-    # calibration members of its own)
+    # streaming lane: same 2x rule over the streaming pins.  The
+    # batch lane's host factor applies ONLY when the two artifacts
+    # were demonstrably measured under the same conditions — same
+    # round suffix AND embedded measured_at within the corroboration
+    # window.  Otherwise a taxed batch lane (factor up to 3.0) would
+    # silently forgive a real streaming regression of the same
+    # magnitude (r15 advice, low); on any mismatch the streaming
+    # rules fall back to the uncalibrated factor 1.0, which can only
+    # over-fire, never miss.
     measured = set(queries)
     if stream_path:
         report["streambench"] = os.path.basename(stream_path)
         with open(stream_path) as f:
             sb = json.load(f)
+        stream_hf, sh_note = hf, None
+        br = re.search(r"_r(\d+)", os.path.basename(bench_path))
+        sr = re.search(r"_r(\d+)", os.path.basename(stream_path))
+        if not br or not sr or br.group(1) != sr.group(1):
+            stream_hf, sh_note = 1.0, (
+                f"round mismatch ({os.path.basename(bench_path)} vs"
+                f" {os.path.basename(stream_path)}) — batch"
+                " host_factor not borrowed, streaming uncalibrated"
+            )
+        else:
+            bm, sm = cur.get("measured_at"), sb.get("measured_at")
+            if bm is not None and sm is not None:
+                gap = abs(float(bm) - float(sm))
+                if gap > CORROBORATE_MAX_AGE_S:
+                    stream_hf, sh_note = 1.0, (
+                        f"lanes measured {gap / 3600:.1f} h apart,"
+                        f" beyond the {CORROBORATE_MAX_AGE_S // 3600} h"
+                        " same-conditions window — batch host_factor"
+                        " not borrowed, streaming uncalibrated"
+                    )
+            elif bm is None and sm is None:
+                sh_note = (
+                    "pre-r16 artifacts (no measured_at): same-round"
+                    " match accepted on filename alone"
+                )
+            else:
+                stream_hf, sh_note = 1.0, (
+                    "one lane lacks measured_at — same-conditions"
+                    " check impossible, streaming uncalibrated"
+                )
+        report["stream_host_factor"] = stream_hf
+        if sh_note:
+            report["stream_calibration_note"] = sh_note
         for name, t in sorted(sb.get("queries", {}).items()):
             measured.add(name)
             pin = pins.get(name)
             if pin is None:
                 report["unpinned"].append(name)
                 continue
-            if t / hf > 2 * pin:
+            if t / stream_hf > 2 * pin:
                 report["alerts"].append(
                     {
                         "query": name,
                         "sec": t,
-                        "calibrated_sec": round(t / hf, 3),
+                        "calibrated_sec": round(t / stream_hf, 3),
                         "pin": pin,
                         "alert": round(2 * pin, 2),
                     }

@@ -154,6 +154,11 @@ def main() -> None:
         "n_queries": len(timings),
         "value": round(sum(timings.values()), 3),
         "sf": sf,
+        # Embedded measurement time (not mtime — reset by checkout):
+        # bench_alert cross-checks this against the batch lane's
+        # before borrowing its host_factor for streaming pins
+        # (r15 advice, low).
+        "measured_at": int(time.time()),
     }
     print(json.dumps(out))
 
