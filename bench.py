@@ -193,6 +193,10 @@ HEADLINE = [
     # the training-sequence materializer consuming it)
     "bpe_encode",
     "seq_packing_ids",
+    # round-16 additions (the large-vocab join-mode encode; the
+    # mixing materializer)
+    "bpe_encode_join",
+    "mix_apply",
 ]
 
 # The original 23-query set pinned against BASELINE.md — summed into

@@ -60,11 +60,13 @@ _loaded = False
 # stream_bpe_encode: frozen tokenizer now a persisted store artifact
 # loaded at stream start), then the full 37-row r12-stale cohort
 # (the r15 verdict's rotate-next list, exactly), topped up to 50
-# with the 10 oldest r13 greens in ledger order (the verdict said
-# 13, assuming no new/touched entries; never-tested and
-# behavior-touched take precedence per the standing policy).
+# with the 9 oldest r13 greens in ledger order (the verdict said
+# 13, assuming no new/touched entries; the TWO never-tested
+# entries (mix_apply #192, bpe_encode_join #191) and the two
+# behavior-touched ones take precedence per the standing policy).
 _PRIORITY = (
     "mix_apply",
+    "bpe_encode_join",
     "bpe_encode",
     "stream_bpe_encode",
     "comments_etl",
@@ -113,13 +115,13 @@ _PRIORITY = (
     "compaction_plan",
     "cooccurrence_pmi",
     "count_min_freq",
-    "date_normalize",
 )
 # Rotated past position 50: every entry here has a GREEN r12, r13
 # or r14 driver row (the freshest in the ledger), is re-verified by
 # the local gate (tools/verify_local.py, driver-strict
 # canonicalizer) every round, and rotates back in r16+.
 _DEPRIORITY = (
+    "date_normalize",
     "activity_invert",
     "alias_analysis",
     "alias_compact",

@@ -942,19 +942,43 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside whole-stage codegen — zero corpus shuffles, no Python.
     At 100 TB with a vocab too large to broadcast (rare: even a
     billion-token web corpus has ~1e7-1e8 distinct lowercased terms,
-    a few GB of map), drop the fold and broadcast hint and the same
-    plan becomes a token-grain shuffle hash join on term — still one
-    corpus shuffle, documented fallback.
+    a few GB of map), ``map_mode="join"`` swaps the fold for a
+    token-grain shuffle hash join on term — two token-grain
+    exchanges (join + doc regroup), wired and oracle-checked as its
+    own catalog entry #191 ``bpe_encode_join`` (r15 verdict task 2).
     reference scope: training-data pipeline extension (pairs with
     #93/#183; r14 verdict task 8)."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe_encode_docs(docs, bpe_tokenizer_map(spark, docs))
 
 
-def bpe_tokenizer_map(spark: SparkSession, train_docs: DataFrame) -> DataFrame:
-    """Learn the BPE tokenizer over ``train_docs`` and fold it to a
-    ONE-ROW (term → id-sequence) map frame — the broadcastable
-    artifact the encode pass (and its ingest twin) consumes.
+@register("bpe_encode_join", oracle=duck_bpe_encode())
+def bpe_encode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#188's large-vocab fallback as a first-class oracle-checked
+    entry: identical output contract (same DuckDB oracle — whose
+    own shape IS the join form), but the vocab is consumed at TERM
+    grain via ``map_mode="join"`` instead of the one-row broadcast
+    map — the plan a 100 TB corpus runs when the folded map exceeds
+    broadcast size.  Exactly two token-grain exchanges (shuffle-hash
+    join on term, then the per-doc position-order regroup), zero
+    broadcast of the vocab (plan-asserted), no global window.
+    reference scope: training-data pipeline extension (r15 verdict
+    task 2 — the hash_bits precedent: a documented scale knob must
+    be a WIRED, oracle-checked parameter, not prose)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_docs(
+        docs, bpe_tokenizer_terms(spark, docs), map_mode="join"
+    )
+
+
+def bpe_tokenizer_terms(
+    spark: SparkSession, train_docs: DataFrame
+) -> DataFrame:
+    """Learn the BPE tokenizer over ``train_docs`` and return the
+    VOCAB-grain (term, ids) frame — each distinct term mapped to its
+    token-id sequence.  This is the join-mode encode input
+    (``bpe_encode_docs(map_mode="join")``) and the stage
+    ``bpe_tokenizer_map`` folds into the one-row broadcast map.
 
     Ids are deterministic dense ranks WITHOUT a global unpartitioned
     window (the fleet ban: at 100 TB the symbol table is vocab-sized
@@ -1017,6 +1041,21 @@ def bpe_tokenizer_map(spark: SparkSession, train_docs: DataFrame) -> DataFrame:
             F.expr("transform(ps, s -> s.tok_id)").alias("ids"),
         )
     )
+    return term_ids
+
+
+def bpe_tokenizer_map(spark: SparkSession, train_docs: DataFrame) -> DataFrame:
+    """``bpe_tokenizer_terms`` folded to the ONE-ROW (term →
+    id-sequence) map frame — the broadcastable artifact the
+    broadcast-mode encode pass (and its ingest twin) consumes."""
+    return fold_term_map(bpe_tokenizer_terms(spark, train_docs))
+
+
+def fold_term_map(term_ids: DataFrame) -> DataFrame:
+    """Fold a (term, ids) frame into the one-row map literal the
+    broadcast encode path crossJoins — separated out so a SAVED
+    vocab-grain tokenizer artifact can be folded at load time
+    without re-learning (the stream_bpe_encode store path)."""
     return term_ids.agg(
         F.map_from_entries(
             F.collect_list(F.struct("term", "ids"))
@@ -1030,21 +1069,47 @@ def bpe_encode_docs(
     unk: bool = False,
     carry: tuple[str, ...] = (),
     ids_array: bool = False,
+    map_mode: str = "broadcast",
 ) -> DataFrame:
-    """Encode ``docs`` (doc_id, text) with a broadcast 1-row
-    tokenizer map: one map-only corpus pass (element_at lookups in
-    codegen, zero corpus shuffles).  With ``unk`` an out-of-
-    vocabulary term contributes the single id 0 — the ingest twin's
-    policy, where incoming docs carry terms the frozen reference
-    tokenizer never saw; without it the lookup is exact by
-    construction (vocab == corpus).  ``carry`` lists extra input
-    columns to pass through unchanged (e.g. the source stream a
-    downstream packer partitions by).  ``ids_array`` swaps the
-    space-joined ``token_ids`` string for the raw ``ids``
+    """Encode ``docs`` (doc_id, text) with the learned tokenizer.
+
+    ``map_mode`` picks the vocab-distribution strategy (the r15
+    verdict's wire-the-prose task, the ``hash_bits`` precedent):
+
+    - ``"broadcast"`` (default): ``tok_map`` is the ONE-ROW map from
+      ``bpe_tokenizer_map`` — one map-only corpus pass (element_at
+      lookups in codegen, zero corpus exchanges).  The right plan
+      whenever the vocab fits a broadcast (even a billion-token web
+      corpus has ~1e7-1e8 distinct lowercased terms, a few GB).
+    - ``"join"``: ``tok_map`` is the VOCAB-grain (term, ids) frame
+      from ``bpe_tokenizer_terms`` — the large-vocab fallback when
+      the folded map exceeds broadcast size.  posexplode_outer the
+      term stream, shuffle-hash join on term (hinted: AQE would
+      broadcast a test-scale vocab, bypassing the shape being
+      demonstrated), re-aggregate per doc in position order.  Costs
+      exactly TWO token-grain exchanges — the term-keyed join and
+      the doc_id regroup; the earlier prose claiming "one corpus
+      shuffle" undercounted the regroup, corrected here.  No global
+      window; empty docs survive via posexplode_outer's null row.
+
+    With ``unk`` an out-of-vocabulary term contributes the single
+    id 0 — the ingest twin's policy, where incoming docs carry terms
+    the frozen reference tokenizer never saw; without it the lookup
+    is exact by construction (vocab == corpus; a hypothetical OOV
+    term drops, matching the oracle's inner join).  ``carry`` lists
+    extra input columns to pass through unchanged (e.g. the source
+    stream a downstream packer partitions by).  ``ids_array`` swaps
+    the space-joined ``token_ids`` string for the raw ``ids``
     array<bigint> — the form a downstream TOKEN-grain consumer
     (seq_packing_ids) wants; serializing the whole token stream to
     a string only to regex-split it back would be pure waste on
     that path (r15 review)."""
+    if map_mode not in ("broadcast", "join"):
+        raise ValueError(
+            f"map_mode must be 'broadcast' or 'join', got {map_mode!r}"
+        )
+    if map_mode == "join":
+        return _bpe_encode_docs_join(docs, tok_map, unk, carry, ids_array)
     lookup = "element_at(_m, t)"
     if unk:
         lookup = f"coalesce({lookup}, array(cast(0 AS bigint)))"
@@ -1071,4 +1136,70 @@ def bpe_encode_docs(
             F.size(F.expr(enc)).cast("long").alias("n_tokens"),
             payload,
         )
+    )
+
+
+def _bpe_encode_docs_join(
+    docs: DataFrame,
+    term_ids: DataFrame,
+    unk: bool,
+    carry: tuple[str, ...],
+    ids_array: bool,
+) -> DataFrame:
+    """map_mode="join" body: the large-vocab fallback documented in
+    ``bpe_encode_docs``.  One pass, no rejoin: n_terms and the carry
+    columns ride the exploded term stream (a long and the caller's
+    scalars — not the token array), so the doc row reassembles in
+    the same aggregation that reassembles the ids."""
+    toks = F.coalesce(
+        F.filter(T.tokens("text"), lambda t: t != F.lit("")),
+        F.array().cast("array<string>"),
+    )
+    stream = docs.select(
+        "doc_id", *carry, toks.alias("_tk")
+    ).select(
+        "doc_id",
+        *carry,
+        F.size("_tk").cast("long").alias("n_terms"),
+        F.posexplode_outer("_tk").alias("pos", "term"),
+    )
+    joined = stream.join(term_ids.hint("shuffle_hash"), "term", "left")
+    empty = F.array().cast("array<bigint>")
+    if unk:
+        ids_eff = F.when(F.col("term").isNull(), empty).otherwise(
+            F.coalesce(
+                F.col("ids"), F.array(F.lit(0).cast("bigint"))
+            )
+        )
+    else:
+        # a null here is either the empty-doc sentinel row or a
+        # (contract-violating) OOV term; both contribute the empty
+        # sequence — identical to the oracle's inner join dropping
+        # the token while the doc row survives the outer CTE join
+        ids_eff = F.coalesce(F.col("ids"), empty)
+    enc = (
+        joined.select(
+            "doc_id", *carry, "n_terms", "pos", ids_eff.alias("_tids")
+        )
+        .groupBy("doc_id", *carry, "n_terms")
+        .agg(
+            F.expr(
+                "flatten(transform(array_sort(collect_list("
+                "struct(pos, _tids))), s -> s._tids))"
+            ).alias("_ids")
+        )
+    )
+    payload = (
+        F.col("_ids").alias("ids")
+        if ids_array
+        else F.array_join(
+            F.expr("transform(_ids, x -> cast(x AS string))"), " "
+        ).alias("token_ids")
+    )
+    return enc.select(
+        "doc_id",
+        *carry,
+        "n_terms",
+        F.size("_ids").cast("long").alias("n_tokens"),
+        payload,
     )

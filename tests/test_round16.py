@@ -181,3 +181,123 @@ def test_probe_gram_index_rejects_width_mismatch(spark, tmp_path):
             probe_gram_index(spark.table(name128), batch, hash_bits=60)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name128}")
+
+
+# --- bpe_encode map_mode={broadcast,join} (r15 verdict task 2) ----
+
+
+def _join_mode_fixture(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower low"),
+            (2, None),
+            (3, ""),
+            (4, "newest low oov_term"),
+        ],
+        "doc_id long, text string",
+    )
+    term_ids = spark.createDataFrame(
+        [("low", [1]), ("lower", [2, 3]), ("newest", [4])],
+        "term string, ids array<bigint>",
+    )
+    return docs, term_ids
+
+
+def test_bpe_encode_join_mode_semantics(spark):
+    """Join mode reproduces the broadcast contract on hostile rows:
+    empty/null docs survive with zero tokens, order is positional,
+    and the unk policy maps OOV to id 0 (without unk the OOV token
+    drops, matching the oracle's inner join)."""
+    from bugzilla_etl_spark.plans.queries_text import bpe_encode_docs
+
+    docs, term_ids = _join_mode_fixture(spark)
+    out = {
+        r.doc_id: r
+        for r in bpe_encode_docs(
+            docs, term_ids, unk=True, map_mode="join"
+        ).collect()
+    }
+    assert out[1].token_ids == "1 2 3 1" and out[1].n_tokens == 4
+    assert out[2].n_terms == 0 and out[2].token_ids == ""
+    assert out[3].n_terms == 0 and out[3].token_ids == ""
+    assert out[4].token_ids == "4 1 0"  # oov -> unk id 0
+    strict = {
+        r.doc_id: r
+        for r in bpe_encode_docs(
+            docs, term_ids, unk=False, map_mode="join"
+        ).collect()
+    }
+    assert strict[4].token_ids == "4 1"  # oov token dropped, doc kept
+    assert strict[2].token_ids == ""
+
+
+def test_bpe_encode_join_mode_plan_shape(spark):
+    """The large-vocab plan contract: NO broadcast of the vocab (the
+    whole point — it doesn't fit), a shuffle-hash join on term,
+    exactly THREE hash exchanges total (term x2 — probe and vocab
+    build side — plus the doc_id regroup; the corpus pays the two
+    token-grain ones), and no unpartitioned window."""
+    import contextlib
+    import io
+    import re
+
+    from bugzilla_etl_spark.plans.queries_text import bpe_encode_docs
+
+    docs, term_ids = _join_mode_fixture(spark)
+    out = bpe_encode_docs(docs, term_ids, unk=True, map_mode="join")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3, plan
+    assert "Window" not in plan, plan
+
+
+def test_bpe_encode_docs_rejects_unknown_map_mode(spark):
+    from bugzilla_etl_spark.plans.queries_text import bpe_encode_docs
+
+    docs, term_ids = _join_mode_fixture(spark)
+    with pytest.raises(ValueError, match="map_mode"):
+        bpe_encode_docs(docs, term_ids, map_mode="hybrid")
+
+
+def test_bpe_encode_modes_agree_end_to_end(spark, sf_dir):
+    """Both catalog entries — #188 (broadcast fold) and #191 (term
+    join) — produce IDENTICAL rows over the real documents table:
+    the mode knob changes the physical strategy, never the result."""
+    from bugzilla_etl_spark.plans import catalog
+
+    a = catalog.QUERIES["bpe_encode"](spark, sf_dir)
+    b = catalog.QUERIES["bpe_encode_join"](spark, sf_dir)
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bpe_encode_join_ids_array_and_carry(spark):
+    """The seq_packing_ids consumer surface works in join mode too:
+    ids_array returns array<bigint> and carry columns pass through."""
+    from bugzilla_etl_spark.plans.queries_text import bpe_encode_docs
+
+    docs = spark.createDataFrame(
+        [(1, "low lower", "web"), (2, None, "code")],
+        "doc_id long, text string, source string",
+    )
+    term_ids = spark.createDataFrame(
+        [("low", [1]), ("lower", [2, 3])],
+        "term string, ids array<bigint>",
+    )
+    out = {
+        r.doc_id: r
+        for r in bpe_encode_docs(
+            docs,
+            term_ids,
+            carry=("source",),
+            ids_array=True,
+            map_mode="join",
+        ).collect()
+    }
+    assert out[1].ids == [1, 2, 3] and out[1].source == "web"
+    assert out[2].ids == [] and out[2].source == "code"
