@@ -11,7 +11,7 @@ lands in the same bucket).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -613,3 +613,31 @@ def bpe_learn(vocab: DataFrame, rounds: int = 4) -> DataFrame:
         F.concat_ws(" ", "l").alias("bpe"),
         F.size("l").alias("n_sym"),
     )
+
+
+#: The persisted tokenizer artifact's schema — VOCAB grain (one row
+#: per distinct term), the shape that serves BOTH encode modes: fold
+#: it for the broadcast one-row map, join it directly at term grain.
+TOKENIZER_SCHEMA = "term string, ids array<bigint>"
+
+
+def save_tokenizer(term_ids: DataFrame, path: str) -> str:
+    """Persist a learned tokenizer's (term, ids) frame as a parquet
+    store artifact — the production shape (the write_gram_index /
+    alias_compact precedent): the tokenizer trains ONCE, the
+    artifact is SAVED, and every later consumer (a stream start, a
+    new encode job) loads it instead of re-running the merge loop
+    (r15 verdict task 3).  Saved at vocab grain, not as the folded
+    one-row map: a few-GB map in a single parquet row would defeat
+    both column pruning and parallel read, while vocab-grain rows
+    split across files and fold (or join) at load time."""
+    term_ids.write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_tokenizer(spark: SparkSession, path: str) -> DataFrame:
+    """Load a ``save_tokenizer`` artifact: the vocab-grain (term,
+    ids) frame, schema-pinned so an empty artifact dir still yields
+    the right shape.  Feed to ``fold_term_map`` for broadcast-mode
+    encode or pass straight to ``bpe_encode_docs(map_mode="join")``."""
+    return spark.read.schema(TOKENIZER_SCHEMA).parquet(path)

@@ -2404,8 +2404,9 @@ def stream_dedup_spans(
 
 from bugzilla_etl_spark.plans.queries_text import (  # noqa: E402
     bpe_encode_docs,
-    bpe_tokenizer_map,
+    bpe_tokenizer_terms,
     duck_bpe_encode,
+    fold_term_map,
 )
 
 
@@ -2417,7 +2418,9 @@ from bugzilla_etl_spark.plans.queries_text import (  # noqa: E402
         unk=True,
     ),
 )
-def stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_bpe_encode(
+    spark: SparkSession, sf_dir: str, tokenizer_path: str | None = None
+) -> DataFrame:
     """Ingestion-time tokenization — the tokenize family's ingest
     twin (stream_doc_chunks is chunking's, stream_dedup_spans the
     span family's): the tokenizer is trained ONCE on the reference
@@ -2436,15 +2439,33 @@ def stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle is the pure batch SQL over the same halves.
 
     Scale shape: train-side cost is the #183 loop (vocab grain, paid
-    once before the stream starts); per-batch cost is the map-only
-    encode projection — zero shuffles, zero stream state beyond
-    source offsets, no watermark because there is no state, so ANY
-    arrival order converges (order-sweep CONVERGE set).  Batch-keyed
-    output dirs keep checkpoint replays idempotent.
+    once BEFORE the stream exists); the frozen tokenizer is a REAL
+    store artifact (``save_tokenizer`` — the write_gram_index /
+    alias_compact precedent), saved as vocab-grain parquet and
+    LOADED at stream start (r15 verdict task 3: production serves a
+    saved artifact; re-training per stream start was a harness
+    artifact, and it made the bench pin protocol-sensitive — fresh
+    4.932 s vs warm 3.956 s was the learn loop, not the stream).
+    Per-batch cost is the map-only encode projection — zero
+    shuffles, zero stream state beyond source offsets, no watermark
+    because there is no state, so ANY arrival order converges
+    (order-sweep CONVERGE set).  Batch-keyed output dirs keep
+    checkpoint replays idempotent.
+
+    ``tokenizer_path``: an existing ``save_tokenizer`` artifact to
+    serve (the production call shape — streambench prices the train
+    cost separately through it); None (the driver's self-contained
+    shape) trains on the reference half, saves, and serves the
+    round-tripped artifact — so the oracle gate exercises the full
+    save → load → encode path every invocation.
     reference scope: training-data pipeline extension (ingest-twin
     pattern; pairs with #188)."""
     import shutil
 
+    from bugzilla_etl_spark.operators.text import (
+        load_tokenizer,
+        save_tokenizer,
+    )
     from bugzilla_etl_spark.streaming.landing import (
         arrival_mode,
         land_parts,
@@ -2455,11 +2476,14 @@ def stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference = docs.where(F.col("doc_id") % 2 == 0)
     incoming = docs.where(F.col("doc_id") % 2 == 1)
 
-    # train once, freeze: materialize the one-row map so each
-    # micro-batch broadcasts the SAME frozen artifact instead of
-    # re-running the merge loop (persist + count, released in the
-    # finally — the learn loop's own caches are nonce-guarded)
-    tok_map = bpe_tokenizer_map(spark, reference).persist()
+    # train once, SAVE, freeze: the artifact round-trips through the
+    # store, then folds to the one-row map each micro-batch
+    # broadcasts (persist + count, released in the finally — the
+    # learn loop's own caches are nonce-guarded)
+    if tokenizer_path is None:
+        tokenizer_path = tracked_mkdtemp(prefix="bes_sbetok_")
+        save_tokenizer(bpe_tokenizer_terms(spark, reference), tokenizer_path)
+    tok_map = fold_term_map(load_tokenizer(spark, tokenizer_path)).persist()
     tok_map.count()
 
     landing = tracked_mkdtemp(prefix="bes_sbe_")

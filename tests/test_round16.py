@@ -301,3 +301,93 @@ def test_bpe_encode_join_ids_array_and_carry(spark):
     }
     assert out[1].ids == [1, 2, 3] and out[1].source == "web"
     assert out[2].ids == [] and out[2].source == "code"
+
+
+# --- persisted tokenizer artifact (r15 verdict task 3) ------------
+
+
+def test_tokenizer_save_load_roundtrip(spark, tmp_path):
+    """save_tokenizer → load_tokenizer is lossless: the loaded
+    vocab-grain frame folds to the same one-row map and encodes
+    identically to the in-memory path, in BOTH encode modes."""
+    from bugzilla_etl_spark.operators.text import (
+        load_tokenizer,
+        save_tokenizer,
+    )
+    from bugzilla_etl_spark.plans.queries_text import (
+        bpe_encode_docs,
+        bpe_tokenizer_terms,
+        fold_term_map,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower low"), (2, "newest widest"), (3, None)],
+        "doc_id long, text string",
+    )
+    terms = bpe_tokenizer_terms(spark, docs)
+    path = str(tmp_path / "tok")
+    save_tokenizer(terms, path)
+    loaded = load_tokenizer(spark, path)
+    tkey = lambda rows: sorted(  # noqa: E731
+        (r.term, list(r.ids)) for r in rows
+    )
+    assert tkey(terms.collect()) == tkey(loaded.collect()), (
+        "vocab-grain artifact must round-trip bit-identically"
+    )
+    key = lambda df: sorted(  # noqa: E731
+        tuple(r.asDict().values()) for r in df.collect()
+    )
+    direct = key(bpe_encode_docs(docs, fold_term_map(terms)))
+    via_store_bcast = key(bpe_encode_docs(docs, fold_term_map(loaded)))
+    via_store_join = key(bpe_encode_docs(docs, loaded, map_mode="join"))
+    assert direct == via_store_bcast == via_store_join
+
+
+def test_load_tokenizer_empty_artifact_dir(spark, tmp_path):
+    """An artifact dir holding an empty-vocab write still loads with
+    the pinned schema and encodes every doc to the empty sequence
+    (the empty-corpus contract riding through the store)."""
+    from bugzilla_etl_spark.operators.text import (
+        TOKENIZER_SCHEMA,
+        load_tokenizer,
+        save_tokenizer,
+    )
+    from bugzilla_etl_spark.plans.queries_text import (
+        bpe_encode_docs,
+        fold_term_map,
+    )
+
+    empty = spark.createDataFrame([], TOKENIZER_SCHEMA)
+    path = str(tmp_path / "tok0")
+    save_tokenizer(empty, path)
+    loaded = load_tokenizer(spark, path)
+    assert loaded.count() == 0
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    out = bpe_encode_docs(docs, fold_term_map(loaded), unk=True).collect()
+    assert out[0].n_tokens == 2 and out[0].token_ids == "0 0"
+
+
+def test_stream_bpe_encode_serves_prebuilt_artifact(spark, sf_dir, tmp_path):
+    """The production call shape: a tokenizer artifact saved BEFORE
+    the stream exists is served via tokenizer_path and yields rows
+    identical to the self-contained train+save path — proving the
+    entry's wall time is the only thing the knob changes."""
+    from bugzilla_etl_spark.operators.text import save_tokenizer
+    from bugzilla_etl_spark.plans import catalog
+    from bugzilla_etl_spark.plans.queries_history import stream_bpe_encode
+    from bugzilla_etl_spark.plans.queries_text import bpe_tokenizer_terms
+    from bugzilla_etl_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    art = str(tmp_path / "frozen")
+    save_tokenizer(
+        bpe_tokenizer_terms(spark, docs.where(F.col("doc_id") % 2 == 0)),
+        art,
+    )
+    served = stream_bpe_encode(spark, sf_dir, tokenizer_path=art)
+    default = catalog.QUERIES["stream_bpe_encode"](spark, sf_dir)
+    assert served.columns == default.columns
+    a = sorted(tuple(r.asDict().values()) for r in served.collect())
+    b = sorted(tuple(r.asDict().values()) for r in default.collect())
+    assert a == b

@@ -170,6 +170,7 @@ NON_QUERY = {
     "llm_text", "tpch", "n_queries", "runs_per_query", "sf", "value",
     "n", "rc", "cpus", "noop_1batch", "noop_3batch",
     "per_batch_overhead", "measured_at",
+    "stream_bpe_encode_train_save_sec",
     # r13 bench diagnostics: the `splits` sub-dict's timing keys and
     # the io probe's start/end — recovered by the same tail regex,
     # never query timings

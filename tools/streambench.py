@@ -109,6 +109,38 @@ def main() -> None:
 
     from bugzilla_etl_spark.streaming import progress as _progress
 
+    # stream_bpe_encode serves a SAVED tokenizer artifact in
+    # production (r15 verdict task 3); price the one-time train+save
+    # separately and time the entry on the LOAD path — the pin is
+    # then protocol-insensitive (no fresh-vs-warm learn-loop delta).
+    # Plain mkdtemp, NOT tracked: the per-pass gc_now() below would
+    # delete a tracked artifact between runs.
+    import shutil
+    import tempfile
+
+    prep_kwargs: dict[str, dict] = {}
+    prepared: dict[str, float] = {}
+    art_dir = None
+    if "stream_bpe_encode" in STREAMING:
+        from pyspark.sql import functions as F
+
+        from bugzilla_etl_spark.operators.text import save_tokenizer
+        from bugzilla_etl_spark.plans.queries_text import (
+            bpe_tokenizer_terms,
+        )
+        from bugzilla_etl_spark.sources import load_table
+
+        art_dir = tempfile.mkdtemp(prefix="bes_sbtokart_")
+        t0 = time.perf_counter()
+        ref_docs = load_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % 2 == 0
+        )
+        save_tokenizer(bpe_tokenizer_terms(spark, ref_docs), art_dir)
+        prepared["stream_bpe_encode_train_save_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+        prep_kwargs["stream_bpe_encode"] = {"tokenizer_path": art_dir}
+
     timings: dict[str, float] = {}
     progress: dict[str, dict] = {}
     for name in STREAMING:
@@ -120,7 +152,9 @@ def main() -> None:
         for _ in range(N_RUNS):
             _progress.LAST.pop(name, None)
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            fn(
+                spark, sf_dir, **prep_kwargs.get(name, {})
+            ).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             if name in _progress.LAST and (not runs or dt < min(runs)):
                 best_prog = _progress.LAST[name]
@@ -130,6 +164,9 @@ def main() -> None:
         if best_prog:
             progress[name] = best_prog
 
+    if art_dir is not None:
+        shutil.rmtree(art_dir, ignore_errors=True)
+
     marginal = {
         n: round(max(t - noop1, 0.0), 3) for n, t in timings.items()
     }
@@ -138,6 +175,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "marginal": marginal,
+        # one-time artifact costs priced OUTSIDE the per-query walls
+        # (stream_bpe_encode's tokenizer train+save: paid before the
+        # stream exists in production, so not part of its pin)
+        "prepared": prepared,
         # winning pass's StreamingQueryProgress summary for entries
         # whose runner records one (the stream-stream interval
         # joins): state rows/memory and summed durationMs components
