@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bugzilla_etl_spark.functions.hashing import duckdb_hash64
+from bugzilla_etl_spark.functions.hashing import duckdb_hash64, hash64
 from bugzilla_etl_spark.operators import sampling as S
 from bugzilla_etl_spark.operators import text as T
 from bugzilla_etl_spark.plans.catalog import register
@@ -134,6 +134,94 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.size(T.tokens("text")).alias("n_tokens")
     )
     return S.mix_weights(docs, domain="lang", n_tokens="n_tokens")
+
+
+_H_MIX = duckdb_hash64("('m:' || CAST(d.doc_id AS VARCHAR))")
+
+
+@register(
+    "mix_apply",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM (SELECT lang, len({DUCK_TOKENS}) AS n_tokens
+              FROM documents)
+        GROUP BY lang
+    ),
+    w AS (
+        SELECT lang,
+               round((1.0 / count(*) OVER ())
+                     / (n_tokens / sum(n_tokens) OVER ()), 4) AS r
+        FROM per
+    ),
+    j AS (
+        SELECT d.doc_id, d.lang,
+               CAST(floor(w.r) AS BIGINT)
+               + CASE WHEN {_H_MIX} % 10000
+                           < CAST(round(w.r * 10000) AS BIGINT) % 10000
+                      THEN 1 ELSE 0 END AS n_rep
+        FROM documents d JOIN w USING (lang)
+    )
+    SELECT doc_id, lang,
+           CAST(unnest(range(0, n_rep)) AS BIGINT) AS epoch_ordinal
+    FROM j
+    """,
+)
+def mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixing MATERIALIZER — the step #46 plans but nothing
+    executed (the same planner→materializer gap #190 closed for
+    seq_packing; r15 verdict task 6): emit the actual epoch doc
+    stream a training run reads.  Each doc repeats
+    floor(repeat_factor) times (epoch ordinals 0..floor-1); the
+    FRACTIONAL remainder is realized per doc by a deterministic
+    portable-hash threshold (hash('m:'||doc_id) % 10000 against the
+    remainder in basis points), so the emitted per-domain doc mass
+    converges to n_docs x repeat_factor with zero randomness — the
+    same doc gets the extra epoch on every engine, every run, every
+    corpus extension.  Output (doc_id, lang, epoch_ordinal) is the
+    stream shuffle_shards (#45) shards and seq_packing_ids (#190)
+    packs.
+
+    Both engines compare INTEGERS (hash bp < round(r*10000) % 10000,
+    both derived from the 4-decimal ROUNDED repeat_factor #46
+    publishes) — no float threshold can disagree across engines.
+
+    Scale shape: the per-domain weight table is broadcast-size by
+    construction (|domains| rows — here |lang|); the corpus pass is
+    ONE broadcast join + an epoch-ordinal explode, zero corpus
+    shuffles (plan-asserted) — the explode multiplies rows by the
+    mixture's mean repeat factor, which is the OUTPUT size, not an
+    intermediate blow-up.  The empty-sequence WHEN guard keeps
+    Spark's descending-sequence surprise out for n_rep = 0
+    (down-sampled domains drop those docs entirely).
+    reference scope: training-data pipeline extension (completes the
+    mix chain #46 → #192 → #45/#190)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = S.mix_weights(
+        docs.select("lang", F.size(T.tokens("text")).alias("n_tokens")),
+        domain="lang",
+        n_tokens="n_tokens",
+    ).select("lang", "repeat_factor")
+    base = F.floor("repeat_factor").cast("long")
+    frac_bp = (
+        F.round(F.col("repeat_factor") * 10000).cast("long") % 10000
+    )
+    h_bp = F.pmod(
+        hash64(F.concat(F.lit("m:"), F.col("doc_id").cast("string"))),
+        F.lit(10000),
+    )
+    n_rep = base + (h_bp < frac_bp).cast("long")
+    epochs = F.when(
+        n_rep >= 1,
+        F.sequence(F.lit(0).cast("long"), n_rep - 1),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(w), "lang")
+        .select(
+            "doc_id", "lang", F.explode(epochs).alias("epoch_ordinal")
+        )
+    )
 
 
 # ---- PII scrub ------------------------------------------------------

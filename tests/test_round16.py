@@ -391,3 +391,88 @@ def test_stream_bpe_encode_serves_prebuilt_artifact(spark, sf_dir, tmp_path):
     a = sorted(tuple(r.asDict().values()) for r in served.collect())
     b = sorted(tuple(r.asDict().values()) for r in default.collect())
     assert a == b
+
+
+# --- mix_apply: the mixing materializer (r15 verdict task 6) ------
+
+
+def test_mix_apply_invariants_vs_planned_shares(spark, sf_dir):
+    """#192 executes #46's plan: per language the emitted doc mass
+    must be floor(r)*n_docs plus a hash-selected remainder cohort —
+    bounded by [floor(r), ceil(r)]*n_docs, within binomial noise of
+    n_docs*r, with (doc_id, epoch_ordinal) unique and ordinals
+    dense from 0."""
+    import math
+
+    from bugzilla_etl_spark.plans import catalog
+    from pyspark.sql import functions as F
+
+    catalog.load_all()
+    plan = {
+        r.lang: r.asDict()
+        for r in catalog.QUERIES["mix_weights"](spark, sf_dir).collect()
+    }
+    out = catalog.QUERIES["mix_apply"](spark, sf_dir)
+    emitted = {
+        r.lang: r.asDict()
+        for r in out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("docs"),
+            F.max("epoch_ordinal").alias("max_ord"),
+            F.min("epoch_ordinal").alias("min_ord"),
+        )
+        .collect()
+    }
+    assert out.count() == out.select("doc_id", "epoch_ordinal").distinct().count()
+    for lang, p in plan.items():
+        r = p["repeat_factor"]
+        n_docs = p["n_docs"]
+        lo, hi = math.floor(r), math.ceil(r)
+        if lang not in emitted:
+            assert lo == 0 and r < 1, (lang, r)
+            continue
+        e = emitted[lang]
+        assert lo * n_docs <= e["n"] <= hi * n_docs, (lang, r, e)
+        frac = r - lo
+        sd = math.sqrt(n_docs * frac * (1 - frac))
+        assert abs(e["n"] - n_docs * r) <= 4 * sd + 2, (lang, r, e)
+        assert e["min_ord"] == 0
+        assert e["max_ord"] <= hi - 1
+
+
+def test_mix_apply_plan_zero_corpus_exchanges(spark, sf_dir):
+    """The corpus pass is one broadcast join + an epoch explode —
+    the only exchanges in the plan belong to the broadcast-size
+    weight aggregation, so the corpus side plans ZERO hash
+    exchanges and no window at all."""
+    import contextlib
+    import io
+    import re
+
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    out = catalog.QUERIES["mix_apply"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, plan
+    # corpus side: scan -> project -> BroadcastHashJoin -> explode;
+    # hash exchanges may appear only under the (vocab-size) weight
+    # subtree feeding a BroadcastExchange
+    assert "BroadcastHashJoin" in plan, plan
+    # every Exchange must sit INSIDE a BroadcastExchange subtree
+    # (the |lang|-grain weight aggregations feeding the broadcast);
+    # in the indented tree a corpus-side shuffle would appear at
+    # shallower indentation than the first BroadcastExchange
+    tree = plan.split("(1) Scan")[0].splitlines()
+    bcast_depth = min(
+        line.index("BroadcastExchange")
+        for line in tree
+        if "BroadcastExchange" in line
+    )
+    for line in tree:
+        if re.search(r"\bExchange \(\d+\)", line):
+            assert line.index("Exchange") > bcast_depth, (line, plan)
