@@ -236,15 +236,21 @@ def stream_reader(spark, schema, srcdir: str):
 
 def write_heartbeats(path: str, srcdir: str, user_col: str = "user_id",
                      ts_col: str = "ts") -> None:
-    """Append two far-future heartbeat part files (one row each,
+    """Append ONE far-future heartbeat part file (two sentinel rows,
     ``user_col`` = -1) after the staged source files — the
-    punctuation pattern of stream_attribution's sentinels: the first
-    pushes the watermark past every real row, the second gives the
-    engine a batch in which to fire the event-time timeouts that
-    flush buffered state.  Arrival AFTER every staged part is made
-    explicit with ``_stamp_arrival_order`` (mtimes strictly past the
-    newest existing file — name order alone is only a tiebreak for
-    the mtime-dispatched file source).  Consumers filter
+    punctuation pattern of stream_attribution's sentinels: it pushes
+    the watermark past every real row, and the engine's trailing
+    NO-DATA micro-batch (noDataMicroBatches, on by default — run by
+    availableNow whenever the watermark advanced) fires the
+    event-time timeouts that flush buffered state.  Until r16 the
+    two rows shipped as two FILES, buying the timeout a dedicated
+    data batch — measured redundant (the no-data batch fires them
+    identically: same 10 000 rows, one fewer micro-batch at
+    maxFilesPerTrigger=1 — the r15 verdict's heartbeat-drain
+    residual).  Arrival AFTER every staged part is made explicit
+    with ``_stamp_arrival_order`` (mtimes strictly past the newest
+    existing file — name order alone is only a tiebreak for the
+    mtime-dispatched file source).  Consumers filter
     ``user_col >= 0``."""
     import datetime
     import os
@@ -261,6 +267,7 @@ def write_heartbeats(path: str, srcdir: str, user_col: str = "user_id",
         return
     mx = tbl.column(ts_col).to_numpy().max()
     mx = pa.array([mx]).cast(pa.timestamp("us"))[0].as_py()
+    parts = []
     for i, days in enumerate((30, 31), start=1):
         far = mx + datetime.timedelta(days=days)
         cols = []
@@ -273,8 +280,9 @@ def write_heartbeats(path: str, srcdir: str, user_col: str = "user_id",
                 cols.append(pa.array([-i], type=field.type))
             else:
                 cols.append(pa.array([None], type=field.type))
-        pq.write_table(
-            pa.table(cols, schema=schema),
-            os.path.join(srcdir, f"zz_hb{i}.parquet"),
-        )
-    _stamp_arrival_order(srcdir, ["zz_hb1.parquet", "zz_hb2.parquet"])
+        parts.append(pa.table(cols, schema=schema))
+    pq.write_table(
+        pa.concat_tables(parts),
+        os.path.join(srcdir, "zz_hb1.parquet"),
+    )
+    _stamp_arrival_order(srcdir, ["zz_hb1.parquet"])

@@ -810,14 +810,16 @@ def _sessionize_state_ooo(
 
     tsl = np.asarray(buf_tsl, dtype=np.int64)
     eid = np.asarray(buf_eid, dtype=np.int64)
-    if state.hasTimedOut:
-        fmask = np.ones(len(tsl), dtype=bool)
-    else:
-        # fully-passed seconds only — tsl is second-floored while
-        # the watermark keeps full ts precision (same boundary as
-        # _pv_state_ooo; here the output is tie-insensitive but the
-        # masks should agree)
-        fmask = (tsl + 1) * 1000 <= wm_ms
+    # fully-passed seconds only — tsl is second-floored while the
+    # watermark keeps full ts precision (same boundary as
+    # _pv_state_ooo; here the output is tie-insensitive but the
+    # masks should agree).  The SAME mask applies on a timeout
+    # invocation: a timeout only certifies the watermark passed the
+    # armed timestamp, and every close decision below re-derives
+    # from the CURRENT watermark — the pre-r16 all-ones timeout mask
+    # was equivalent when the arm point covered all buffered rows,
+    # and wrong in no case this one isn't.
+    fmask = (tsl + 1) * 1000 <= wm_ms
     order = np.lexsort((eid[fmask], tsl[fmask]))
     ftsl = tsl[fmask][order]
     rest_tsl, rest_eid = tsl[~fmask], eid[~fmask]
@@ -857,12 +859,25 @@ def _sessionize_state_ooo(
             int(counts[-1]),
         )
 
-    flush_open = state.hasTimedOut or (
+    # Close the open session ONLY when the CURRENT watermark has
+    # passed its gap horizon (and no buffered future row could still
+    # extend it).  A fired timeout is NOT that certificate: the
+    # timeout arms at the buffered-rows horizon so the key wakes to
+    # FINALIZE them, and mid-stream the watermark at that moment can
+    # sit far short of o_end + gap — the pre-r16 unconditional
+    # hasTimedOut close split such sessions in two (caught by the
+    # r16 hypothesis run: an idle key, a small watermark advance, a
+    # timeout firing, then an in-gap event arriving).  When the
+    # session survives a timeout, the re-arm below (no longer gated
+    # on hasTimedOut) books the next wake-up at its gap horizon; the
+    # end-of-stream heartbeat watermark passes every horizon, so the
+    # tail still drains.
+    flush_open = (
         o_end is not None
         and len(rest_tsl) == 0
         and o_end + SESSION_GAP_S < wm_s
     )
-    if flush_open and o_end is not None:
+    if flush_open:
         n_closed += 1
         closed.append((n_closed, o_n, o_start, o_end))
         o_start = o_end = None
@@ -878,7 +893,7 @@ def _sessionize_state_ooo(
             rest_eid.tolist(),
         )
     )
-    if not state.hasTimedOut and (len(rest_tsl) or o_end is not None):
+    if len(rest_tsl) or o_end is not None:
         horizon = 0
         if len(rest_tsl):
             horizon = int(rest_tsl.max())

@@ -476,3 +476,60 @@ def test_mix_apply_plan_zero_corpus_exchanges(spark, sf_dir):
     for line in tree:
         if re.search(r"\bExchange \(\d+\)", line):
             assert line.index("Exchange") > bcast_depth, (line, plan)
+
+
+# --- sessionize-ooo premature-close fix (found by the r16
+# --- hypothesis run while touching the heartbeat drain) -----------
+
+
+def test_sessionize_ooo_timeout_does_not_close_in_gap_session():
+    """A mid-stream timeout (armed at the buffered-rows horizon)
+    fires while the watermark still sits INSIDE the open session's
+    gap window; a later in-gap event must EXTEND that session, not
+    start a new one.  Pre-r16 the kernel closed the session
+    unconditionally on hasTimedOut, splitting it in two."""
+    import numpy as np
+    import pandas as pd
+
+    from bugzilla_etl_spark.streaming.snapshot_stream import (
+        SESSION_GAP_S,
+        _sessionize_state_ooo,
+    )
+    from tests.test_ooo_properties import FakeGroupState
+
+    stt = FakeGroupState()
+
+    def run(batch_rows, wm_ms, timed_out=False):
+        stt.wm_ms = wm_ms
+        stt.hasTimedOut = timed_out
+        if timed_out:
+            stt.timeout_ms = None
+        pdf = pd.DataFrame(
+            batch_rows, columns=["event_id", "tsl"]
+        ).astype(np.int64)
+        return list(
+            _sessionize_state_ooo((7,), [pdf] if len(pdf) else [], stt)
+        )
+
+    # batch 0: three events at ts=0 arrive, wm=0 -> all buffered,
+    # timeout armed at (0+1)*1000
+    assert run([(1, 0), (2, 0), (3, 0)], 0) == []
+    assert stt.timeout_ms is not None and stt.timeout_ms <= 2000
+    # timeout fires at wm=2s (gap is SESSION_GAP_S >> 2s): the
+    # buffered rows finalize into the OPEN session; nothing closes
+    out = run([], 2000, timed_out=True)
+    assert out == [] or all(len(o) == 0 for o in out)
+    # the surviving session re-armed its timeout at the gap horizon
+    assert stt.timeout_ms is not None
+    assert stt.timeout_ms >= (SESSION_GAP_S + 1) * 1000
+    # an in-gap event at ts=2 extends the same session
+    assert run([(4, 2)], 2000) == []
+    # stream drains: watermark passes everything
+    out = run([], (SESSION_GAP_S + 10) * 1000, timed_out=True)
+    rows = pd.concat(out, ignore_index=True)
+    assert len(rows) == 1
+    r = rows.iloc[0]
+    assert (
+        int(r.session_id), int(r.n_events),
+        int(r.session_start), int(r.session_end),
+    ) == (1, 4, 0, 2)

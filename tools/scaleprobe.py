@@ -88,6 +88,18 @@ DEFAULT_QUERIES = [
     # track the token-scan slope (the corpus side is map-only), with
     # the vocab-grain id work near-flat like bpe_apply's merge loop
     "bpe_encode",
+    # round-16 (r15 verdict task 4 — the two entries that landed
+    # after SCALEPROBE_r15 ran): the sequence materializer's
+    # token-grain explode/regroup is exactly the shape a decade
+    # probe exists to witness; the ingest twin's per-batch encode
+    # must hold the map-only slope with the frozen-artifact load
+    # constant-ish (vocab-grain)
+    "seq_packing_ids",
+    "stream_bpe_encode",
+    # round-16: the large-vocab fallback exists FOR scale — its
+    # term-join exchanges must hold the token-scan slope as corpus
+    # and vocab grow a decade together
+    "bpe_encode_join",
 ]
 
 # Knob variants: probe a catalog entry with a non-default parameter

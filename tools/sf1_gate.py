@@ -137,6 +137,23 @@ PANED_WINDOW = [
     "topk_per_group",
 ]
 
+# The flag/attachment/fuzzy replay family (r15 verdict task 5):
+# per-entity list joins and tiered-cascade argmins whose inputs GROW
+# with SF — per-bug flag/attachment event lists lengthen, the fuzzy
+# cascades' candidate tiers widen — exactly the shapes where a
+# 100x-fatter entity can silently change a tie-break or overflow a
+# collect_list ordering assumption.  (previous_values and its paned
+# companion already sit in STATE_HEAVY.)
+REPLAY_FUZZY = [
+    "flag_state_versions",
+    "attachment_versions",
+    "flag_fuzzy_match",
+    "cc_fuzzy_match",
+    "diff_rollback",
+    "diff_apply",
+    "canonical_fields",
+]
+
 FACTOR = 10
 
 # Documented oracle-side limitations (NOT operator failures): a name
@@ -178,7 +195,7 @@ def main() -> None:
         args = args[2:]
     base = args[0] if args else "/root/testdata/sf0.1"
     queries = args[1:] or (
-        STATE_HEAVY + DEDUP_SIM + TEXT_GRAM + PANED_WINDOW
+        STATE_HEAVY + DEDUP_SIM + TEXT_GRAM + PANED_WINDOW + REPLAY_FUZZY
     )
 
     from bugzilla_etl_spark.session import get_spark
