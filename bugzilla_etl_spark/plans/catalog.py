@@ -45,7 +45,7 @@ _loaded = False
 # registration order, then the twice-green rotation tail.
 #
 # Rotation policy (the catalog exceeds 3x the 50-row cap; full
-# cycle = ceil(N/50) = 4 windows at the current 180): (1) never-driver-tested
+# cycle = ceil(N/50) = 4 windows at the current 185): (1) never-driver-tested
 # queries lead, (2) then queries whose BEHAVIOR this round touched,
 # (3) then the stalest green rows, oldest driver round first; the
 # local gate (tools/verify_local.py, driver-strict canonicalizer,
