@@ -336,25 +336,67 @@ def run_backfill(
         _add_split("validate_sec", time.perf_counter() - t0)
     done: list[tuple[int, int]] = []
     t_walk = time.perf_counter()
-    for lo, hi in plan:
+
+    def _block_frame(lo: int, hi: int) -> DataFrame:
         if clustered_dir is not None:
             if clustered_los is not None and lo in clustered_los:
-                block = read_block(spark, clustered_dir, lo)
-            else:
-                # a genuinely empty block lands no partition dir;
-                # layout-level errors were rejected above
-                block = ev.where(F.lit(False))
-        else:
-            block = ev.where(
-                (F.col(entity) >= lo) & (F.col(entity) < hi)
+                return read_block(spark, clustered_dir, lo)
+            # a genuinely empty block lands no partition dir;
+            # layout-level errors were rejected above
+            return ev.where(F.lit(False))
+        return ev.where((F.col(entity) >= lo) & (F.col(entity) < hi))
+
+    if crash_after is None and len(plan) > 1:
+        # Overlap the independent block jobs: each block's doc build
+        # is a multi-stage pipeline whose stage tails leave most of
+        # the fleet idle, so a strictly serial walk pays every
+        # straggler tail back-to-back — submitting a few blocks at
+        # once lets the next block's tasks back-fill freed executors
+        # (the thread-pool overlap pattern; scheduler stays FIFO so
+        # earlier blocks keep priority).  The reference's RESUME
+        # contract — committed blocks form a contiguous prefix of
+        # the DESCENDING walk, so min-landed-id rounds up to a
+        # correct restart point — is preserved by splitting land
+        # from commit: each block writes to a ``_staging`` dir
+        # (invisible to landed_block_dirs / read_store, which match
+        # ``block=`` only) and is COMMITTED by an atomic directory
+        # rename in exact walk order.  A crash mid-run leaves only
+        # staging dirs past the rename frontier: never counted, and
+        # overwritten when their block re-runs.  (The sequential arm
+        # below remains for crash_after — the injected-crash test
+        # hook is defined in terms of the serial walk.)
+        import shutil
+        from concurrent.futures import ThreadPoolExecutor
+
+        os.makedirs(store_dir, exist_ok=True)
+
+        def _land(lo: int, hi: int) -> str:
+            staging = f"{store_dir}/_staging_block_{lo}"
+            build_fn(_block_frame(lo, hi)).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            return staging
+
+        # 3 in flight: enough to fill stage tails, not enough to
+        # thrash executor memory with concurrent builds
+        with ThreadPoolExecutor(max_workers=min(3, len(plan))) as pool:
+            futs = [pool.submit(_land, lo, hi) for lo, hi in plan]
+            for (lo, hi), fut in zip(plan, futs):
+                staging = fut.result()
+                final = f"{store_dir}/block={lo}"
+                if os.path.exists(final):
+                    shutil.rmtree(final)
+                os.rename(staging, final)
+                done.append((lo, hi))
+    else:
+        for lo, hi in plan:
+            docs = build_fn(_block_frame(lo, hi))
+            docs.write.mode("overwrite").parquet(
+                f"{store_dir}/block={lo}"
             )
-        docs = build_fn(block)
-        docs.write.mode("overwrite").parquet(
-            f"{store_dir}/block={lo}"
-        )
-        done.append((lo, hi))
-        if crash_after is not None and len(done) >= crash_after:
-            break
+            done.append((lo, hi))
+            if crash_after is not None and len(done) >= crash_after:
+                break
     _add_split("walk_sec", time.perf_counter() - t_walk)
     _add_split("blocks_walked", float(len(done)))
     return done

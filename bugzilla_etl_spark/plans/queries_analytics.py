@@ -1719,15 +1719,19 @@ def pagerank_trade(
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # Node ids travel as LONGS through every corpus-grain exchange
+    # (customer c -> 2c, supplier s -> 2s+1 — injective, parity
+    # recovers the class): the graph passes below — the distinct, the
+    # three per-iteration contribution aggregations, the outdeg/nodes
+    # builds — shuffle and hash 8-byte keys instead of the "c123"/
+    # "s45" strings the output speaks (narrower shuffle keys; the
+    # display string is attached at NODES grain, after the last
+    # aggregation, where rows number |V| not |E|).
     trade = (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -1793,8 +1797,17 @@ def pagerank_trade(
                 "nn",
             )
         )
+    # Re-attach the display string at nodes grain; the tie-break must
+    # be the STRING order the contract pins (e.g. "c10" < "c2"), so
+    # the string is computed before the top-20 selection — |V| rows,
+    # not |E|.
+    node_str = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.expr("node div 2").cast("string"),
+    )
     return (
-        ranks.orderBy(F.col("r").desc(), F.col("node").asc())
+        ranks.select(node_str.alias("node"), "r")
+        .orderBy(F.col("r").desc(), F.col("node").asc())
         .limit(20)
         .select(
             "node",

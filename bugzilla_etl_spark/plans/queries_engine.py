@@ -1536,6 +1536,7 @@ def profile_table(
     oracle."""
     od = load_table(spark, sf_dir, "orders")
     aggs = []
+    str_aggs = []
     for name, kind, num, strx in _PROFILE_COLS:
         if name == "o_orderdate":
             num = _EPOCH_SPARK
@@ -1564,10 +1565,24 @@ def profile_table(
             aggs += [
                 F.lit(None).cast("double").alias(f"{name}__min_num"),
                 F.lit(None).cast("double").alias(f"{name}__max_num"),
+            ]
+            # string MIN/MAX live in a SEPARATE global aggregate:
+            # a min(string) buffer is not a mutable fixed-width type,
+            # so keeping it inside the countDistinct Expand stack
+            # demoted the whole 7-way fan-out to SortAggregate — a
+            # full sort of rows x (n_distinct_cols + 1) on the 7-part
+            # grouping key before a single value aggregated.  Split
+            # out, the Expand stack is pure counts + numeric min/max
+            # (all fixed-width -> HashAggregate, no sort), and the
+            # string extremes cost one grouping-free pass whose
+            # partials are 2 strings per column.
+            str_aggs += [
                 F.min(strx).alias(f"{name}__min_str"),
                 F.max(strx).alias(f"{name}__max_str"),
             ]
     wide = od.agg(*aggs)
+    if str_aggs:
+        wide = wide.crossJoin(F.broadcast(od.agg(*str_aggs)))
     stacks = ", ".join(
         f"'{name}', {name}__n, {name}__n_null, {name}__ndv,"
         f" {name}__min_num, {name}__max_num,"

@@ -437,31 +437,61 @@ def seq_packing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc, stream="source", key="doc_id", n_tokens="n_tokens",
         budget=256,
     )
-    tok = (
+    # The materializing shuffle moves each doc's ids ONCE, as
+    # per-sequence ARRAY SLICES, not as one row per token: a doc
+    # starting at _start with n tokens overlaps sequences
+    # [_start div 256 .. (_start + n - 1) div 256] and contributes
+    # exactly one contiguous id slice to each, computed map-side.
+    # Rows crossing the wire number (docs + sequence crossings), not
+    # tokens — same id payload bytes, a fraction of the row count —
+    # and the regroup is still keyed on exactly the (source, seq_id)
+    # write layout.  n_docs falls out as a plain count: one slice row
+    # per (doc, sequence) pair replaces the token-grain
+    # countDistinct, whose Expand fan-out doubled the exchange.
+    sl = (
         laid.where(F.col("n_tokens") > 0)
         .select(
             "source",
-            "doc_id",
+            "ids",
             (F.col("seq_id") * 256 + F.col("offset_in_seq")).alias(
                 "_start"
             ),
-            F.posexplode("ids").alias("_i", "_id"),
+            "n_tokens",
         )
         .select(
             "source",
-            "doc_id",
-            F.expr("(_start + _i) div 256").alias("seq_id"),
-            F.expr("(_start + _i) % 256").alias("_pos"),
-            "_id",
+            F.explode(
+                F.expr(
+                    "transform("
+                    " sequence(_start div 256,"
+                    "          (_start + n_tokens - 1) div 256),"
+                    " s -> struct("
+                    "   s AS seq_id,"
+                    "   greatest(_start, s * 256) AS pos,"
+                    "   slice(ids,"
+                    "         cast(greatest(_start, s * 256) - _start + 1"
+                    "              AS int),"
+                    "         cast(least(_start + n_tokens, (s + 1) * 256)"
+                    "              - greatest(_start, s * 256) AS int))"
+                    "     AS part))"
+                )
+            ).alias("sl"),
+        )
+        .select(
+            "source",
+            F.col("sl.seq_id").alias("seq_id"),
+            F.col("sl.pos").alias("_pos"),
+            F.col("sl.part").alias("_ids"),
         )
     )
-    return tok.groupBy("source", "seq_id").agg(
-        F.count(F.lit(1)).cast("long").alias("seq_len"),
-        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    return sl.groupBy("source", "seq_id").agg(
+        F.sum(F.size("_ids")).cast("long").alias("seq_len"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.array_join(
             F.expr(
-                "transform(array_sort(collect_list(struct(_pos, _id))),"
-                " s -> cast(s._id AS string))"
+                "transform(flatten(transform("
+                " array_sort(collect_list(struct(_pos, _ids))),"
+                " s -> s._ids)), x -> cast(x AS string))"
             ),
             " ",
         ).alias("ids"),
