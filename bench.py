@@ -278,6 +278,7 @@ def main() -> None:
     from bugzilla_etl_spark.session import get_spark
     from bugzilla_etl_spark.plans import catalog
     from bugzilla_etl_spark.operators import backfill as _backfill
+    from bugzilla_etl_spark import tmpdirs as _tmpdirs
 
     catalog.load_all()
     spark = get_spark("bench")
@@ -317,6 +318,17 @@ def main() -> None:
         medians[name] = round(runs[len(runs) // 2], 3)
         if best_split:
             splits[name] = best_split
+        # Release the query's tracked scratch dirs and registered
+        # cache handles before moving on (the registry tests call
+        # this between invocations for the same reason): without it
+        # the 140-query sweep ACCUMULATES every knob-requested
+        # persist and landing dir until process exit — executor
+        # memory pressure and /tmp growth that taxes the tail of the
+        # suite and isn't part of any single query's cost.  Runs
+        # OUTSIDE the timed region; every timed pass still computes
+        # from the parquet inputs (this only DROPS caches, never
+        # warms them).
+        _tmpdirs.gc_now()
 
     io_probe_end = _io_probe_mb_s()
 

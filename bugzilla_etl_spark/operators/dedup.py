@@ -212,28 +212,31 @@ def jaccard_pairs_invindex(
             .where(F.col("df") > max_df)
             .select("sh")
         )
-        # Size correction by SUBTRACTION: only the hot postings (a
-        # set bounded by the guard's own premise) re-aggregate; the
-        # full posting list is never re-shuffled for sizes.
-        hot_per_doc = (
-            postings.join(F.broadcast(hot), on="sh", how="left_semi")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("hc"))
-        )
+        # Reduced set sizes in ONE pass over the PERSISTED postings
+        # (shh is a distinct set, so |set| = posting count): mark
+        # hot postings via the bounded broadcast, then
+        # count − count(hot) per doc.  The former shape re-derived
+        # sizes from ``t`` — a second full scan→tokenize→shingle→md5
+        # pipeline that the postings cache already paid for.
         sizes = (
-            t.select("doc_id", F.size("shh").alias("sz0"))
-            .join(F.broadcast(hot_per_doc), on="doc_id", how="left")
-            .select(
-                "doc_id",
-                (F.col("sz0") - F.coalesce(F.col("hc"), F.lit(0))).alias(
-                    "sz"
-                ),
+            postings.join(
+                F.broadcast(hot.withColumn("_hot", F.lit(1))),
+                on="sh",
+                how="left",
+            )
+            .groupBy("doc_id")
+            .agg(
+                (F.count(F.lit(1)) - F.count("_hot")).alias("sz")
             )
             .where(F.col("sz") > 0)
         )
         postings = postings.join(F.broadcast(hot), on="sh", how="left_anti")
     else:
-        sizes = t.select("doc_id", F.size("shh").alias("sz"))
+        # |set| = posting count (docs with zero shingles can never
+        # form a pair, so losing their sz=0 rows changes nothing)
+        sizes = postings.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
     a = postings.select(F.col("doc_id").alias("doc_a"), "sh")
     b = postings.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
@@ -355,17 +358,32 @@ def minhash_signatures_agg(
     seeds = np.arange(n, dtype=np.int64)
 
     def fold(batches):
+        # Per-TASK hash memo: shingles repeat heavily across a
+        # near-dup corpus (repetition is the operator's premise), and
+        # the md5 + hex-parse per shingle is the fold's dominant
+        # Python cost — pay it once per distinct shingle per task.
+        # Bounded defensively (a task's distinct-shingle count is
+        # normally far below the cap); values are deterministic, so
+        # eviction only costs recompute.
+        memo: dict[str, tuple[int, int]] = {}
+
+        def _h12(s: str) -> tuple[int, int]:
+            v = memo.get(s)
+            if v is None:
+                if len(memo) >= 2_000_000:
+                    memo.clear()
+                h = hashlib.md5(s.encode("utf-8")).hexdigest()
+                v = (int(h[:15], 16), int(h[16:31], 16) % 4294967296)
+                memo[s] = v
+            return v
+
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
                 if sh is None or len(sh) == 0:
                     continue  # null text == empty shingle set: no row
-                hx = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in sh]
-                h1 = np.array([int(h[:15], 16) for h in hx], dtype=np.int64)
-                h2 = np.array(
-                    [int(h[16:31], 16) % 4294967296 for h in hx],
-                    dtype=np.int64,
-                )
+                hh = np.array([_h12(s) for s in sh], dtype=np.int64)
+                h1, h2 = hh[:, 0], hh[:, 1]
                 ids.append(doc_id)
                 sigs.append((h1[None, :] + seeds[:, None] * h2[None, :]).min(axis=1))
             if not ids:
@@ -921,6 +939,32 @@ def bloom_probe(
     seeds = [f"{BLOOM_SEED0 + j}:" for j in range(BLOOM_K)]
 
     def probe(batches):
+        # Per-TASK membership memo: the Bloom verdict for a shingle
+        # string is deterministic, and shingles repeat across the
+        # corpus — memoizing the final 0/1 skips the k md5 probes for
+        # every repeat.  Bounded defensively; eviction only recomputes.
+        memo: dict[str, int] = {}
+
+        def _member(sn: str) -> int:
+            v = memo.get(sn)
+            if v is None:
+                if len(memo) >= 2_000_000:
+                    memo.clear()
+                ok = 1
+                for sd in seeds:
+                    h = int(
+                        hashlib.md5(
+                            (sd + sn).encode("utf-8")
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    pos = h % BLOOM_BITS
+                    if not (int(words[pos // 32]) >> (pos % 32)) & 1:
+                        ok = 0
+                        break
+                memo[sn] = v = ok
+            return v
+
         for pdf in batches:
             ids, nsh, nh = [], [], []
             for did, shs in zip(pdf["doc_id"], pdf["sh"]):
@@ -928,21 +972,7 @@ def bloom_probe(
                     shs = ()  # null text: zero shingles, zero hits
                 hits = 0
                 for sn in shs:
-                    ok = True
-                    for sd in seeds:
-                        h = int(
-                            hashlib.md5(
-                                (sd + sn).encode("utf-8")
-                            ).hexdigest()[:15],
-                            16,
-                        )
-                        pos = h % BLOOM_BITS
-                        if not (
-                            int(words[pos // 32]) >> (pos % 32)
-                        ) & 1:
-                            ok = False
-                            break
-                    hits += ok
+                    hits += _member(sn)
                 ids.append(did)
                 nsh.append(len(shs))
                 nh.append(hits)

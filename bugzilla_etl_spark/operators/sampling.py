@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from bugzilla_etl_spark.functions.hashing import hash64
 
@@ -247,12 +248,37 @@ def dsir_weights(
 
     import math
 
-    counts = (
-        df.select(
+    from bugzilla_etl_spark.tmpdirs import register_cleanup
+
+    # Featurize ONCE: tokenizing + per-gram md5 bucketing is the
+    # dominant cost of this operator, and the naive shape pays it
+    # twice (model-build pass, then again in the scoring pass —
+    # plus a third gram construction in the scoring pass's
+    # null-filter, which the optimizer evaluates as
+    # isnotnull(<whole gram expression>)).  Instead: filter on the
+    # SOURCE column (text IS NOT NULL ⇔ grams IS NOT NULL, and it
+    # pushes down to the parquet scan), compute each doc's bucket
+    # array in one map-only pass, persist it for the duration of
+    # the invocation, and let both the model aggregation and the
+    # scoring fold read the bounded int arrays.  The persisted
+    # featurization is int32 arrays — far smaller than the text it
+    # replaces — and is released via the tmpdirs cleanup registry,
+    # so nothing survives the invocation.
+    feat = (
+        df.where(F.col(text).isNotNull())
+        .select(
+            F.col(key),
             target_cond.alias("_t"),
-            F.explode(grams(F.col(text))).alias("g"),
+            F.transform(
+                grams(F.col(text)), lambda x: bucket(x).cast("int")
+            ).alias("_bs"),
         )
-        .select("_t", bucket(F.col("g")).alias("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    register_cleanup(feat.unpersist)
+
+    counts = (
+        feat.select("_t", F.explode("_bs").alias("b"))
         .groupBy("b")
         .agg(
             F.count(F.lit(1)).alias("c_raw"),
@@ -280,26 +306,26 @@ def dsir_weights(
     # query).  As a column it materializes once per row and the
     # lambda's element_at is a cheap bound-reference gather.
     ratio_arr = F.array(*[F.lit(v) for v in log_ratio])
-    g = grams(F.col(text))
+    # Score from the persisted bucket arrays: the fold visits the
+    # buckets in gram order (transform preserves order), so the
+    # float additions happen in exactly the sequence the two-pass
+    # shape produced — bit-identical weights.  null text rows were
+    # dropped before featurization (matches the oracle's unnest,
+    # which drops the doc; downstream sampling treats absence as
+    # weight -inf).
     weight = F.aggregate(
         F.transform(
-            F.col("_g"),
-            lambda x: F.element_at(
-                F.col("_lr"), (bucket(x) + 1).cast("int")
-            ),
+            F.col("_bs"),
+            lambda b: F.element_at(F.col("_lr"), b + F.lit(1)),
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
     return (
-        df.select(F.col(key), g.alias("_g"), ratio_arr.alias("_lr"))
-        # null text -> null gram array: no grams, no likelihood, no
-        # weight row (matches the oracle's unnest, which drops the
-        # doc; downstream sampling treats absence as weight -inf)
-        .where(F.col("_g").isNotNull())
+        feat.select(F.col(key), F.col("_bs"), ratio_arr.alias("_lr"))
         .select(
             key,
-            F.size("_g").cast("long").alias("n_grams"),
+            F.size("_bs").cast("long").alias("n_grams"),
             F.round(weight, 4).alias("weight"),
         )
     )

@@ -483,14 +483,35 @@ def previous_values_paned(
     reference: parse_bug_history.py:783 setPrevious — semantics
     identical to ``previous_values``; only the partitioning moved.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from bugzilla_etl_spark.tmpdirs import register_cleanup
+
+    def _pin(frame: DataFrame) -> DataFrame:
+        """Persist a round boundary for the invocation.  Each of the
+        three sequential rounds is referenced TWICE downstream (once
+        by its pane summary, once as the join's corpus side), and
+        ``base`` three times; without pinning, Spark's plan tree
+        duplicates the whole upstream subtree per reference — the
+        unpinned plan holds 20 parquet scans and 52 exchanges for
+        what is logically one scan and a handful of shuffles.
+        MEMORY_AND_DISK (never recompute-on-evict-to-nothing), and
+        released via the tmpdirs cleanup registry at gc/exit, so
+        nothing outlives the invocation."""
+        pinned = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        register_cleanup(pinned.unpersist)
+        return pinned
+
     tsl = F.col(ts).cast("long")
-    base = log.select(
-        entity,
-        *tiebreak,
-        F.col(field_col).alias("_f"),
-        F.col(value_col).alias("_v"),
-        tsl.alias("_tsl"),
-    ).withColumn("_pane", F.floor(F.col("_tsl") / F.lit(width_s)))
+    base = _pin(
+        log.select(
+            entity,
+            *tiebreak,
+            F.col(field_col).alias("_f"),
+            F.col(value_col).alias("_v"),
+            tsl.alias("_tsl"),
+        ).withColumn("_pane", F.floor(F.col("_tsl") / F.lit(width_s)))
+    )
 
     okey = F.struct(F.col("_tsl"), *[F.col(t) for t in tiebreak])
     w_in = (
@@ -562,15 +583,18 @@ def previous_values_paned(
     s1 = s1.join(created, on=entity, how="left")
 
     # ---- round 2: real-change flags, previous-change ts -----------
-    s2 = s1.select(
-        "*",
-        *[
-            (
-                (F.col("_f") == f)
-                & ~F.col("_v").eqNullSafe(F.col(f"_prior_{f}"))
-            ).alias(f"_chg_{f}")
-            for f in fields
-        ],
+    # pinned: consumed by BOTH summ2 and the round-2 join below
+    s2 = _pin(
+        s1.select(
+            "*",
+            *[
+                (
+                    (F.col("_f") == f)
+                    & ~F.col("_v").eqNullSafe(F.col(f"_prior_{f}"))
+                ).alias(f"_chg_{f}")
+                for f in fields
+            ],
+        )
     )
     summ2 = s2.groupBy(entity, "_pane").agg(
         *[
@@ -613,7 +637,10 @@ def previous_values_paned(
             ),
         )
 
-    s4 = s3.select("*", *[_pv(f).alias(f"_pv_{f}") for f in fields])
+    # pinned: consumed by BOTH summ3 and the round-3 join below
+    s4 = _pin(
+        s3.select("*", *[_pv(f).alias(f"_pv_{f}") for f in fields])
+    )
     summ3 = s4.groupBy(entity, "_pane").agg(
         *[
             F.max(

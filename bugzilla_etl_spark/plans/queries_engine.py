@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from bugzilla_etl_spark.functions.hashing import duckdb_hash64
 from bugzilla_etl_spark.plans.catalog import register
@@ -1489,12 +1490,25 @@ def profile_table_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     across incremental runs."""
     od = load_table(spark, sf_dir, "orders")
     melt = _profile_melt(od)
-    ex = melt.groupBy("col_name").agg(
-        F.countDistinct("val").alias("ndv_exact")
+    # Both outputs are functions of the DISTINCT (column, value)
+    # pairs only — exact NDV by definition, the HLL registers
+    # because max-merge is idempotent over repeats — so distinct
+    # once (one scan + one Expand instead of two of each), pin the
+    # bounded distinct-pairs frame, and fold both from it.  The
+    # exact NDV becomes a plain count; the register hash runs over
+    # distinct values instead of the full melt.
+    dv = (
+        melt.select("col_name", "val")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    register_cleanup(dv.unpersist)
+    ex = dv.groupBy("col_name").agg(
+        F.count("val").alias("ndv_exact")
     )
     return (
         hll_estimate(
-            hll_registers(melt, key="col_name", val="val"),
+            hll_registers(dv, key="col_name", val="val"),
             key="col_name",
         )
         .join(ex, on="col_name")

@@ -699,16 +699,36 @@ def dual_cutover_run(
     import os
     import shutil
 
-    bugs_df.write.mode("overwrite").parquet(
-        os.path.join(base, f"bugs_run{run_no}")
-    )
-    if crash_before == "comments_write":
-        return
-    comments_df.write.mode("overwrite").parquet(
-        os.path.join(base, f"comments_run{run_no}")
-    )
-    if crash_before == "swap":
-        return
+    if crash_before is None:
+        # The reference runs the two pipelines in PARALLEL THREADS
+        # and joins both before the cut-over (bz_etl.py:123-130
+        # run_both_etl) — mirror it: the two index writes are
+        # independent jobs, so overlapping them lets each job's
+        # stage tails back-fill the other's freed executors; the
+        # alias flip below still waits on BOTH.  The sequential arm
+        # stays for the injected-crash windows, which are defined in
+        # terms of the bugs-then-comments order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(df: DataFrame, name: str) -> None:
+            df.write.mode("overwrite").parquet(os.path.join(base, name))
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fb = pool.submit(_write, bugs_df, f"bugs_run{run_no}")
+            fc = pool.submit(_write, comments_df, f"comments_run{run_no}")
+            fb.result()
+            fc.result()
+    else:
+        bugs_df.write.mode("overwrite").parquet(
+            os.path.join(base, f"bugs_run{run_no}")
+        )
+        if crash_before == "comments_write":
+            return
+        comments_df.write.mode("overwrite").parquet(
+            os.path.join(base, f"comments_run{run_no}")
+        )
+        if crash_before == "swap":
+            return
     _set_dual_alias(base, f"bugs_run{run_no}", f"comments_run{run_no}")
     # delete_all_but (replicate.py:210): retire every index the
     # alias no longer references

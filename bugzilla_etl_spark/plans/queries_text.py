@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from bugzilla_etl_spark.functions import hashing as H
 from bugzilla_etl_spark.functions.hashing import duckdb_hash64
@@ -735,25 +736,42 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, term string",
     )
     nn = docs.where(F.col("text").isNotNull())
-    with_dl = nn.select(
-        "doc_id", F.size(T.tokens("text")).alias("dl"),
-        F.explode(T.tokens("text")).alias("term"),
-    ).where(F.col("term").isin(vocab))
+    # Tokenize the corpus ONCE: the naive shape split() every text
+    # three times (dl, the explode, and the corpus-scalar pass).
+    # Here one map-only pass computes per-doc (dl, query-vocab
+    # tokens) — the filtered token array is bounded by the tiny
+    # broadcast vocabulary, so the persisted frame is SKINNY (a
+    # long + a near-empty array per doc, never the full term
+    # stream); tf, n_texts and tot_tokens all fold from it, and
+    # n_docs is a metadata-cheap count over the parquet footers.
+    # Released via the tmpdirs cleanup registry at gc/exit.
+    from bugzilla_etl_spark.tmpdirs import register_cleanup
+
+    pre = (
+        nn.select("doc_id", T.tokens("text").alias("_tk"))
+        .select(
+            "doc_id",
+            F.size("_tk").alias("dl"),
+            F.filter(
+                "_tk", lambda t: t.isin(vocab)
+            ).alias("_qtk"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    register_cleanup(pre.unpersist)
+    with_dl = pre.select(
+        "doc_id", "dl", F.explode("_qtk").alias("term")
+    )
     tf = with_dl.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # all three corpus scalars in ONE scan/job — exact INTEGERS
+    # corpus scalars fold from the persisted pass — exact INTEGERS
     # (count, non-null-text count, total token count), so the
     # avgdl-equivalent ratio is immune to float-summation order
-    n_docs, n_texts, tot_tokens = docs.agg(
-        F.count(F.lit(1)),
-        F.count(F.when(F.col("text").isNotNull(), 1)),
-        F.sum(
-            F.when(
-                F.col("text").isNotNull(), F.size(T.tokens("text"))
-            )
-        ),
+    n_docs = docs.count()
+    n_texts, tot_tokens = pre.agg(
+        F.count(F.lit(1)), F.sum("dl")
     ).first()
     if not tot_tokens:
         n_texts, tot_tokens = 0, 1  # empty/all-null: no tf rows anyway
