@@ -1047,6 +1047,19 @@ def exact_substring_spans(
     occ = gram_positions(
         docs, k=k, text_col=text_col, id_col=id_col, hash_bits=hash_bits
     )
+    # The gram stream feeds BOTH the duplicate-detection aggregate
+    # and the occurrence-recovery join: unpinned, the whole
+    # tokenize→slice→md5 pipeline runs twice over the corpus.  Pin
+    # the stream for the invocation — it is FIXED-WIDTH integers
+    # (doc_id, pos, gh), far narrower than the text it derives from,
+    # the same reasoning that keeps gram text off the shuffle wire.
+    # Released via the tmpdirs registry at gc/exit.
+    from pyspark.storagelevel import StorageLevel
+
+    from bugzilla_etl_spark.tmpdirs import register_cleanup
+
+    occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
+    register_cleanup(occ.unpersist)
     dup = (
         occ.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("n"))
