@@ -1914,18 +1914,34 @@ def triangle_count(
        unordered 3-way product.
     The backbone is 5000 rows by construction, so Spark broadcasts
     it to both sides of the wedge/closure joins regardless of
-    corpus size; the only corpus-scale work is the distinct scan
-    and the capped per-part pair agg — executed ONCE even though
-    three plan references consume the backbone, because Catalyst's
-    ReuseExchange deduplicates the identical subtree (measured: a
-    driver-side materialization of the 5000 rows, the PCA/kmeans
-    instinct, made the query 2x SLOWER by breaking that reuse —
-    the bounded-model collect is for iterative consumers, not for
-    fan-out within one plan)."""
+    corpus size.  The distinct (pk, sk) projection and the backbone
+    itself are each PINNED for the invocation (r16): un-pinned, the
+    df-cap aggregate re-planned its own parquet scan + distinct
+    shuffle beside the ReuseExchange-recovered pair sides, and the
+    three backbone references each re-ran the TakeOrdered selection
+    over the 500k-row edge aggregate.  (A driver-side
+    materialization of the 5000 rows — the PCA/kmeans instinct —
+    was measured 2x SLOWER back in r7 because collect breaks the
+    subtree reuse entirely; the executor-side persist keeps the
+    rows distributed and the joins broadcasting from measured
+    sizes.)"""
+    import uuid
+
+    from bugzilla_etl_spark.tmpdirs import register_cleanup
+
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).distinct()
+    ps = (
+        li.select(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .distinct()
+        # nonce: defeat cross-invocation CacheManager plan-matching
+        # (see triangle_count_scaled below)
+        .withColumn("_nonce", F.lit(uuid.uuid4().hex))
+        .persist()
+    )
+    register_cleanup(ps.unpersist)
+    ps = ps.drop("_nonce")
     ok = ps.groupBy("pk").agg(F.count(F.lit(1)).alias("ns")).where(
         F.col("ns") <= 64
     ).select("pk")
@@ -1943,7 +1959,11 @@ def triangle_count(
         co.orderBy(F.col("w").desc(), F.col("s1").asc(), F.col("s2").asc())
         .limit(backbone)
         .select("s1", "s2")
+        .withColumn("_nonce", F.lit(uuid.uuid4().hex))
+        .persist()
     )
+    register_cleanup(edges.unpersist)
+    edges = edges.drop("_nonce")
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     wedges = e1.join(e2, F.col("e1.s2") == F.col("e2.s1")).select(
@@ -2065,29 +2085,43 @@ def triangle_count_scaled(
        collected (bounded-model fold, the kmeans-centroid
        precedent).  The driver derives n_edges, the cap, and the
        boundary weight w* from the histogram alone;
-    3. edges with w > w* pass by a plain pushed-down FILTER (no
-       ordering anywhere); only the TIES at w* — the one weight
-       straddling the cut — pay a row_number, windowed over that
-       single bounded weight class, matching #112's measured
-       ~2.1k-ties-at-the-cut profile.  No global window, no
-       corpus-size-dependent heap on any single node.
+    3. one pushed-down FILTER keeps w >= w*; a row_number windowed
+       per WEIGHT CLASS (every class bounded — the w* class matches
+       #112's measured ~2.1k-ties-at-the-cut profile) admits the
+       w > w* rows outright and the w* ties up to the remainder.
+       No global window, no corpus-size-dependent heap on any
+       single node; the cap-sized edge frame is then pinned once
+       for its three join references (r16).
     The wedge/closure enumeration and the oriented-triangle
     discipline are #112's verbatim; the backbone stays broadcast-
     able by construction at the default frac (caller-scaled beyond
     that, documented trade in SCALING.md)."""
     from bugzilla_etl_spark.tmpdirs import register_cleanup
 
+    import uuid
+
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).distinct()
+    # The distinct (pk, sk) projection feeds THREE consumers (pair
+    # sides a/b and the df-cap aggregate): un-pinned, ReuseExchange
+    # recovered a/b but the cap aggregate re-planned its own scan +
+    # distinct shuffle (r16 plan audit: 2 parquet scans, 2 distinct
+    # exchanges).  Pinning the skinny two-long frame (nonce: see the
+    # co comment below) makes all three read one materialization.
+    ps = (
+        li.select(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .distinct()
+        .withColumn("_nonce", F.lit(uuid.uuid4().hex))
+        .persist()
+    )
+    register_cleanup(ps.unpersist)
+    ps = ps.drop("_nonce")
     ok = ps.groupBy("pk").agg(F.count(F.lit(1)).alias("ns")).where(
         F.col("ns") <= 64
     ).select("pk")
     a = ps.alias("a")
     b = ps.alias("b")
-    import uuid
-
     co = (
         a.join(
             b,
@@ -2129,17 +2163,35 @@ def triangle_count_scaled(
     if wstar is None:  # cap >= n_edges: whole graph kept
         edges = co.select("s1", "s2")
     else:
-        above = co.where(F.col("w") > wstar).select("s1", "s2")
+        # ONE windowed pass instead of above ∪ boundary: filter to
+        # w >= w*, row_number within each (bounded) weight class,
+        # keep w > w* outright and w == w* up to the remainder.  The
+        # union form read the co cache twice and doubled the edges
+        # subtree under each of its three downstream references
+        # (r16: 6 cache scans -> 3, and the plan halves).
         bw = Window.partitionBy("w").orderBy(
             F.col("s1").asc(), F.col("s2").asc()
         )
-        boundary = (
-            co.where(F.col("w") == wstar)
+        edges = (
+            co.where(F.col("w") >= wstar)
             .withColumn("rn", F.row_number().over(bw))
-            .where(F.col("rn") <= remaining)
+            .where((F.col("w") > wstar) | (F.col("rn") <= remaining))
             .select("s1", "s2")
         )
-        edges = above.unionAll(boundary)
+        # The cap-sized edge frame is consumed three times (wedge
+        # sides e1/e2 and the closure semi join): pinned, those
+        # joins read a few-thousand-row cache instead of re-running
+        # filter + window over the 500k-row co cache per reference.
+        # This is a PERSIST, not the driver-side collect the
+        # docstring above warns about — the rows stay executor-side
+        # and the joins still broadcast from measured sizes.  (The
+        # cap >= n_edges branch above skips it: there edges IS co,
+        # already cached — a second cache would just duplicate it.)
+        edges = (
+            edges.withColumn("_nonce", F.lit(uuid.uuid4().hex)).persist()
+        )
+        register_cleanup(edges.unpersist)
+        edges = edges.drop("_nonce")
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     wedges = e1.join(e2, F.col("e1.s2") == F.col("e2.s1")).select(
