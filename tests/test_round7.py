@@ -302,8 +302,25 @@ def test_round7_plan_shapes(spark, sf_dir):
             "zorder_layout",
         )
     }
-    assert plans["profile_table"].count("Expand") >= 1
-    assert plans["profile_table"].count("Scan parquet") == 1
+    # r16 contract: the multi-distinct still fans through ONE Expand,
+    # but the string min/max extremes live in a SEPARATE grouping-free
+    # pass (their non-fixed-width buffers demoted the whole Expand
+    # stack to SortAggregate) — so exactly TWO scans, the second
+    # pruned to only the string columns, and NO sort-based aggregate
+    # anywhere (the point of the split: the melt path hash-aggregates).
+    pt = plans["profile_table"]
+    assert pt.count("Expand") >= 1
+    assert pt.count("Scan parquet") == 2
+    assert (
+        "ReadSchema: struct<o_orderstatus:string,o_orderpriority:string>"
+        in pt
+    )
+    # every sort-based aggregate must be the string-extremes pass
+    # (min/max string buffers are not fixed-width, so that pass is
+    # legitimately sort-based); the Expand melt itself must never be
+    for line in pt.splitlines():
+        if "SortAggregate" in line:
+            assert "o_orderstatus" in line, line
 
     mad = plans["anomaly_mad"]
     import re
