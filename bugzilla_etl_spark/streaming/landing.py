@@ -31,7 +31,9 @@ def land_parts(landing: str, parts: list[tuple[str, DataFrame]]) -> None:
     with arrival, the contract a watermarked stream assumes of its
     ingest."""
     base = _mtime_base(landing)
-    for i, (name, part) in enumerate(parts):
+
+    def _write(name_part: tuple[str, DataFrame]) -> str:
+        name, part = name_part
         tmp = os.path.join(landing, f"_stage_{name}")
         # repartition(1), NOT coalesce(1): several callers land
         # DRIVER-CREATED frames (the watermark-heartbeat sentinels),
@@ -42,6 +44,23 @@ def land_parts(landing: str, parts: list[tuple[str, DataFrame]]) -> None:
         # For JVM-backed parts the shuffle costs about the same as
         # the single-task read, so repartition is safe for both.
         part.repartition(1).write.mode("overwrite").parquet(tmp)
+        return tmp
+
+    # The part WRITES are independent Spark jobs — overlap them from a
+    # small thread pool (guide §2.6) so the second part's tasks
+    # back-fill executors freed by the first part's tail.  ARRIVAL
+    # ORDER is unaffected: the staged files only become visible to the
+    # file source through the rename below, which runs serially in
+    # list order, and the explicit utime (not write completion time)
+    # is what encodes arrival order.
+    if len(parts) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(3, len(parts))) as pool:
+            tmps = list(pool.map(_write, parts))
+    else:
+        tmps = [_write(p) for p in parts]
+    for i, ((name, _part), tmp) in enumerate(zip(parts, tmps)):
         src = next(
             f for f in os.listdir(tmp) if f.endswith(".parquet")
         )

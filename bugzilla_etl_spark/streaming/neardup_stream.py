@@ -53,28 +53,30 @@ def screen_batch(batch: DataFrame, index: DataFrame) -> DataFrame:
     flags a LIKELY near-dup for the downstream verify/quarantine
     stage (same candidates-then-verify split as the batch LSH
     operator).  Docs whose shingle set is empty emit no row, exactly
-    like the batch signature fold."""
+    like the batch signature fold.
+
+    One signature pass per batch: the banded rows LEFT join the
+    index with a match marker and n_hits = count of matched bands —
+    the index holds DISTINCT (band_id, band_key), so the left join
+    never multiplies a band row, and every doc keeps its n_bands
+    rows whether or not any band matched.  The earlier semi-join +
+    rejoin-on-ids shape referenced the signature frame twice, and
+    mapInPandas is opaque to Catalyst: the whole tokenize → shingle
+    → md5 Arrow fold executed TWICE per micro-batch (and the
+    rejoin added a doc_id shuffle)."""
     sig = minhash_signatures_agg(batch)
     banded = sig.select(
         "doc_id", F.posexplode(_band_array()).alias("band_id", "band_key")
     )
-    hits = (
-        banded.join(index, on=["band_id", "band_key"], how="left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    marked = banded.join(
+        index.withColumn("_m", F.lit(1)),
+        on=["band_id", "band_key"],
+        how="left",
     )
-    ids = sig.select("doc_id")
-    return (
-        ids.join(hits, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_hits"), F.lit(0))
-            .cast("long")
-            .alias("n_hits"),
-            F.when(F.coalesce(F.col("n_hits"), F.lit(0)) > 0, 1)
-            .otherwise(0)
-            .alias("is_neardup"),
-        )
+    n_hits = F.count("_m")  # counts non-null = matched bands only
+    return marked.groupBy("doc_id").agg(
+        n_hits.cast("long").alias("n_hits"),
+        F.when(n_hits > 0, 1).otherwise(0).alias("is_neardup"),
     )
 
 
