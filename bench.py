@@ -365,7 +365,22 @@ def main() -> None:
         # front-truncated driver wrapper.
         "measured_at": int(time.time()),
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Belt-and-braces artifact: r15's round-over-round comparison was
+    # lost because the driver's tail buffer truncated the stdout line
+    # (BENCH_r15 parsed: null -> PERF_r16 n_common: 0).  Writing the
+    # same line to a file next to bench.py means the next round's
+    # comparison can always recover the full prev lane even if the
+    # stdout capture truncates again (r16 verdict item 8).
+    try:
+        self_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
+        )
+        with open(self_path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout remains the contract
+    print(line)
 
 
 if __name__ == "__main__":

@@ -85,7 +85,6 @@ def canonical_closure(mapping: DataFrame, max_iter: int = 8) -> DataFrame:
     rows surviving the fixed point unresolved.  Self-maps are removed
     from the result."""
     cur = mapping.select("alias", "canonical")
-    owned: DataFrame | None = None  # persisted frames created here
     for _ in range(max_iter):
         nxt = cur.select(
             F.col("alias").alias("a2"), F.col("canonical").alias("c2")
@@ -101,16 +100,26 @@ def canonical_closure(mapping: DataFrame, max_iter: int = 8) -> DataFrame:
                 .otherwise(F.coalesce(F.col("c2"), F.col("canonical")))
                 .alias("canonical"),
             )
-            # pin each round: the fixpoint check + next round otherwise
-            # re-execute the whole join chain back to the input (the
-            # lineage doubles per iteration, so actions go quadratic)
-            .persist()
+            # cut the round boundary with a LINEAGE CUT, not a persist:
+            # localCheckpoint materializes the dim-sized round result
+            # as RDD blocks and replaces the logical plan with a
+            # LogicalRDD leaf, so (a) the fixpoint check and the next
+            # round never re-execute earlier rounds, (b) the plan stays
+            # O(1) lines per round instead of growing to thousands
+            # (planning time was becoming the round cost), and (c)
+            # nothing lands in the CacheManager — a repeated invocation
+            # cannot silently read this one's cache (the r16 bench-
+            # contamination class).  Old round RDDs are released by the
+            # ContextCleaner when their reference drops.  Lazy
+            # (eager=False): the fixpoint check below scans every
+            # partition of ``stepped``, so the checkpoint materializes
+            # inside that same action — one action per round, exactly
+            # the old persist-then-check job count.
+            .localCheckpoint(eager=False)
         )
         # fixed-point check on a tiny dim is one cheap action
         done = stepped.exceptAll(cur).isEmpty()
-        if owned is not None:
-            owned.unpersist()
-        owned = cur = stepped
+        cur = stepped
         if done:
             break
     return cur.where(F.col("alias") != F.col("canonical"))
@@ -164,13 +173,14 @@ def minimize_aliases(
     ``max_iter`` bounds lineage depth.  The mapping is dim-sized
     throughout — no fact-table shuffle anywhere."""
     # Every round reads `cur` three times (totals, problem postings,
-    # solution join) and runs 1-2 actions; unpinned, each action would
+    # solution join) and runs 1-2 actions; uncut, each action would
     # recompute the full lineage back through the fact-table
-    # aggregation that produced `counts` — persist the base once and
-    # each round's folded multiset.
-    counts = counts.persist()
+    # aggregation that produced `counts` — localCheckpoint the base
+    # once and each round's folded multiset (lineage cut + RDD blocks,
+    # no CacheManager entry: see canonical_closure).  Lazy: round 1's
+    # totals aggregation scans it fully and materializes it then.
+    counts = counts.localCheckpoint(eager=False)
     mapping: DataFrame | None = None
-    prev_cur: DataFrame | None = None
     for _ in range(max_iter):
         if mapping is None:
             cur = counts
@@ -190,7 +200,7 @@ def minimize_aliases(
                 )
                 .groupBy("bug_id", "email")
                 .agg(F.sum("cnt").alias("cnt"))
-                .persist()
+                .localCheckpoint(eager=False)
             )
         totals = cur.groupBy("email").agg(F.sum("cnt").alias("total"))
         problems = totals.where(F.col("total") <= F.lit(-(min_diff / 2)))
@@ -224,20 +234,16 @@ def minimize_aliases(
             (F.col("n_cand") >= 2)
             & (F.col("best") > F.col("second") + min_diff)
             & (F.col("canonical") != F.col("problem"))
-        ).select(F.col("problem").alias("alias"), "canonical").persist()
-        empty = new.isEmpty()
-        if prev_cur is not None:
-            prev_cur.unpersist()
-        prev_cur = cur if cur is not counts else None
-        if empty:
-            new.unpersist()
+        ).select(
+            F.col("problem").alias("alias"), "canonical"
+        ).localCheckpoint(eager=True)
+        if new.isEmpty():
             break
         mapping = (
             new if mapping is None
             else mapping.select("alias", "canonical").unionByName(new)
         )
         mapping = canonical_closure(mapping)
-    counts.unpersist()
     if mapping is None:
         # typed empty mapping, so callers can join unconditionally
         return counts.sparkSession.createDataFrame(
@@ -313,9 +319,9 @@ def cc_fuzzy_rescue(
     MEMORY_AND_DISK for its consumers (skinny — one row per distinct
     (entity, value) — the invindex storage contract: LRU-evicted
     under pressure)."""
-    from pyspark.storagelevel import StorageLevel
+    from bugzilla_etl_spark.tmpdirs import pin
 
-    flagged = (
+    flagged = pin(
         totals.select(
             entity,
             F.col(value).alias("_v"),
@@ -332,7 +338,6 @@ def cc_fuzzy_rescue(
         )
         .groupBy(entity, "_v")
         .agg(F.max("_m").alias("_mem"), F.max("_r").alias("_rem"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     exact = flagged.where(
         (F.col("_mem") == 1) & (F.col("_rem") == 1)

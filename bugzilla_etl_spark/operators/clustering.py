@@ -236,15 +236,15 @@ def embedding_outliers(
                  "dist": pd.Series(dists, dtype="float64")}
             )
 
-    from pyspark.storagelevel import StorageLevel
+    from bugzilla_etl_spark.tmpdirs import pin
 
     # TWO consumers (the stats aggregate and the final join) would
-    # each re-run scan -> quantize -> Arrow distance pass — persist
-    # the skinny scored frame (the ngram_novelty lesson; LRU-evicted
-    # under pressure)
-    scored = t.mapInPandas(
-        score, schema="vec_id long, label long, dist double"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # each re-run scan -> quantize -> Arrow distance pass — pin the
+    # skinny scored frame for the invocation (nonce-guarded, released
+    # via the cleanup registry)
+    scored = pin(
+        t.mapInPandas(score, schema="vec_id long, label long, dist double")
+    )
     stats = scored.groupBy("label").agg(
         F.avg("dist").alias("_m"),
         F.stddev_samp("dist").alias("_sd"),

@@ -22,9 +22,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from bugzilla_etl_spark.functions.hashing import hash64, hash128
+from bugzilla_etl_spark.tmpdirs import pin
 from bugzilla_etl_spark.operators.text import shingles, tokens
 
 N_MINHASH = 16
@@ -117,9 +117,9 @@ def ngram_jaccard_pairs(
     # blocking restriction on the join key.  Persisted: both join
     # sides would otherwise recompute the md5 shingling (see
     # jaccard_pairs_invindex docstring).
-    postings = t.select(
-        "doc_id", "block", F.explode("shh").alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    postings = pin(
+        t.select("doc_id", "block", F.explode("shh").alias("sh"))
+    )
     sizes = t.select("doc_id", F.size("shh").alias("sz"))
     a = postings.select(F.col("doc_id").alias("doc_a"), "block", "sh")
     b = postings.select(F.col("doc_id").alias("doc_b"), "block", "sh")
@@ -202,9 +202,7 @@ def jaccard_pairs_invindex(
     inverted-index materialization (1.6x faster than recomputing
     even UNcapped at sf0.1; Spark evicts it LRU under pressure)."""
     t = _hashed_shingled(docs, text_col, id_col)
-    postings = t.select("doc_id", F.explode("shh").alias("sh")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    postings = pin(t.select("doc_id", F.explode("shh").alias("sh")))
     if max_df is not None:
         hot = (
             postings.groupBy("sh")
@@ -588,6 +586,13 @@ def neardup_components(
     for ids with no pairs.  Output: (doc_id, component) where
     component = min doc_id of the group.
     """
+    # Lineage-cut the loop-invariant edge list and each round's label
+    # frame with localCheckpoint instead of persist: the plan stays a
+    # LogicalRDD leaf per round (no per-round plan growth, no
+    # quadratic recompute), and nothing lands in the CacheManager, so
+    # a repeated invocation computes cold instead of silently reading
+    # this one's cache (the r16 contamination class).  Old round RDDs
+    # release via the ContextCleaner when their reference drops.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -596,7 +601,7 @@ def neardup_components(
             )
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.groupBy("src")
@@ -605,8 +610,8 @@ def neardup_components(
             F.col("src").alias("doc_id"),
             F.least("src", "nmin").alias("component"),
         )
+        .localCheckpoint(eager=False)
     )
-    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(max_iter):
         # neighbor minimum under current labels
         lbl_dst = labels.select(
@@ -636,13 +641,14 @@ def neardup_components(
                 "doc_id",
                 F.coalesce("c2", "component").alias("component"),
             )
-            # pin each round: the convergence check and the next round
+            # cut each round: the convergence check and the next round
             # would otherwise re-execute every earlier round's joins
-            # (lineage grows per iteration -> quadratic recompute)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            # (lineage grows per iteration -> quadratic recompute).
+            # Lazy: the convergence check's full scan materializes it
+            # in the same action (one action per round).
+            .localCheckpoint(eager=False)
         )
         done = compressed.exceptAll(labels).isEmpty()
-        labels.unpersist()
         labels = compressed
         if done:
             break
@@ -759,14 +765,16 @@ def chunk_shared_stats(
         f"div {stride})), i -> substring({text_col}, i * {stride} + 1, "
         f"{width}))"
     )
-    ch = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(F.expr(chunk_expr), lambda c: hash64(c))
-            )
-        ).alias("chash"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ch = pin(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.expr(chunk_expr), lambda c: hash64(c))
+                )
+            ).alias("chash"),
+        )
+    )
     df = ch.groupBy("chash").agg(F.count(F.lit(1)).alias("df"))
     shared = F.col("df") >= min_df
     return (
@@ -1054,12 +1062,7 @@ def exact_substring_spans(
     # (doc_id, pos, gh), far narrower than the text it derives from,
     # the same reasoning that keeps gram text off the shuffle wire.
     # Released via the tmpdirs registry at gc/exit.
-    from pyspark.storagelevel import StorageLevel
-
-    from bugzilla_etl_spark.tmpdirs import register_cleanup
-
-    occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
-    register_cleanup(occ.unpersist)
+    occ = pin(occ)
     dup = (
         occ.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("n"))

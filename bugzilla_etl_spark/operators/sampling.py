@@ -31,7 +31,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from bugzilla_etl_spark.functions.hashing import hash64
 
@@ -248,7 +247,7 @@ def dsir_weights(
 
     import math
 
-    from bugzilla_etl_spark.tmpdirs import register_cleanup
+    from bugzilla_etl_spark.tmpdirs import pin
 
     # Featurize ONCE: tokenizing + per-gram md5 bucketing is the
     # dominant cost of this operator, and the naive shape pays it
@@ -264,7 +263,7 @@ def dsir_weights(
     # featurization is int32 arrays — far smaller than the text it
     # replaces — and is released via the tmpdirs cleanup registry,
     # so nothing survives the invocation.
-    feat = (
+    feat = pin(
         df.where(F.col(text).isNotNull())
         .select(
             F.col(key),
@@ -273,9 +272,7 @@ def dsir_weights(
                 grams(F.col(text)), lambda x: bucket(x).cast("int")
             ).alias("_bs"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    register_cleanup(feat.unpersist)
 
     counts = (
         feat.select("_t", F.explode("_bs").alias("b"))

@@ -483,9 +483,7 @@ def previous_values_paned(
     reference: parse_bug_history.py:783 setPrevious — semantics
     identical to ``previous_values``; only the partitioning moved.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    from bugzilla_etl_spark.tmpdirs import register_cleanup
+    from bugzilla_etl_spark.tmpdirs import pin
 
     def _pin(frame: DataFrame) -> DataFrame:
         """Persist a round boundary for the invocation.  Each of the
@@ -495,12 +493,11 @@ def previous_values_paned(
         duplicates the whole upstream subtree per reference — the
         unpinned plan holds 20 parquet scans and 52 exchanges for
         what is logically one scan and a handful of shuffles.
-        MEMORY_AND_DISK (never recompute-on-evict-to-nothing), and
-        released via the tmpdirs cleanup registry at gc/exit, so
-        nothing outlives the invocation."""
-        pinned = frame.persist(StorageLevel.MEMORY_AND_DISK)
-        register_cleanup(pinned.unpersist)
-        return pinned
+        MEMORY_AND_DISK (never recompute-on-evict-to-nothing),
+        nonce-guarded against cross-invocation CacheManager plan
+        matching, and released via the tmpdirs cleanup registry at
+        gc/exit, so nothing outlives the invocation."""
+        return pin(frame)
 
     tsl = F.col(ts).cast("long")
     base = _pin(

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from bugzilla_etl_spark.functions.hashing import hash64
 
@@ -224,19 +223,21 @@ def winnow_fingerprints(
 
     Storage contract (same as dedup_jaccard_invindex): the exploded
     postings persist MEMORY_AND_DISK for the plan's multiple
-    consumers and are NOT unpersisted here — the result is a lazy
-    plan that still references the cached relation.  Spark evicts the
-    block LRU under pressure; a long-lived session sweeping many
-    corpora can reclaim eagerly with ``spark.catalog.clearCache()``
-    between sweeps."""
+    consumers via the invocation-scoped ``pin`` (nonce-guarded so a
+    repeat invocation never silently reads this one's cache; released
+    through the tmpdirs cleanup registry at gc/exit)."""
     sel = winnow_fp_sets(docs, k, w, text_col, id_col)
     # two consumers (df agg + join side) would otherwise re-run the
     # scan -> hash -> selection kernel; persist the skinny exploded
     # postings (the invindex pattern — LRU-evicted under pressure)
-    dsets = sel.select(
-        "doc_id", "n_fp", "n_hashes",
-        F.explode("fp_hashes").alias("fp_hash"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from bugzilla_etl_spark.tmpdirs import pin
+
+    dsets = pin(
+        sel.select(
+            "doc_id", "n_fp", "n_hashes",
+            F.explode("fp_hashes").alias("fp_hash"),
+        )
+    )
     dfc = dsets.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("ndocs"))
     return (
         dsets.join(dfc, on="fp_hash")
@@ -276,15 +277,18 @@ def winnow_pairs(
     never docs².
 
     Storage contract: the postings persist MEMORY_AND_DISK (three
-    consumers) and rely on Spark's LRU eviction rather than an
-    explicit unpersist — see winnow_fingerprints for the rationale
-    and the ``clearCache()`` escape hatch."""
+    consumers) via the invocation-scoped ``pin`` — see
+    winnow_fingerprints for the rationale."""
     sel = winnow_fp_sets(docs, k, w, text_col, id_col)
     # three consumers (df stats + both join sides): persist the
     # skinny postings like jaccard_pairs_invindex does
-    post = sel.select(
-        "doc_id", "n_hashes", F.explode("fp_hashes").alias("fp_hash")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from bugzilla_etl_spark.tmpdirs import pin
+
+    post = pin(
+        sel.select(
+            "doc_id", "n_hashes", F.explode("fp_hashes").alias("fp_hash")
+        )
+    )
     dfc = post.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("ndocs"))
     capped = post.join(
         F.broadcast(dfc.where(F.col("ndocs") > max_df).select("fp_hash")),

@@ -10,12 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from bugzilla_etl_spark.functions.hashing import duckdb_hash64
 from bugzilla_etl_spark.plans.catalog import register
 from bugzilla_etl_spark.sources import load_table
-from bugzilla_etl_spark.tmpdirs import register_cleanup, tracked_mkdtemp
+from bugzilla_etl_spark.tmpdirs import pin, tracked_mkdtemp
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -1497,12 +1496,7 @@ def profile_table_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded distinct-pairs frame, and fold both from it.  The
     # exact NDV becomes a plain count; the register hash runs over
     # distinct values instead of the full melt.
-    dv = (
-        melt.select("col_name", "val")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    register_cleanup(dv.unpersist)
+    dv = pin(melt.select("col_name", "val").distinct())
     ex = dv.groupBy("col_name").agg(
         F.count("val").alias("ndv_exact")
     )
@@ -2032,10 +2026,11 @@ def kmv_source_overlap(
     # registry: without the cache each lazy reference physically
     # re-runs the corpus scan + Arrow heap pass (measured: 3 heap
     # passes in the executed plan).  One corpus pass total.
-    skarr = sk.groupBy("source").agg(
-        F.sort_array(F.collect_set("h")).alias("hs")
-    ).persist()
-    register_cleanup(skarr.unpersist)
+    skarr = pin(
+        sk.groupBy("source").agg(
+            F.sort_array(F.collect_set("h")).alias("hs")
+        )
+    )
     srcs = skarr.select("source")
     pairs = F.broadcast(
         srcs.alias("a")

@@ -779,12 +779,9 @@ def build_full_docs(
     # untouched either way: fch/ach/alias still scan the source
     # directly.
     if pin_spine:
-        from pyspark.storagelevel import StorageLevel
+        from bugzilla_etl_spark.tmpdirs import pin
 
-        from bugzilla_etl_spark.tmpdirs import register_cleanup
-
-        verx = verx.persist(StorageLevel.MEMORY_AND_DISK)
-        register_cleanup(verx.unpersist)
+        verx = pin(verx)
 
     fch = base.select(
         "user_id",

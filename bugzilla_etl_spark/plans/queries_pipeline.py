@@ -906,16 +906,18 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, one first-seen aggregation with map-side combine, one
     count-back join) — no arrays cross the shuffle, same shape as
     dedup_jaccard_invindex's df stats."""
-    from pyspark.storagelevel import StorageLevel
+    from bugzilla_etl_spark.tmpdirs import pin
 
     docs = load_table(spark, sf_dir, "documents")
     # two consumers (first-seen agg + count-back side) would each
-    # recompute scan -> tokenize -> shingle -> md5: persist the
-    # skinny postings, the inverted-index pattern (measured 3.01 ->
-    # 0.74 s at sf0.1; LRU-evicted under pressure)
-    postings = D._hashed_shingled(docs, "text", "doc_id").select(
-        "doc_id", F.explode("shh").alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # recompute scan -> tokenize -> shingle -> md5: pin the skinny
+    # postings for the invocation, the inverted-index pattern
+    # (measured 3.01 -> 0.74 s at sf0.1; nonce-guarded + registry)
+    postings = pin(
+        D._hashed_shingled(docs, "text", "doc_id").select(
+            "doc_id", F.explode("shh").alias("sh")
+        )
+    )
     firsts = postings.groupBy("sh").agg(
         F.min("doc_id").alias("first_doc")
     )

@@ -4,7 +4,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from bugzilla_etl_spark.functions import hashing as H
 from bugzilla_etl_spark.functions.hashing import duckdb_hash64
@@ -745,9 +744,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream); tf, n_texts and tot_tokens all fold from it, and
     # n_docs is a metadata-cheap count over the parquet footers.
     # Released via the tmpdirs cleanup registry at gc/exit.
-    from bugzilla_etl_spark.tmpdirs import register_cleanup
+    from bugzilla_etl_spark.tmpdirs import pin
 
-    pre = (
+    pre = pin(
         nn.select("doc_id", T.tokens("text").alias("_tk"))
         .select(
             "doc_id",
@@ -756,9 +755,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "_tk", lambda t: t.isin(vocab)
             ).alias("_qtk"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    register_cleanup(pre.unpersist)
     with_dl = pre.select(
         "doc_id", "dl", F.explode("_qtk").alias("term")
     )
@@ -1137,13 +1134,21 @@ def bpe_encode_docs(
     )
     enc = f"flatten(transform(_tk, t -> {lookup}))"
     payload = (
-        F.expr(enc).alias("ids")
+        F.col("_ids").alias("ids")
         if ids_array
         else F.array_join(
-            F.expr(f"transform({enc}, x -> cast(x AS string))"),
+            F.expr("transform(_ids, x -> cast(x AS string))"),
             " ",
         ).alias("token_ids")
     )
+    # Two-step projection so the id-sequence expression evaluates
+    # ONCE per row: n_tokens and the payload both read the ``_ids``
+    # alias instead of re-running the whole per-token map-lookup
+    # chain (higher-order functions are interpreted — no codegen
+    # subexpression elimination saves you — so the single-projection
+    # form paid the full vocab-lookup pass twice per document).
+    # CollapseProject leaves this split alone: ``_ids`` is referenced
+    # twice and is not a cheap expression.
     return (
         docs.select("doc_id", *carry, toks.alias("_tk"))
         .crossJoin(F.broadcast(tok_map))
@@ -1151,7 +1156,13 @@ def bpe_encode_docs(
             "doc_id",
             *carry,
             F.size("_tk").cast("long").alias("n_terms"),
-            F.size(F.expr(enc)).cast("long").alias("n_tokens"),
+            F.expr(enc).alias("_ids"),
+        )
+        .select(
+            "doc_id",
+            *carry,
+            "n_terms",
+            F.size("_ids").cast("long").alias("n_tokens"),
             payload,
         )
     )

@@ -46,6 +46,33 @@ def registered() -> list[str]:
     return list(_CREATED)
 
 
+def pin(frame, level=None):
+    """Invocation-scoped DataFrame persist: nonce + cleanup registry.
+
+    Spark's CacheManager matches persisted plans STRUCTURALLY, so a
+    deterministic plan persisted by one invocation is silently read
+    by the next invocation's identical plan — an untimed warm-up run
+    then pre-warms every timed run (the r16 bench-contamination
+    defect).  The per-invocation uuid literal makes each invocation's
+    persisted plan unique: reuse stays WITHIN one invocation (all
+    downstream consumers share one materialization) and every fresh
+    invocation computes cold from the inputs.  The nonce column is a
+    constant, so the columnar cache RLE-compresses it to one
+    dictionary entry — no per-row storage cost.  Released via the
+    cleanup registry at the next ``gc_now``/process exit, exactly
+    like a tracked tempdir."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    pinned = frame.withColumn(
+        "_pin_nonce", F.lit(uuid.uuid4().hex)
+    ).persist(level if level is not None else StorageLevel.MEMORY_AND_DISK)
+    register_cleanup(pinned.unpersist)
+    return pinned.drop("_pin_nonce")
+
+
 def gc_now() -> int:
     """Remove every registered dir and run every registered cleanup
     now; returns how many DIRS were removed (cleanups uncounted —
