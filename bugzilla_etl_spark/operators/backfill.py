@@ -377,9 +377,14 @@ def run_backfill(
             ).parquet(staging)
             return staging
 
-        # 3 in flight: enough to fill stage tails, not enough to
-        # thrash executor memory with concurrent builds
-        with ThreadPoolExecutor(max_workers=min(3, len(plan))) as pool:
+        # 5 in flight (r16 verdict item 6: the 3-deep pool left the
+        # walk at 5.96 s of the 6.64 s pass — the tail blocks ran
+        # serially after the pool drained; at 5 the whole 5-block
+        # plan's reads+builds+writes overlap and the walk approaches
+        # max(block) instead of sum(tail blocks)).  Memory stays
+        # bounded: each block's build is the same doc pipeline, and
+        # FIFO scheduling keeps earlier blocks' commit order.
+        with ThreadPoolExecutor(max_workers=min(5, len(plan))) as pool:
             futs = [pool.submit(_land, lo, hi) for lo, hi in plan]
             for (lo, hi), fut in zip(plan, futs):
                 staging = fut.result()

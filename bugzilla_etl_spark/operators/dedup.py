@@ -694,13 +694,23 @@ def decontam_overlap(
         .distinct()
         .collect()
     )
-    E = np.sort(np.array([r.sh for r in ev_rows], dtype=np.int64))
+    # Ship the sorted eval-shingle index as a Spark BROADCAST, not in
+    # the task closure: a closure is re-serialized and re-shipped to
+    # the Python worker PER TASK (guide §4.5 — at a benchmark suite of
+    # 1e7 shingles that is ~80 MB × tasks), while a broadcast moves
+    # once per executor and reused Python workers keep it across
+    # tasks.  Same values, same map-only plan.
+    spark = docs.sparkSession
+    bE = spark.sparkContext.broadcast(
+        np.sort(np.array([r.sh for r in ev_rows], dtype=np.int64))
+    )
 
     tr = _hashed_shingled(docs, text_col, id_col, sort=False).select(
         "doc_id", "shh"
     )
 
     def probe(batches):
+        E = bE.value
         for pdf in batches:
             if not len(pdf):
                 continue

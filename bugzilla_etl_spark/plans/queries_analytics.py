@@ -1925,6 +1925,12 @@ def triangle_count(
     subtree reuse entirely; the executor-side persist keeps the
     rows distributed and the joins broadcasting from measured
     sizes.)"""
+    from bugzilla_etl_spark.tmpdirs import size_partitions_from_data
+
+    # r16 anti-scaler (driver c8 < c32): bounded intermediate frames
+    # must partition by DATA SIZE, not core count — scoped AQE knob,
+    # restored via the cleanup registry (see tmpdirs.scoped_conf).
+    size_partitions_from_data(spark)
     import uuid
 
     from bugzilla_etl_spark.tmpdirs import register_cleanup
@@ -2096,6 +2102,12 @@ def triangle_count_scaled(
     discipline are #112's verbatim; the backbone stays broadcast-
     able by construction at the default frac (caller-scaled beyond
     that, documented trade in SCALING.md)."""
+    from bugzilla_etl_spark.tmpdirs import size_partitions_from_data
+
+    # r16 anti-scaler (driver c8 < c32): bounded intermediate frames
+    # must partition by DATA SIZE, not core count — scoped AQE knob,
+    # restored via the cleanup registry (see tmpdirs.scoped_conf).
+    size_partitions_from_data(spark)
     from bugzilla_etl_spark.tmpdirs import register_cleanup
 
     import uuid

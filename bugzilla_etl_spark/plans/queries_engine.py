@@ -1487,6 +1487,12 @@ def profile_table_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings (cents / epoch seconds — see _PROFILE_VAL), so the
     sketch is bit-identical cross-engine and registers MAX-merge
     across incremental runs."""
+    from bugzilla_etl_spark.tmpdirs import size_partitions_from_data
+
+    # r16 anti-scaler (driver c8 < c32): bounded intermediate frames
+    # must partition by DATA SIZE, not core count — scoped AQE knob,
+    # restored via the cleanup registry (see tmpdirs.scoped_conf).
+    size_partitions_from_data(spark)
     od = load_table(spark, sf_dir, "orders")
     melt = _profile_melt(od)
     # Both outputs are functions of the DISTINCT (column, value)

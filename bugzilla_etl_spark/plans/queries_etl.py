@@ -221,6 +221,12 @@ def alias_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (u{4k+3} -> u{4k+2} -> u{4k}), so the oracle's closed-form CASE is
     exactly the chain-followed mapping.  The store write/read is the
     point of the query; the oracle checks the surviving values."""
+    from bugzilla_etl_spark.tmpdirs import size_partitions_from_data
+
+    # r16 anti-scaler (driver c8 < c32): bounded intermediate frames
+    # must partition by DATA SIZE, not core count — scoped AQE knob,
+    # restored via the cleanup registry (see tmpdirs.scoped_conf).
+    size_partitions_from_data(spark)
 
     from bugzilla_etl_spark.sinks.alias_store import (
         load_aliases,

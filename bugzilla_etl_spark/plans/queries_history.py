@@ -342,6 +342,12 @@ def alias_minimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the single-round closed form — the iterative machinery
     beyond round one (folding, chain closure) is covered by unit
     tests with multi-round alias chains."""
+    from bugzilla_etl_spark.tmpdirs import size_partitions_from_data
+
+    # r16 anti-scaler (driver c8 < c32): bounded intermediate frames
+    # must partition by DATA SIZE, not core count — scoped AQE knob,
+    # restored via the cleanup registry (see tmpdirs.scoped_conf).
+    size_partitions_from_data(spark)
     from bugzilla_etl_spark.operators.alias import minimize_aliases
 
     ev = load_table(spark, sf_dir, "events")
@@ -855,6 +861,12 @@ def bug_version_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correct plan; neither side is broadcastable at 100 TB).
     reference: parse_bug_history.py (whole), transform_bugzilla.py
     normalize(), bz_etl.py ES doc assembly."""
+    from bugzilla_etl_spark.tmpdirs import size_partitions_from_data
+
+    # r16 anti-scaler (driver c8 < c32): bounded intermediate frames
+    # must partition by DATA SIZE, not core count — scoped AQE knob,
+    # restored via the cleanup registry (see tmpdirs.scoped_conf).
+    size_partitions_from_data(spark)
     return build_full_docs(
         load_table(spark, sf_dir, "events"), pin_spine=True
     )

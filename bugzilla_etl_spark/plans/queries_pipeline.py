@@ -1195,6 +1195,12 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     thirty model-sized stages of scheduling overhead for 640 rows
     of integer math — and rejected; the collect is bounded by label
     cardinality, never corpus-sized."""
+    from bugzilla_etl_spark.tmpdirs import size_partitions_from_data
+
+    # r16 anti-scaler (driver c8 < c32): bounded intermediate frames
+    # must partition by DATA SIZE, not core count — scoped AQE knob,
+    # restored via the cleanup registry (see tmpdirs.scoped_conf).
+    size_partitions_from_data(spark)
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")

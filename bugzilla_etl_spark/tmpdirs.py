@@ -73,6 +73,49 @@ def pin(frame, level=None):
     return pinned.drop("_pin_nonce")
 
 
+def scoped_conf(spark, key: str, value: str) -> None:
+    """Set a session conf for the CURRENT INVOCATION and register its
+    restoration with the cleanup registry (runs at the next
+    ``gc_now``/process exit — i.e. after the bench's timed runs of
+    this query, before the next query).
+
+    Exists for the AQE small-partition knob: a handful of queries are
+    dominated by BOUNDED intermediate frames (vocab-, label-,
+    dim-grain) whose shuffles default to core-count partitions —
+    per-round task waves then scale with cores instead of data (the
+    r16 anti-scaler diagnosis).  ``parallelismFirst=false`` lets AQE
+    size those partitions from bytes, which is the 100 TB-correct
+    rule for bounded frames; it stays a PER-QUERY scope because
+    compute-dense small-byte shuffles (the inverted-index pair
+    counts) genuinely want core-count parallelism at bench scale
+    (measured +33% when flipped globally)."""
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 — unset key
+        prev = None
+
+    def _restore() -> None:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    spark.conf.set(key, value)
+    register_cleanup(_restore)
+
+
+#: The AQE knob scoped_conf exists for (see its docstring).
+PARALLELISM_FIRST = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+
+
+def size_partitions_from_data(spark) -> None:
+    """Scope ``parallelismFirst=false`` to the current invocation:
+    bounded-frame queries call this first so AQE coalesces their
+    tiny shuffles to data-sized partitions instead of core-count
+    task waves."""
+    scoped_conf(spark, PARALLELISM_FIRST, "false")
+
+
 def gc_now() -> int:
     """Remove every registered dir and run every registered cleanup
     now; returns how many DIRS were removed (cleanups uncounted —

@@ -23,6 +23,60 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+# foreachBatch / memory-sink / store-lifecycle queries whose builder
+# runs real jobs; executed-plan text is not a pure function of the
+# logical query for them (shared by the fleet sweeps below).
+SKIP_EXECUTING = {
+    "stream_snapshot",
+    "stream_rollup",
+    "stream_sessionize",
+    "stream_dedup",
+    "stream_previous_values",
+    "stream_bug_versions",
+    "stream_heavy_hitters",
+    "stream_neardup_ingest",
+    "stream_hll",
+    "stream_decontam",
+    "stream_attribution",
+    "stream_attribution_outer",
+    "alias_compact",
+    "compact_store",
+    "es_file_extract",
+    "es_alias_cutover",
+    "bucketed_join_zero_shuffle",
+}
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def catalog_plans(spark, sf_dir):
+    """ONE catalog sweep shared by every fleet-wide plan test: each
+    query's frame is built once and its formatted / analyzed /
+    executed plan strings derived from that single build.  The four
+    sweeps previously re-built all 185 frames each (~650 s of the
+    suite — the single biggest reason VERIFY_r16 timed out at ~75%);
+    the assertions are unchanged, only the frame construction is
+    shared.  ``executed`` is None for SKIP_EXECUTING entries."""
+    from bugzilla_etl_spark.plans import catalog
+
+    catalog.load_all()
+    plans = {}
+    for name, fn in sorted(catalog.QUERIES.items()):
+        df = fn(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        formatted = _plan(df)
+        analyzed = qe.analyzed().toString()
+        executed = (
+            qe.executedPlan().toString()
+            if name not in SKIP_EXECUTING
+            else None
+        )
+        plans[name] = (formatted, analyzed, executed)
+    return plans
+
+
 def test_snapshot_versions_single_exchange(spark, sf_dir):
     """The whole SCD2 build must need exactly ONE shuffle (on user_id)."""
     import re
@@ -108,7 +162,7 @@ def _hinted_subtrees(analyzed: str):
         yield sub
 
 
-def test_tpch_fleet_no_raw_fact_hints(spark, sf_dir):
+def test_tpch_fleet_no_raw_fact_hints(catalog_plans):
     """Policy test over EVERY tpch_* query: no broadcast-hint subtree
     may scan orders/lineitem/customer/supplier/part raw (filters
     don't bound a table that scales with SF — the q10/q3/q5 lesson).
@@ -117,16 +171,10 @@ def test_tpch_fleet_no_raw_fact_hints(spark, sf_dir):
     at any SF, e.g. q22's avg-balance) — may sit under a hint."""
     import re
 
-    from bugzilla_etl_spark.plans import catalog
-
-    catalog.load_all()
     offenders = []
-    for name, fn in sorted(catalog.QUERIES.items()):
+    for name, (_f, analyzed, _e) in sorted(catalog_plans.items()):
         if not name.startswith("tpch_"):
             continue
-        analyzed = (
-            fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
-        )
         for sub in _hinted_subtrees(analyzed):
             top = sub[0] if sub else ""
             # scalar Aggregate: single bracket group (grouped aggs
@@ -158,7 +206,7 @@ def test_minhash_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_catalog_no_smj_no_cartesian(spark, sf_dir):
+def test_catalog_no_smj_no_cartesian(catalog_plans):
     """Fleet-wide plan audit: NO query in the catalog may plan a
     SortMergeJoin (a dim failed to broadcast) or a CartesianProduct
     (unkeyed pair generation).  Explain-only — nothing executes.
@@ -171,9 +219,6 @@ def test_catalog_no_smj_no_cartesian(spark, sf_dir):
     forbidden for it."""
     import re
 
-    from bugzilla_etl_spark.plans import catalog
-
-    catalog.load_all()
     # bug_version_full joins two per-(entity, version) aggregates back
     # to the version spine — both sides scale with the corpus, so SMJ
     # on the co-partitioned key is the intended plan there too.
@@ -229,8 +274,7 @@ def test_catalog_no_smj_no_cartesian(spark, sf_dir):
         "bucketed_join_zero_shuffle",
     }
     offenders = []
-    for name, fn in sorted(catalog.QUERIES.items()):
-        plan = _plan(fn(spark, sf_dir))
+    for name, (plan, _a, _e) in sorted(catalog_plans.items()):
         if name not in smj_ok and re.search(r"\(\d+\) SortMergeJoin", plan):
             offenders.append((name, "SortMergeJoin"))
         if "CartesianProduct" in plan:
@@ -452,7 +496,7 @@ def test_tpch_q15_q17_no_hints_single_fact_strategy(spark, sf_dir):
     assert _plan(q17).count("lineitem.parquet") == 2
 
 
-def test_catalog_no_unbounded_broadcast_hints(spark, sf_dir):
+def test_catalog_no_unbounded_broadcast_hints(catalog_plans):
     """Catalog-wide hint policy: every ResolvedHint subtree must be
     BOUNDED — it contains an Aggregate/Deduplicate/Window/Limit node
     (derived dims: touched sets, mappings, df caps, watermarks,
@@ -466,20 +510,14 @@ def test_catalog_no_unbounded_broadcast_hints(spark, sf_dir):
     workload semantics (a fixed query batch / an MB-scale eval
     closure, the same asymmetry contract as decontam_overlap), not
     by an aggregate; the every-Nth filters are test synthesis."""
-    from bugzilla_etl_spark.plans import catalog
-
-    catalog.load_all()
     # 'Distinct' is NOT in this list on purpose: analyzed plans print
     # distinct() as 'Deduplicate'.
     BOUNDING = ("Aggregate", "Deduplicate", "GlobalLimit", "Window")
     WORKLOAD_BOUNDED = {"ann_ivf", "ann_ivf_nprobe", "decontam_neardup"}
     offenders = []
-    for name, fn in sorted(catalog.QUERIES.items()):
+    for name, (_f, analyzed, _e) in sorted(catalog_plans.items()):
         if name in WORKLOAD_BOUNDED:
             continue
-        analyzed = (
-            fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
-        )
         for sub in _hinted_subtrees(analyzed):
             # The bounding node must come BEFORE every scanned
             # relation in the printed subtree (parents/left-siblings
@@ -596,7 +634,7 @@ def test_tpch_q9_partsupp_derivation_map_only(spark, sf_dir):
     ), pushed_part
 
 
-def test_catalog_no_cartesian_no_row_python(spark, sf_dir):
+def test_catalog_no_cartesian_no_row_python(catalog_plans):
     """Catalog-wide anti-pattern fleet check, complementing the
     broadcast-hint policy test:
 
@@ -617,41 +655,10 @@ def test_catalog_no_cartesian_no_row_python(spark, sf_dir):
     FINAL plan is inspected, so an anti-pattern inside a collected
     build stage is out of this test's sight and belongs to that
     operator's own plan/equivalence tests."""
-    from bugzilla_etl_spark.plans import catalog
-
-    catalog.load_all()
-    SKIP_EXECUTING = {
-        # foreachBatch / memory-sink / store-lifecycle queries whose
-        # builder runs jobs; plan text is not a pure function of the
-        # logical query for them
-        "stream_snapshot",
-        "stream_rollup",
-        "stream_sessionize",
-        "stream_dedup",
-        "stream_previous_values",
-        "stream_bug_versions",
-        "stream_heavy_hitters",
-        "stream_neardup_ingest",
-        "stream_hll",
-        "stream_decontam",
-        "stream_attribution",
-        "stream_attribution_outer",
-        "alias_compact",
-        "compact_store",
-        "es_file_extract",
-        "es_alias_cutover",
-        "bucketed_join_zero_shuffle",
-    }
     offenders = []
-    for name, fn in sorted(catalog.QUERIES.items()):
-        if name in SKIP_EXECUTING:
+    for name, (_f, _a, plan) in sorted(catalog_plans.items()):
+        if plan is None:  # SKIP_EXECUTING
             continue
-        plan = (
-            fn(spark, sf_dir)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
         if "BatchEvalPython" in plan:
@@ -659,7 +666,7 @@ def test_catalog_no_cartesian_no_row_python(spark, sf_dir):
     assert not offenders, offenders
 
 
-def test_catalog_no_unpartitioned_window(spark, sf_dir):
+def test_catalog_no_unpartitioned_window(catalog_plans):
     """Catalog-wide ban on UNPARTITIONED windows: an empty partition
     spec funnels the window's entire input through ONE task's sort —
     the skyline_orders round-7 defect class (and Spark itself warns
@@ -673,28 +680,6 @@ def test_catalog_no_unpartitioned_window(spark, sf_dir):
     corpus."""
     import re
 
-    from bugzilla_etl_spark.plans import catalog
-
-    catalog.load_all()
-    SKIP_EXECUTING = {
-        "stream_snapshot",
-        "stream_rollup",
-        "stream_sessionize",
-        "stream_dedup",
-        "stream_previous_values",
-        "stream_bug_versions",
-        "stream_heavy_hitters",
-        "stream_neardup_ingest",
-        "stream_hll",
-        "stream_decontam",
-        "stream_attribution",
-        "stream_attribution_outer",
-        "alias_compact",
-        "compact_store",
-        "es_file_extract",
-        "es_alias_cutover",
-        "bucketed_join_zero_shuffle",
-    }
     BOUNDED_OK = {
         # global pass input = union of bucket-local frontiers
         "skyline_orders",
@@ -704,15 +689,9 @@ def test_catalog_no_unpartitioned_window(spark, sf_dir):
         r"|specifiedwindowframe)"
     )
     offenders = []
-    for name, fn in sorted(catalog.QUERIES.items()):
-        if name in SKIP_EXECUTING or name in BOUNDED_OK:
+    for name, (_f, _a, plan) in sorted(catalog_plans.items()):
+        if plan is None or name in BOUNDED_OK:
             continue
-        plan = (
-            fn(spark, sf_dir)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
         if pat.search(plan):
             offenders.append(name)
     assert not offenders, offenders

@@ -330,6 +330,7 @@ def test_bench_alert_flags_a_crossing(tmp_path):
 # iterative convergence, sketch register merges) on every suite run.
 
 
+@pytest.mark.slow
 def test_partition_plan_determinism_representative(spark, sf_dir):
     import sys
     from pathlib import Path
@@ -381,6 +382,7 @@ def test_partition_plan_determinism_representative(spark, sf_dir):
 # HOF equality, struct-carried as-of payloads, observed-only stats.
 
 
+@pytest.mark.slow
 def test_null_hardened_representative(spark, tmp_path):
     import sys
     from pathlib import Path

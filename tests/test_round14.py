@@ -19,6 +19,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+import pytest
+
+
 def _git(cwd, *args):
     return subprocess.run(
         ["git", *args], cwd=cwd, capture_output=True, text=True, check=True
@@ -165,6 +168,7 @@ def test_stream_dedup_spans_bucketed_matches_oracle(spark, duck, sf_dir):
     assert_same(sdf, duck, entry_mod.oracle_sql()["stream_dedup_spans"])
 
 
+@pytest.mark.slow
 def test_stream_bug_versions_split_and_pin_restore(spark, sf_dir):
     """The r14 diagnosis wiring: the run records a per-phase wall
     split (restore/discover/append/rebuild_write/swap) in

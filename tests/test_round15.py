@@ -199,6 +199,7 @@ def test_stream_bpe_encode_matches_batch_oracle(spark, duck, sf_dir):
     same(sdf, duck, catalog.ORACLES["stream_bpe_encode"])
 
 
+@pytest.mark.slow
 def test_stream_bpe_encode_unk_policy_fires(spark, tmp_path):
     """The OOV policy EXERCISED, not just written (the sf corpora
     share one vocabulary across halves, so they never produce OOV):
@@ -269,6 +270,7 @@ def test_seq_packing_ids_invariants(spark, sf_dir):
         spi.unpersist()
 
 
+@pytest.mark.slow
 def test_stream_bug_versions_fine_split_decomposition(spark, sf_dir):
     """The fine_split diagnosis mode (r14 verdict task 3) must stay
     exercised, not just shipped: fs_hist_read/fs_build/fs_write are

@@ -1,5 +1,5 @@
 """Dump `.explain("formatted")` output for catalog queries to
-plans/r16/<query>_<suffix>.txt — the judge-checkable plan artifacts
+plans/$PLAN_ROUND/<query>_<suffix>.txt (default r17) — the judge-checkable plan artifacts
 the optimization round commits alongside each change.
 
 Usage: python tools/dump_plans.py SUFFIX QUERY [QUERY ...]
@@ -36,7 +36,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r16",
+        os.environ.get("PLAN_ROUND", "r17"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
