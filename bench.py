@@ -301,6 +301,20 @@ def main() -> None:
         # which is the apples-to-apples basis against the reference's
         # long-running single-node ETL loop
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # Release scratch/caches BETWEEN passes too, not only between
+        # queries (measurement-hygiene fix, r17, disclosed in
+        # OPTIMIZATION_r17.md): the r17 nonce guards make every
+        # invocation materialize its OWN cache entry, so warmup + 3
+        # timed passes otherwise hold up to 4 live copies of each
+        # pinned frame — memory pressure + MEMORY_AND_DISK spill that
+        # belongs to the harness, not the query (r17 first lane:
+        # previous_values_paned median 16.9 s vs 6.2 s min from
+        # exactly this).  Runs OUTSIDE the timed region; the nonce
+        # already guarantees no pass can read an earlier pass's
+        # cache, so this only drops memory, never changes what a
+        # timed pass computes (streambench has done the same since
+        # r16).
+        _tmpdirs.gc_now()
         runs: list[float] = []
         best_split: dict[str, float] | None = None
         for _ in range(N_RUNS):
@@ -313,6 +327,7 @@ def main() -> None:
                 best_split = dict(_backfill.LAST_SPLIT)
                 best_split["pass_total_sec"] = round(dt, 3)
             runs.append(dt)
+            _tmpdirs.gc_now()
         runs.sort()
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)

@@ -426,12 +426,6 @@ def seq_packing_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a whole stream).
     reference scope: training-data pipeline extension (completes the
     tokenize→pack chain; pairs with #44/#45/#188)."""
-    from bugzilla_etl_spark.tmpdirs import size_partitions_from_data
-
-    # r16 anti-scaler (driver c8 < c32): bounded intermediate frames
-    # must partition by DATA SIZE, not core count — scoped AQE knob,
-    # restored via the cleanup registry (see tmpdirs.scoped_conf).
-    size_partitions_from_data(spark)
     docs = load_table(spark, sf_dir, "documents")
     enc = bpe_encode_docs(
         docs.select("doc_id", "source", "text"),

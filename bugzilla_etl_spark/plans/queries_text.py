@@ -986,12 +986,6 @@ def bpe_encode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference scope: training-data pipeline extension (r15 verdict
     task 2 — the hash_bits precedent: a documented scale knob must
     be a WIRED, oracle-checked parameter, not prose)."""
-    from bugzilla_etl_spark.tmpdirs import size_partitions_from_data
-
-    # r16 anti-scaler (driver c8 < c32): bounded intermediate frames
-    # must partition by DATA SIZE, not core count — scoped AQE knob,
-    # restored via the cleanup registry (see tmpdirs.scoped_conf).
-    size_partitions_from_data(spark)
     docs = load_table(spark, sf_dir, "documents")
     return bpe_encode_docs(
         docs, bpe_tokenizer_terms(spark, docs), map_mode="join"
